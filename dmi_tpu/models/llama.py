@@ -1,0 +1,327 @@
+"""Llama-3.x decoder in pure JAX: forward, loss, HF-parity semantics.
+
+The reference consumes HF's LlamaForCausalLM as a frozen black box
+(dmi/utils/model_utils.py:17-20) for (a) loss on soft-prefix-extended
+``inputs_embeds`` (dmi/model/mmmodel.py:112-147) and (b) greedy decode from
+``inputs_embeds`` (dmi/model/mmmodel.py:149-169).  Here the decoder is a
+TPU-first re-implementation:
+
+  * pytree params with **stacked per-layer weights** so the transformer body
+    is a single ``lax.scan`` over layers (fast compiles, one fused kernel
+    sequence instead of n_layers copies)
+  * bf16 weights/activations with f32 RMSNorm, f32 rope tables and f32
+    attention softmax — matching HF Llama numerics choices
+  * grouped-query attention, Llama-3 rope frequency scaling
+  * loss: shifted next-token cross-entropy averaged over labels != -100,
+    computed in f32 (HF semantics)
+
+Decode (KV cache, while_loop early exit) lives in dmi_tpu.models.decode.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from functools import partial
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 128256
+    hidden_size: int = 2048
+    intermediate_size: int = 8192
+    num_hidden_layers: int = 16
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 8
+    head_dim: int = 64
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 500000.0
+    # Llama-3 rope scaling (config.json rope_scaling{rope_type: llama3})
+    rope_scaling_factor: Optional[float] = 32.0
+    rope_low_freq_factor: float = 1.0
+    rope_high_freq_factor: float = 4.0
+    rope_original_max_position: int = 8192
+    tie_word_embeddings: bool = True
+    dtype: Any = jnp.bfloat16
+    # Llama-3.x instruct EOS ids: <|end_of_text|>, <|eom_id|>, <|eot_id|>
+    eos_token_ids: Tuple[int, ...] = (128001, 128008, 128009)
+    bos_token_id: int = 128000
+
+
+def llama32_1b(dtype=jnp.bfloat16) -> LlamaConfig:
+    """meta-llama/Llama-3.2-1B-Instruct (HF config.json)."""
+    return LlamaConfig(dtype=dtype)
+
+
+def llama32_3b(dtype=jnp.bfloat16) -> LlamaConfig:
+    return LlamaConfig(
+        hidden_size=3072, intermediate_size=8192, num_hidden_layers=28,
+        num_attention_heads=24, num_key_value_heads=8, head_dim=128, dtype=dtype,
+    )
+
+
+def llama31_8b(dtype=jnp.bfloat16) -> LlamaConfig:
+    return LlamaConfig(
+        hidden_size=4096, intermediate_size=14336, num_hidden_layers=32,
+        num_attention_heads=32, num_key_value_heads=8, head_dim=128,
+        rope_scaling_factor=8.0, dtype=dtype,
+    )
+
+
+def tiny_config(
+    vocab_size=256, hidden_size=64, n_layers=2, n_heads=4, n_kv=2,
+    intermediate=128, dtype=jnp.float32, eos=(5,),
+) -> LlamaConfig:
+    """Small random config for tests/benchmarks without HF weights."""
+    return LlamaConfig(
+        vocab_size=vocab_size, hidden_size=hidden_size,
+        intermediate_size=intermediate, num_hidden_layers=n_layers,
+        num_attention_heads=n_heads, num_key_value_heads=n_kv,
+        head_dim=hidden_size // n_heads, dtype=dtype, eos_token_ids=eos,
+        rope_scaling_factor=None, bos_token_id=0,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Params
+# ---------------------------------------------------------------------------
+
+def init(key: jax.Array, cfg: LlamaConfig) -> dict:
+    """Random init (normal 0.02) with stacked layers — used for tests; real
+    runs import HF weights via from_hf_state_dict."""
+    L, H = cfg.num_hidden_layers, cfg.hidden_size
+    nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    I = cfg.intermediate_size
+    keys = iter(jax.random.split(key, 16))
+
+    def w(k, shape, scale=0.02):
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(cfg.dtype)
+
+    params = {
+        "embed": w(next(keys), (cfg.vocab_size, H)),
+        "layers": {
+            "wq": w(next(keys), (L, H, nh * hd)),
+            "wk": w(next(keys), (L, H, nkv * hd)),
+            "wv": w(next(keys), (L, H, nkv * hd)),
+            "wo": w(next(keys), (L, nh * hd, H)),
+            "w_gate": w(next(keys), (L, H, I)),
+            "w_up": w(next(keys), (L, H, I)),
+            "w_down": w(next(keys), (L, I, H)),
+            "ln_attn": jnp.ones((L, H), cfg.dtype),
+            "ln_mlp": jnp.ones((L, H), cfg.dtype),
+        },
+        "final_norm": jnp.ones((H,), cfg.dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = w(next(keys), (H, cfg.vocab_size))
+    return params
+
+
+def from_hf_state_dict(state_dict, cfg: LlamaConfig) -> dict:
+    """Convert an HF LlamaForCausalLM state dict (torch tensors or numpy)
+    into the stacked-layer pytree.  HF Linear weights are (out, in); ours
+    are (in, out)."""
+
+    def get(name):
+        t = state_dict[name]
+        if hasattr(t, "detach"):
+            t = t.detach().to("cpu").float().numpy()
+        return np.asarray(t)
+
+    L = cfg.num_hidden_layers
+
+    def stack(fmt, transpose=True):
+        ws = [get(fmt.format(i)) for i in range(L)]
+        ws = [w.T if transpose else w for w in ws]
+        return jnp.asarray(np.stack(ws), cfg.dtype)
+
+    params = {
+        "embed": jnp.asarray(get("model.embed_tokens.weight"), cfg.dtype),
+        "layers": {
+            "wq": stack("model.layers.{}.self_attn.q_proj.weight"),
+            "wk": stack("model.layers.{}.self_attn.k_proj.weight"),
+            "wv": stack("model.layers.{}.self_attn.v_proj.weight"),
+            "wo": stack("model.layers.{}.self_attn.o_proj.weight"),
+            "w_gate": stack("model.layers.{}.mlp.gate_proj.weight"),
+            "w_up": stack("model.layers.{}.mlp.up_proj.weight"),
+            "w_down": stack("model.layers.{}.mlp.down_proj.weight"),
+            "ln_attn": stack("model.layers.{}.input_layernorm.weight", transpose=False),
+            "ln_mlp": stack("model.layers.{}.post_attention_layernorm.weight", transpose=False),
+        },
+        "final_norm": jnp.asarray(get("model.norm.weight"), cfg.dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = jnp.asarray(get("lm_head.weight").T, cfg.dtype)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Rope
+# ---------------------------------------------------------------------------
+
+def rope_inv_freq(cfg: LlamaConfig) -> jax.Array:
+    """Base inverse frequencies with Llama-3 wavelength-dependent scaling
+    (HF modeling_rope_utils._compute_llama3_parameters semantics)."""
+    hd = cfg.head_dim
+    inv_freq = 1.0 / (
+        cfg.rope_theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd)
+    )
+    if cfg.rope_scaling_factor is None:
+        return inv_freq
+    factor = cfg.rope_scaling_factor
+    low_wl = cfg.rope_original_max_position / cfg.rope_low_freq_factor
+    high_wl = cfg.rope_original_max_position / cfg.rope_high_freq_factor
+    wavelen = 2 * jnp.pi / inv_freq
+    smooth = (cfg.rope_original_max_position / wavelen - cfg.rope_low_freq_factor) / (
+        cfg.rope_high_freq_factor - cfg.rope_low_freq_factor
+    )
+    scaled = jnp.where(
+        wavelen > low_wl,
+        inv_freq / factor,
+        jnp.where(
+            wavelen < high_wl,
+            inv_freq,
+            (1 - smooth) * inv_freq / factor + smooth * inv_freq,
+        ),
+    )
+    return scaled
+
+
+def rope_tables(cfg: LlamaConfig, positions: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """cos/sin tables [*, head_dim] in f32 (HF duplicates freqs: cat(f, f))."""
+    inv = rope_inv_freq(cfg)
+    freqs = positions[..., None].astype(jnp.float32) * inv  # [..., hd/2]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def _rotate_half(x):
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x: [B, n, T, hd]; cos/sin: [B, T, hd] or [T, hd]."""
+    if cos.ndim == 2:
+        cos = cos[None]
+        sin = sin[None]
+    cos = cos[:, None, :, :].astype(jnp.float32)
+    sin = sin[:, None, :, :].astype(jnp.float32)
+    xf = x.astype(jnp.float32)
+    out = xf * cos + _rotate_half(xf) * sin
+    return out.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def rms_norm(x: jax.Array, scale: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    normed = xf * jax.lax.rsqrt(var + eps)
+    return (normed * scale.astype(jnp.float32)).astype(x.dtype)
+
+
+def _attention(q, k, v, bias):
+    """q: [B,nh,T,hd], k/v: [B,nkv,S,hd] -> [B,nh,T,hd]; f32 softmax."""
+    B, nh, T, hd = q.shape
+    nkv = k.shape[1]
+    group = nh // nkv
+    q = q.reshape(B, nkv, group, T, hd)
+    scores = jnp.einsum("bkgtd,bksd->bkgts", q, k).astype(jnp.float32)
+    scores = scores / np.sqrt(hd)
+    scores = scores + bias[:, None, None, :, :]  # bias: [B, T, S]
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bkgts,bksd->bkgtd", probs, v)
+    return out.reshape(B, nh, T, hd)
+
+
+def _block(cfg: LlamaConfig, x, lw, cos, sin, bias, cache_kv=None, cache_index=None):
+    """One transformer block.  lw holds this layer's (unstacked) weights.
+    If cache_kv=(k_cache, v_cache) is given, new k/v are written at
+    cache_index and attention runs against the full cache."""
+    B, T, H = x.shape
+    nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+
+    h = rms_norm(x, lw["ln_attn"], cfg.rms_norm_eps)
+    q = (h @ lw["wq"]).reshape(B, T, nh, hd).transpose(0, 2, 1, 3)
+    k = (h @ lw["wk"]).reshape(B, T, nkv, hd).transpose(0, 2, 1, 3)
+    v = (h @ lw["wv"]).reshape(B, T, nkv, hd).transpose(0, 2, 1, 3)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    new_cache = None
+    if cache_kv is not None:
+        k_cache, v_cache = cache_kv
+        k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k, cache_index, axis=2)
+        v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v, cache_index, axis=2)
+        k, v = k_cache, v_cache
+        new_cache = (k_cache, v_cache)
+
+    attn = _attention(q, k, v, bias)
+    attn = attn.transpose(0, 2, 1, 3).reshape(B, T, nh * hd)
+    x = x + attn @ lw["wo"]
+
+    h = rms_norm(x, lw["ln_mlp"], cfg.rms_norm_eps)
+    gate = jax.nn.silu(h @ lw["w_gate"])
+    x = x + (gate * (h @ lw["w_up"])) @ lw["w_down"]
+    return x, new_cache
+
+
+def forward(
+    cfg: LlamaConfig,
+    params: dict,
+    inputs_embeds: jax.Array,
+    attention_mask: Optional[jax.Array] = None,
+    positions: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Full-sequence forward -> logits [B, T, V].
+
+    attention_mask: [B, T] with 1 = real token (HF convention).  Causal
+    masking is always applied; positions default to arange (HF default for
+    right-padded batches)."""
+    B, T, H = inputs_embeds.shape
+    x = inputs_embeds.astype(cfg.dtype)
+    if positions is None:
+        positions = jnp.arange(T)
+    cos, sin = rope_tables(cfg, positions)
+
+    causal = jnp.tril(jnp.ones((T, T), bool))
+    valid = causal[None, :, :]
+    if attention_mask is not None:
+        valid = valid & attention_mask[:, None, :].astype(bool)
+    else:
+        valid = jnp.broadcast_to(valid, (B, T, T))
+    bias = jnp.where(valid, 0.0, jnp.finfo(jnp.float32).min)
+
+    layer_params = params["layers"]
+
+    def body(x, lw):
+        y, _ = _block(cfg, x, lw, cos, sin, bias)
+        return y, None
+
+    x, _ = jax.lax.scan(body, x, layer_params)
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    head = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]
+    return x @ head
+
+
+def embed_tokens(cfg: LlamaConfig, params: dict, input_ids: jax.Array) -> jax.Array:
+    return params["embed"][input_ids]
+
+
+def causal_lm_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """HF CausalLM loss: shift, ignore -100, token-mean cross-entropy in f32."""
+    shift_logits = logits[:, :-1, :].astype(jnp.float32)
+    shift_labels = labels[:, 1:]
+    valid = shift_labels != -100
+    safe_labels = jnp.where(valid, shift_labels, 0)
+    logp = jax.nn.log_softmax(shift_logits, axis=-1)
+    token_ll = jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    n_valid = jnp.maximum(valid.sum(), 1)
+    return -(token_ll * valid).sum() / n_valid

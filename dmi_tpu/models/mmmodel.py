@@ -1,0 +1,77 @@
+"""Frozen-LLM soft-prefix captioner glue.
+
+Semantics of the reference MM model wrappers (dmi/model/mmmodel.py): project
+the modality embedding to ONE soft token, prepend it to the text embeddings,
+extend the attention mask with 1 and the labels with -100, and run the
+frozen LM for loss; for generation, prepend the soft token to the embedded
+chat prefix and greedy-decode.
+
+The projector/hypernet/LoRA variants differ only in how the soft token is
+produced — that composition happens in the trainers; these functions take
+the soft tokens directly and are shared by all three model families.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from dmi_tpu.models import decode as dec
+from dmi_tpu.models import llama
+from dmi_tpu.models.llama import LlamaConfig
+
+
+def assemble_inputs(
+    cfg: LlamaConfig,
+    llm_params: dict,
+    soft_tokens: jax.Array,  # [B, lm_dim]
+    input_ids: jax.Array,  # [B, T]
+    attention_mask: jax.Array,  # [B, T]
+    labels: jax.Array,  # [B, T]
+):
+    """Prepend the soft token (reference: dmi/model/mmmodel.py:112-136)."""
+    B = soft_tokens.shape[0]
+    text_embeds = llama.embed_tokens(cfg, llm_params, input_ids)
+    inputs_embeds = jnp.concatenate(
+        [soft_tokens[:, None, :].astype(text_embeds.dtype), text_embeds], axis=1
+    )
+    attention_mask = jnp.concatenate(
+        [jnp.ones((B, 1), attention_mask.dtype), attention_mask], axis=1
+    )
+    labels = jnp.concatenate([jnp.full((B, 1), -100, labels.dtype), labels], axis=1)
+    return inputs_embeds, attention_mask, labels
+
+
+def caption_loss(
+    cfg: LlamaConfig,
+    llm_params: dict,
+    soft_tokens: jax.Array,
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    labels: jax.Array,
+) -> jax.Array:
+    """loss = LM(inputs_embeds = soft ⊕ text, labels = -100 ⊕ labels)."""
+    inputs_embeds, attention_mask, labels = assemble_inputs(
+        cfg, llm_params, soft_tokens, input_ids, attention_mask, labels
+    )
+    logits = llama.forward(cfg, llm_params, inputs_embeds, attention_mask)
+    return llama.causal_lm_loss(logits, labels)
+
+
+def caption_generate(
+    cfg: LlamaConfig,
+    llm_params: dict,
+    soft_tokens: jax.Array,
+    prefix_ids: Optional[jax.Array],  # [B, P] chat-template prompt, or None
+    max_new_tokens: int,
+    pad_token_id: int,
+) -> jax.Array:
+    """Greedy decode from soft token (+ optional chat prefix)
+    (reference: dmi/model/mmmodel.py:149-169)."""
+    embeds = soft_tokens[:, None, :]
+    if prefix_ids is not None:
+        prefix_embeds = llama.embed_tokens(cfg, llm_params, prefix_ids)
+        embeds = jnp.concatenate([embeds.astype(prefix_embeds.dtype), prefix_embeds], axis=1)
+    return dec.greedy_generate(cfg, llm_params, embeds, max_new_tokens, pad_token_id)
