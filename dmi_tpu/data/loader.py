@@ -314,7 +314,13 @@ class DatasetLoader:
     # ------------------------------------------------------------------
 
     def _split_by_name(self, name: str) -> Split:
-        return {"train": self.train, "validation": self.eval, "test": self.test}[name]
+        split = {"train": self.train, "validation": self.eval, "test": self.test}[name]
+        if split is None:
+            # pretrain/hypernet datasets carry no test pkl; fall back to
+            # validation (the reference crashes on this path — its
+            # build_eval_and_test_loaders assumes test_set exists)
+            return self.eval
+        return split
 
     def train_sampler(self) -> InfiniteSampler:
         return InfiniteSampler(

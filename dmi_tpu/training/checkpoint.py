@@ -1,0 +1,93 @@
+"""Pytree checkpointing with best-metric retention.
+
+Reference semantics (dmi/train.py:215-254): a single rolling "best"
+checkpoint per (model name, save type), replaced only when the tracked
+metric improves (higher-better for projector/fewshot CIDEr, lower-better
+for hypernet eval loss); step checkpoints are cleaned up.  Contents:
+{step_idx, <type>_state_dict, optimizer_state_dict, <metric_name>}.
+
+Arrays are stored as numpy inside a pickle — framework-neutral and exactly
+restorable into jax pytrees.
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+import pickle
+from glob import glob
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+def _to_numpy(tree):
+    return jax.tree.map(lambda x: np.asarray(jax.device_get(x)), tree)
+
+
+def save_pytree(path: str, obj: Dict[str, Any]) -> None:
+    os.makedirs(osp.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        pickle.dump(_to_numpy(obj), f)
+
+
+def load_pytree(path: str) -> Dict[str, Any]:
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+class BestCheckpointer:
+    def __init__(self, ckpt_dir: str, model_name: str, save_type: str, mode: str = "max"):
+        assert mode in ("max", "min")
+        self.ckpt_dir = ckpt_dir
+        self.model_name = model_name
+        self.save_type = save_type
+        self.mode = mode
+
+    @property
+    def best_path(self) -> str:
+        return osp.join(
+            self.ckpt_dir, f"{self.model_name}-checkpoint-{self.save_type}-best.pt"
+        )
+
+    def clear_step_checkpoints(self) -> None:
+        for f in glob(
+            osp.join(self.ckpt_dir, f"{self.model_name}-checkpoint-{self.save_type}-step*.pt")
+        ):
+            os.remove(f)
+
+    def save(
+        self,
+        step_idx: int,
+        metric: float,
+        metric_name: str,
+        state_dict,
+        optimizer_state=None,
+    ) -> bool:
+        """Save if metric improves; returns True when the best was replaced."""
+        old = None
+        if osp.exists(self.best_path):
+            old = load_pytree(self.best_path)[metric_name]
+        self.clear_step_checkpoints()
+        improved = (
+            old is None
+            or (self.mode == "max" and metric > old)
+            or (self.mode == "min" and metric < old)
+        )
+        if improved:
+            save_pytree(
+                self.best_path,
+                {
+                    "step_idx": step_idx,
+                    f"{self.save_type}_state_dict": state_dict,
+                    "optimizer_state_dict": optimizer_state,
+                    metric_name: metric,
+                },
+            )
+        return improved
+
+    def load_best(self) -> Optional[Dict[str, Any]]:
+        if not osp.exists(self.best_path):
+            return None
+        return load_pytree(self.best_path)

@@ -1,0 +1,106 @@
+"""LM/tokenizer builders (reference: dmi/utils/model_utils.py:8-20).
+
+Resolution order for the language model:
+  * "test:tiny[:<vocab>]" — a tiny random-config Llama + the offline
+    byte-BPE tokenizer fixture (no network; used for tests/smokes/bench
+    scaffolding in this zero-egress environment)
+  * anything else — HF transformers from the local cache
+    (local_files_only), converted into the stacked-layer JAX pytree
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dmi_tpu.chat_templates import LLMS_CHATTEMPLATES
+from dmi_tpu.models import llama
+
+log = logging.getLogger("dmi_tpu")
+
+
+def is_test_lm(name: str) -> bool:
+    return name.startswith("test:")
+
+
+def is_instruct_lm(name: str) -> bool:
+    """reference: is_instruct = name in LLMS_CHATTEMPLATES
+    (dmi/train_projector.py:188); test models run the instruct path."""
+    return name in LLMS_CHATTEMPLATES or is_test_lm(name)
+
+
+def build_tokenizer(lm_args):
+    name = lm_args.lm_name_or_path
+    if is_test_lm(name):
+        from dmi_tpu.data.tok_fixture import build_test_tokenizer
+
+        return build_test_tokenizer()
+    from transformers import AutoTokenizer
+
+    tokenizer = AutoTokenizer.from_pretrained(name)
+    tokenizer.pad_token = tokenizer.eos_token
+    if name in LLMS_CHATTEMPLATES:
+        tokenizer.chat_template = LLMS_CHATTEMPLATES[name]
+    return tokenizer
+
+
+def _hf_to_config(hf_cfg, dtype, tokenizer) -> llama.LlamaConfig:
+    rs = getattr(hf_cfg, "rope_scaling", None) or {}
+    eos = hf_cfg.eos_token_id
+    if eos is None:
+        eos = tokenizer.eos_token_id
+    eos = tuple(eos) if isinstance(eos, (list, tuple)) else (eos,)
+    return llama.LlamaConfig(
+        vocab_size=hf_cfg.vocab_size,
+        hidden_size=hf_cfg.hidden_size,
+        intermediate_size=hf_cfg.intermediate_size,
+        num_hidden_layers=hf_cfg.num_hidden_layers,
+        num_attention_heads=hf_cfg.num_attention_heads,
+        num_key_value_heads=hf_cfg.num_key_value_heads,
+        head_dim=getattr(hf_cfg, "head_dim", None)
+        or hf_cfg.hidden_size // hf_cfg.num_attention_heads,
+        rms_norm_eps=hf_cfg.rms_norm_eps,
+        rope_theta=hf_cfg.rope_theta,
+        rope_scaling_factor=rs.get("factor") if rs.get("rope_type") == "llama3" else None,
+        rope_low_freq_factor=rs.get("low_freq_factor", 1.0),
+        rope_high_freq_factor=rs.get("high_freq_factor", 4.0),
+        rope_original_max_position=rs.get("original_max_position_embeddings", 8192),
+        tie_word_embeddings=hf_cfg.tie_word_embeddings,
+        dtype=dtype,
+        eos_token_ids=eos,
+        bos_token_id=hf_cfg.bos_token_id,
+    )
+
+
+def build_lm(lm_args, tokenizer, seed: int = 0) -> Tuple[llama.LlamaConfig, dict]:
+    name = lm_args.lm_name_or_path
+    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "float16": jnp.bfloat16}[
+        lm_args.lm_dtype or "bfloat16"
+    ]
+    if is_test_lm(name):
+        parts = name.split(":")
+        vocab = int(parts[2]) if len(parts) > 2 else max(512, tokenizer.vocab_size + 8)
+        cfg = llama.tiny_config(
+            vocab_size=vocab,
+            hidden_size=64,
+            n_layers=2,
+            n_heads=4,
+            n_kv=2,
+            intermediate=128,
+            dtype=dtype,
+            eos=(tokenizer.eos_token_id,),
+        )
+        params = llama.init(jax.random.key(seed), cfg)
+        return cfg, params
+
+    import transformers
+
+    log.info("loading %s from local HF cache", name)
+    hf = transformers.AutoModelForCausalLM.from_pretrained(name)
+    cfg = _hf_to_config(hf.config, dtype, tokenizer)
+    params = llama.from_hf_state_dict(hf.state_dict(), cfg)
+    del hf
+    return cfg, params

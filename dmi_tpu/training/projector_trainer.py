@@ -1,0 +1,307 @@
+"""Stage-1 projector trainer (+ from-scratch / fine-tuned baselines).
+
+Functional port of ProjectorTrainer semantics (dmi/train_projector.py:24-176)
+around a single jitted micro-step:
+  * weighted multi-loader sampling by loader length (dmi/train.py:76)
+  * gradient accumulation with loss/accum scaling, global-norm clip,
+    step-indexed LR (reference ordering: update uses the LR set at the
+    previous update's step index)
+  * periodic eval loss, generate -> CIDEr/BLEU, best-checkpoint by
+    coco_cider (fallback bleu) (dmi/train_projector.py:85-93)
+  * final: reload best, test generate, results JSON
+    (dmi/train_projector.py:95-98)
+  * finetune_from_checkpoint flips TRAINER_TYPE to 'ft_projector' and
+    prunes layer-0 input features to proj_prune
+    (dmi/train_projector.py:36-38,166-176)
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Any, List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dmi_tpu.config import TrainArgs
+from dmi_tpu.data.collator import pad_batch_dim
+from dmi_tpu.evals.metrics import calc_metrics
+from dmi_tpu.models import mmmodel
+from dmi_tpu.models import projector as proj
+from dmi_tpu.models.llama import LlamaConfig
+from dmi_tpu.training.checkpoint import BestCheckpointer, load_pytree
+from dmi_tpu.training.optim import make_lr_fn, make_optimizer, set_lr
+from dmi_tpu.training.results import save_run_results
+from dmi_tpu.training.trainer import StepConditions, pick_loader, strip_to_assistant
+
+log = logging.getLogger("dmi_tpu")
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    accum: Any
+    sched_step: jnp.ndarray  # last micro-step whose LR was installed
+
+
+class ProjectorTrainer:
+    TRAINER_TYPE = "projector"
+    SAVE_TYPE = "projector"
+
+    def __init__(
+        self,
+        name: str,
+        llm_cfg: LlamaConfig,
+        llm_params: dict,
+        proj_spec: proj.ProjectorSpec,
+        proj_params: dict,
+        loaders: List,  # DatasetLoader per encoder/dataset pair
+        emb_mgrs: List,
+        tokenizer,
+        train_args: TrainArgs,
+        data_root: str = "data",
+    ):
+        self.name = name
+        self.llm_cfg = llm_cfg
+        self.llm_params = llm_params
+        self.proj_spec = proj_spec
+        self.loaders = loaders
+        self.emb_mgrs = emb_mgrs
+        self.tokenizer = tokenizer
+        self.train_args = train_args
+        self.data_root = data_root
+        self.cond = StepConditions(train_args)
+        self.ckpt = BestCheckpointer(
+            train_args.checkpoint_dir, name, self.SAVE_TYPE, mode="max"
+        )
+
+        if train_args.finetune_from_checkpoint:
+            self.TRAINER_TYPE = "ft_projector"
+            proj_params = self._load_pruned(train_args.finetune_from_checkpoint, proj_params)
+
+        self.opt = make_optimizer(train_args)
+        total = sum(len(ld.train_sampler()) for ld in loaders)
+        self.total_steps = total
+        self.lr_fn = make_lr_fn(train_args, total)
+        self.state = TrainState(
+            params=proj_params,
+            opt_state=self.opt.init(proj_params),
+            accum=jax.tree.map(jnp.zeros_like, proj_params),
+            sched_step=jnp.asarray(0, jnp.int32),
+        )
+        self._base_key = jax.random.key(train_args.seed)
+        self._build_steps()
+
+    # ------------------------------------------------------------------
+
+    def _load_pruned(self, path: str, init_params: dict) -> dict:
+        """Load a pretrained projector, pruning layer-0 input features when
+        the checkpoint is wider than this run's mm_dim
+        (dmi/train_projector.py:166-176)."""
+        ckpt = load_pytree(path)
+        params = ckpt[f"{self.SAVE_TYPE}_state_dict"]
+        keep = self.proj_spec.mm_dim
+        if params["layers"][0]["w"].shape[0] > keep:
+            params = proj.prune(params, keep)
+        return jax.tree.map(jnp.asarray, params)
+
+    def _soft_train(self, params, embs, rng):
+        """Trainable-forward producing the soft token (overridden by the
+        LoRA baseline trainer)."""
+        return proj.apply(self.proj_spec, params, embs, train=True, rng=rng)
+
+    def _soft_eval(self, params, embs):
+        return proj.apply(self.proj_spec, params, embs, train=False)
+
+    def _build_steps(self):
+        cfg = self.llm_cfg
+        accum_steps = self.train_args.gradient_accumulation_steps
+
+        def loss_fn(params, llm_params, embs, ids, mask, labels, rng):
+            soft = self._soft_train(params, embs, rng)
+            return mmmodel.caption_loss(cfg, llm_params, soft, ids, mask, labels)
+
+        @partial(jax.jit, static_argnames=("do_update",))
+        def micro_step(state, llm_params, embs, ids, mask, labels, rng, step, do_update):
+            loss, grads = jax.value_and_grad(loss_fn)(
+                state.params, llm_params, embs, ids, mask, labels, rng
+            )
+            loss = loss / accum_steps
+            grads = jax.tree.map(lambda g: g / accum_steps, grads)
+            accum = jax.tree.map(jnp.add, state.accum, grads)
+            if not do_update:
+                return state._replace(accum=accum), loss
+            lr = self.lr_fn(state.sched_step)
+            opt_state = set_lr(state.opt_state, lr)
+            updates, opt_state = self.opt.update(accum, opt_state, state.params)
+            params = jax.tree.map(jnp.add, state.params, updates)
+            # optax.apply_updates via tree add (updates already negated)
+            accum = jax.tree.map(jnp.zeros_like, accum)
+            return (
+                TrainState(params, opt_state, accum, jnp.asarray(step, jnp.int32)),
+                loss,
+            )
+
+        @jax.jit
+        def eval_loss(params, llm_params, embs, ids, mask, labels):
+            soft = self._soft_eval(params, embs)
+            return mmmodel.caption_loss(cfg, llm_params, soft, ids, mask, labels)
+
+        self._micro_step = micro_step
+        self._eval_loss = eval_loss
+
+    # ------------------------------------------------------------------
+
+    def _device_batch(self, batch):
+        return (
+            jnp.asarray(batch["input_ids"]),
+            jnp.asarray(batch["attention_mask"]),
+            jnp.asarray(batch["labels"]),
+        )
+
+    def train_step(self, step: int, total_steps: int):
+        weights = [len(ld.train_sampler()) for ld in self.loaders]
+        idx = pick_loader(self.train_args.seed, step, len(self.loaders), weights)
+        loader = self.loaders[idx]
+        batch = loader.train_batch(step)
+        embs = self.emb_mgrs[idx].get_embeddings(batch["embs"])
+        ids, mask, labels = self._device_batch(batch)
+        rng = jax.random.fold_in(self._base_key, step)
+        do_update = self.cond.grad_acc(step, total_steps)
+        self.state, loss = self._micro_step(
+            self.state, self.llm_params, embs, ids, mask, labels, rng, step, do_update
+        )
+        return float(loss), do_update
+
+    def evaluate(self) -> float:
+        """Mean of per-batch losses across all eval loaders
+        (dmi/train_projector.py:100-129)."""
+        losses = []
+        for emb_idx, loader in enumerate(self.loaders):
+            for batch in loader.eval_batches("validation"):
+                real = batch["input_ids"].shape[0]
+                batch_p = pad_batch_dim(
+                    {k: v for k, v in batch.items() if k != "ids"},
+                    self.train_args.eval_batch_size,
+                )
+                embs_np = np.zeros(
+                    (self.train_args.eval_batch_size, batch["embs"].shape[1]), np.float32
+                )
+                embs_np[:real] = batch["embs"]
+                embs = self.emb_mgrs[emb_idx].get_embeddings(embs_np)
+                ids, mask, labels = self._device_batch(batch_p)
+                losses.append(float(self._eval_loss(self.state.params, self.llm_params, embs, ids, mask, labels)))
+        return float(np.mean(losses))
+
+    # ------------------------------------------------------------------
+
+    def _prefix_ids(self, loader, batch_size: int) -> jnp.ndarray:
+        prefix = loader.PREFIX if loader.PREFIX is not None else loader.prefixes[0]
+        ids = self.tokenizer.apply_chat_template(
+            [{"role": "user", "content": prefix}],
+            tokenize=True,
+            add_generation_prompt=True,
+        )
+        arr = np.asarray(ids, np.int32)[None, :]
+        return jnp.asarray(np.tile(arr, (batch_size, 1)))
+
+    def _generate_soft(self, embs):
+        return self._soft_eval(self.state.params, embs)
+
+    def generate(self, mode: str = "eval"):
+        """Decode + metrics for every loader (dmi/train_projector.py:131-164)."""
+        assert mode in ("eval", "test")
+        split = "validation" if mode == "eval" else "test"
+        all_metrics, all_gts, all_preds, all_ids = {}, {}, {}, {}
+        bsz = self.train_args.eval_batch_size
+        for emb_idx, loader in enumerate(self.loaders):
+            mgr_name = self.emb_mgrs[emb_idx].short_name
+            gts, preds, ids = [], [], []
+            prefix = self._prefix_ids(loader, bsz)
+            for batch in loader.eval_batches(split):
+                real = batch["input_ids"].shape[0]
+                gt_texts = self.tokenizer.batch_decode(
+                    batch["input_ids"], skip_special_tokens=True
+                )
+                gts.extend(strip_to_assistant(gt_texts))
+                ids.extend(batch["ids"])
+                embs_np = np.zeros((bsz, batch["embs"].shape[1]), np.float32)
+                embs_np[:real] = batch["embs"]
+                embs = self.emb_mgrs[emb_idx].get_embeddings(embs_np)
+                soft = self._generate_soft(embs)
+                tokens = mmmodel.caption_generate(
+                    self.llm_cfg,
+                    self.llm_params,
+                    soft,
+                    prefix,
+                    loader.max_new_tokens,
+                    self.tokenizer.pad_token_id,
+                )
+                texts = self.tokenizer.batch_decode(
+                    np.asarray(tokens)[:real], skip_special_tokens=True
+                )
+                preds.extend(texts)
+            all_gts[mgr_name] = gts
+            all_preds[mgr_name] = preds
+            all_ids[mgr_name] = ids
+            if loader.dataset_name in ("chebi20", "sydney", "candels"):
+                all_metrics[mgr_name] = calc_metrics(
+                    preds, ids, loader.dataset_name, self.name, mode, self.data_root
+                )
+            else:
+                # pretrain datasets have no GT files; score against the
+                # decoded references (the reference code crashes here —
+                # eval_utils.calc_metrics has no branch for them)
+                from dmi_tpu.evals.captions import caption_evaluate
+
+                all_metrics[mgr_name] = caption_evaluate(preds, gts)
+        return all_metrics, all_gts, all_preds, all_ids
+
+    # ------------------------------------------------------------------
+
+    def comp_metric_value(self, all_metrics) -> tuple:
+        metric_names = list(next(iter(all_metrics.values())).keys())
+        comp = "coco_cider" if "coco_cider" in metric_names else "bleu"
+        val = sum(m[comp] for m in all_metrics.values()) / len(all_metrics)
+        return comp, val
+
+    def train(self, start_step: int = 0):
+        total = self.total_steps
+        accumulated = 0.0
+        cur_metric, comp_metric = float("-inf"), "coco_cider"
+        for step in range(start_step, total):
+            if step % self.train_args.gradient_accumulation_steps == 0:
+                accumulated = 0.0
+            loss, did_update = self.train_step(step, total)
+            accumulated += loss
+            if did_update:
+                if (step + 1) % self.train_args.logging_steps == 0 and step > 0:
+                    log.info("Step: %d/%d Train Loss: %.3f", step, total, accumulated)
+                if self.cond.evaluate(step, total):
+                    ev = self.evaluate()
+                    log.info("Step: %d Eval Loss: %.3f", step, ev)
+                if self.cond.generate(step, total):
+                    all_metrics, _, _, _ = self.generate("eval")
+                    comp_metric, cur_metric = self.comp_metric_value(all_metrics)
+                    log.info("Step: %d Metrics: %s", step, all_metrics)
+                if self.cond.save(step, total):
+                    self.ckpt.save(step, cur_metric, comp_metric, self.state.params)
+
+        best = self.ckpt.load_best()
+        if best is not None:
+            self.state = self.state._replace(
+                params=jax.tree.map(jnp.asarray, best[f"{self.SAVE_TYPE}_state_dict"])
+            )
+        test_metrics, test_gts, test_preds, test_ids = self.generate("test")
+        save_run_results(
+            self.train_args.output_root,
+            self.TRAINER_TYPE,
+            self.name,
+            test_metrics,
+            test_gts,
+            test_preds,
+            test_ids,
+        )
+        return test_metrics
