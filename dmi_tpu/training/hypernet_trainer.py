@@ -1,0 +1,550 @@
+"""Hypernetwork trainer: stage-2 training + stage-3 few-shot integration.
+
+Functional port of HypernetTrainer (dmi/train_hypernet.py:26-462):
+
+Train mode:
+  * uniform random loader pick per step (:125)
+  * each step draws a main batch AND a conditioning subset batch (:130-136)
+  * _process_embeddings (:85-108), replicated exactly:
+      - when augment_emb_space and can_rotate, a fresh Haar-orthogonal R
+        rotates both mm and subset embeddings — ON DEVICE here (QR of
+        Gaussian) instead of host scipy (:56-57); NOTE the reference only
+        applies R inside the feed_txt_embs branch, so augmentation is
+        conditioned on feed_txt_embs — preserved
+      - pruned subsets are zero-padded back to finetune_mm_dim (:99-100)
+      - text embeddings interleave with subset rows; prefix embedding is
+        prepended (:102-106)
+  * grad accumulation (config v4 uses 40), clip, step-indexed LR
+  * best checkpoint by eval loss, lower wins (:437-462)
+  * the final-step generate of the base condition is dropped (:298-307)
+
+Fewshot mode (:168-295):
+  * optionally pre-generate a concrete projector by averaging adapters
+    from 1 or len(train)//subset_bsz subset draws, baked via combine_lora
+  * fresh AdamW (fewshot lr/wd) over the generated projector params (or
+    the hypernet when finetune_generated_projector=false)
+  * best-by-CIDEr model selection, final test generate + results JSON
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Any, List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dmi_tpu.config import FewshotArgs, TrainArgs
+from dmi_tpu.data.collator import pad_batch_dim
+from dmi_tpu.evals.metrics import calc_metrics
+from dmi_tpu.models import hypernet as hn
+from dmi_tpu.models import mmmodel
+from dmi_tpu.models import projector as proj
+from dmi_tpu.models.llama import LlamaConfig
+from dmi_tpu.ops import interleave_rows, pad_features, random_orthogonal
+from dmi_tpu.training.checkpoint import BestCheckpointer, load_pytree, save_pytree
+from dmi_tpu.training.optim import make_lr_fn, make_optimizer, set_lr
+from dmi_tpu.training.results import save_run_results
+from dmi_tpu.training.trainer import StepConditions, pick_loader, strip_to_assistant
+
+log = logging.getLogger("dmi_tpu")
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    accum: Any
+    sched_step: jnp.ndarray
+
+
+def process_embeddings(
+    mm_embs,
+    subset,
+    *,
+    feed_txt_embs: bool,
+    augment: bool,
+    rotate_key: Optional[jax.Array],
+    pad_to: Optional[int],
+):
+    """dmi/train_hypernet.py:85-108, jittable."""
+    if feed_txt_embs:
+        subm, txt, pre = subset
+        if augment and rotate_key is not None:
+            R = random_orthogonal(rotate_key, mm_embs.shape[1])
+            mm_embs = mm_embs @ R
+            subm = subm @ R
+        if pad_to is not None and subm.shape[1] < pad_to:
+            subm = pad_features(subm, pad_to)
+        z = jnp.concatenate([pre, interleave_rows(subm, txt)], axis=0)
+        return mm_embs, z
+    # no-text path: the reference computes R but never applies it (:88-108)
+    subm = subset
+    if pad_to is not None and subm.shape[1] < pad_to:
+        subm = pad_features(subm, pad_to)
+    return mm_embs, subm
+
+
+class HypernetTrainer:
+    TRAINER_TYPE = "hypernet"
+    SAVE_TYPE = "hypernet"
+
+    def __init__(
+        self,
+        name: str,
+        llm_cfg: LlamaConfig,
+        llm_params: dict,
+        proj_spec: proj.ProjectorSpec,
+        frozen_proj_params: dict,
+        hn_spec: hn.HypnetSpec,
+        hn_params: dict,
+        loaders: List,
+        emb_mgrs: List,
+        fewshot_loaders: List,
+        fewshot_emb_mgrs: List,
+        tokenizer,
+        train_args: TrainArgs,
+        fewshot_args: FewshotArgs,
+        data_root: str = "data",
+    ):
+        self.name = name
+        self.llm_cfg = llm_cfg
+        self.llm_params = llm_params
+        self.proj_spec = proj_spec
+        self.frozen_proj = frozen_proj_params
+        self.hn_spec = hn_spec
+        self.loaders = loaders or []
+        self.emb_mgrs = emb_mgrs or []
+        self.fewshot_loaders = fewshot_loaders or []
+        self.fewshot_emb_mgrs = fewshot_emb_mgrs or []
+        self.tokenizer = tokenizer
+        self.train_args = train_args
+        self.fewshot_args = fewshot_args
+        self.data_root = data_root
+        self.cond = StepConditions(train_args)
+        self.ckpt = BestCheckpointer(
+            train_args.checkpoint_dir, name, self.SAVE_TYPE, mode="min"
+        )
+        self.hn_params = hn_params
+        self.generated_projector: Optional[dict] = None
+        self._base_key = jax.random.key(train_args.seed)
+        # the interface dim z rows are padded to (hypnet input width)
+        self.pad_to = (
+            train_args.finetune_mm_dim
+            if train_args.finetune_mm_dim is not None
+            and proj_spec.mm_dim < train_args.finetune_mm_dim
+            else None
+        )
+        self._build_steps()
+
+    # ------------------------------------------------------------------
+    # jitted steps
+    # ------------------------------------------------------------------
+
+    def _soft_from_hypernet(self, params, mm_embs, z, rng, train):
+        a, b, d = hn.apply(self.hn_spec, params, z, train=train, rng=rng)
+        return proj.lora_apply(self.proj_spec, self.frozen_proj, mm_embs, a, b, d)
+
+    def _build_steps(self):
+        cfg = self.llm_cfg
+        args = self.train_args
+        accum_steps = args.gradient_accumulation_steps
+        feed = args.feed_txt_embs
+        augment = args.augment_emb_space
+
+        self.opt = make_optimizer(args)
+        if self.loaders:
+            total = sum(ld.total_train_steps() for ld in self.loaders)
+            self.total_steps = total
+            self.lr_fn = make_lr_fn(args, total)
+        else:
+            self.total_steps = 0
+            self.lr_fn = make_lr_fn(args, 1)
+        self.state = TrainState(
+            params=self.hn_params,
+            opt_state=self.opt.init(self.hn_params),
+            accum=jax.tree.map(jnp.zeros_like, self.hn_params),
+            sched_step=jnp.asarray(0, jnp.int32),
+        )
+
+        def loss_fn(params, llm_params, mm, subset, ids, mask, labels, rot_key, hn_rng, can_rotate):
+            mm2, z = process_embeddings(
+                mm, subset, feed_txt_embs=feed,
+                augment=augment and can_rotate,
+                rotate_key=rot_key, pad_to=self.pad_to,
+            )
+            soft = self._soft_from_hypernet(params, mm2, z, hn_rng, train=True)
+            return mmmodel.caption_loss(cfg, llm_params, soft, ids, mask, labels)
+
+        @partial(jax.jit, static_argnames=("do_update", "can_rotate"))
+        def micro_step(state, llm_params, mm, subset, ids, mask, labels, rot_key,
+                       hn_rng, step, do_update, can_rotate=True):
+            loss, grads = jax.value_and_grad(loss_fn)(
+                state.params, llm_params, mm, subset, ids, mask, labels,
+                rot_key, hn_rng, can_rotate,
+            )
+            loss = loss / accum_steps
+            grads = jax.tree.map(lambda g: g / accum_steps, grads)
+            accum = jax.tree.map(jnp.add, state.accum, grads)
+            if not do_update:
+                return state._replace(accum=accum), loss
+            lr = self.lr_fn(state.sched_step)
+            opt_state = set_lr(state.opt_state, lr)
+            updates, opt_state = self.opt.update(accum, opt_state, state.params)
+            params = jax.tree.map(jnp.add, state.params, updates)
+            accum = jax.tree.map(jnp.zeros_like, accum)
+            return TrainState(params, opt_state, accum, jnp.asarray(step, jnp.int32)), loss
+
+        @jax.jit
+        def eval_loss(params, llm_params, mm, subset, ids, mask, labels):
+            mm2, z = process_embeddings(
+                mm, subset, feed_txt_embs=feed, augment=False,
+                rotate_key=None, pad_to=self.pad_to,
+            )
+            soft = self._soft_from_hypernet(params, mm2, z, None, train=False)
+            return mmmodel.caption_loss(cfg, llm_params, soft, ids, mask, labels)
+
+        @jax.jit
+        def soft_tokens_eval(params, mm, subset):
+            mm2, z = process_embeddings(
+                mm, subset, feed_txt_embs=feed, augment=False,
+                rotate_key=None, pad_to=self.pad_to,
+            )
+            return self._soft_from_hypernet(params, mm2, z, None, train=False)
+
+        self._micro_step = micro_step
+        self._eval_loss = eval_loss
+        self._soft_tokens_eval = soft_tokens_eval
+
+    # ------------------------------------------------------------------
+    # helpers
+    # ------------------------------------------------------------------
+
+    def _device_batch(self, batch):
+        return (
+            jnp.asarray(batch["input_ids"]),
+            jnp.asarray(batch["attention_mask"]),
+            jnp.asarray(batch["labels"]),
+        )
+
+    def load_checkpoint(self, path: str):
+        """Resume hypernet (dmi/train_hypernet.py:417-427); pruning of the
+        frozen projector happens at construction, not here."""
+        ckpt = load_pytree(path)
+        self.hn_params = jax.tree.map(jnp.asarray, ckpt[f"{self.SAVE_TYPE}_state_dict"])
+        self.state = self.state._replace(params=self.hn_params)
+        return dict(step_idx=ckpt["step_idx"])
+
+    # ------------------------------------------------------------------
+    # stage-2 training
+    # ------------------------------------------------------------------
+
+    def train(self, start_step: int = 0):
+        total = self.total_steps
+        accumulated = 0.0
+        cur_eval_loss = float("inf")
+        for step in range(start_step, total):
+            if step % self.train_args.gradient_accumulation_steps == 0:
+                accumulated = 0.0
+            idx = pick_loader(self.train_args.seed, step, len(self.loaders))
+            loader = self.loaders[idx]
+            mgr = self.emb_mgrs[idx]
+            batch = loader.train_batch(step)
+            subset = mgr.get_embeddings(loader.subset_batch(step, "train"))
+            mm = mgr.get_embeddings(batch["embs"])
+            ids, mask, labels = self._device_batch(batch)
+            rot_key = jax.random.fold_in(self._base_key, 2 * step)
+            hn_rng = jax.random.fold_in(self._base_key, 2 * step + 1)
+            do_update = self.cond.grad_acc(step, total)
+            self.state, loss = self._micro_step(
+                self.state, self.llm_params, mm, subset, ids, mask, labels,
+                rot_key, hn_rng, step, do_update, can_rotate=True,
+            )
+            accumulated += float(loss)
+            if do_update:
+                if (step + 1) % self.train_args.logging_steps == 0 and step > 0:
+                    log.info("Step: %d/%d Train Loss: %.3f", step, total, accumulated)
+                if self.cond.evaluate(step, total):
+                    cur_eval_loss = self.evaluate()
+                    log.info("Step: %d Eval Loss: %.3f", step, cur_eval_loss)
+                if self.cond.generate(step, total, include_final=False):
+                    all_metrics, _, _, _ = self.generate(mode="eval")
+                    log.info("Step: %d Metrics: %s", step, all_metrics)
+                if self.cond.save(step, total):
+                    self.ckpt.save(step, cur_eval_loss, "loss", self.state.params)
+        return cur_eval_loss
+
+    def evaluate(self, fewshot_idx: Optional[int] = None) -> float:
+        """Per-batch mean loss (dmi/train_hypernet.py:310-352)."""
+        if fewshot_idx is None:
+            pairs = list(zip(self.loaders, self.emb_mgrs))
+        else:
+            pairs = [(self.fewshot_loaders[fewshot_idx], self.fewshot_emb_mgrs[fewshot_idx])]
+        losses = []
+        for loader, mgr in pairs:
+            for bi, batch in enumerate(loader.eval_batches("validation")):
+                subset = mgr.get_embeddings(loader.subset_batch(bi, "validation"))
+                real = batch["input_ids"].shape[0]
+                batch_p = pad_batch_dim(
+                    {k: v for k, v in batch.items() if k != "ids"},
+                    self.train_args.eval_batch_size,
+                )
+                embs_np = np.zeros(
+                    (self.train_args.eval_batch_size, batch["embs"].shape[1]), np.float32
+                )
+                embs_np[:real] = batch["embs"]
+                mm = mgr.get_embeddings(embs_np)
+                ids, mask, labels = self._device_batch(batch_p)
+                losses.append(
+                    float(self._eval_loss(self.state.params, self.llm_params, mm, subset, ids, mask, labels))
+                )
+        return float(np.mean(losses))
+
+    # ------------------------------------------------------------------
+    # generate (shared by train eval + fewshot)
+    # ------------------------------------------------------------------
+
+    def _prefix_ids(self, loader, batch_size):
+        prefix = loader.PREFIX if loader.PREFIX is not None else loader.prefixes[0]
+        ids = self.tokenizer.apply_chat_template(
+            [{"role": "user", "content": prefix}],
+            tokenize=True, add_generation_prompt=True,
+        )
+        arr = np.asarray(ids, np.int32)[None, :]
+        return jnp.asarray(np.tile(arr, (batch_size, 1)))
+
+    def _soft_for_generate(self, mm, subset):
+        if self.generated_projector is not None:
+            return proj.apply(self.proj_spec_generated, self.generated_projector, mm)
+        return self._soft_tokens_eval(self.state.params, mm, subset)
+
+    def generate(self, mode: str = "eval", fewshot_idx: Optional[int] = None):
+        assert mode in ("eval", "test")
+        split = "validation" if mode == "eval" else "test"
+        if fewshot_idx is None:
+            triples = [
+                (ld, mgr) for ld, mgr in zip(self.loaders, self.emb_mgrs)
+            ]
+        else:
+            triples = [
+                (self.fewshot_loaders[fewshot_idx], self.fewshot_emb_mgrs[fewshot_idx])
+            ]
+        all_metrics, all_gts, all_preds, all_ids = {}, {}, {}, {}
+        bsz = self.train_args.eval_batch_size
+        for loader, mgr in triples:
+            mgr_name = mgr.short_name
+            gts, preds, ids = [], [], []
+            prefix = self._prefix_ids(loader, bsz)
+            for bi, batch in enumerate(loader.eval_batches(split)):
+                real = batch["input_ids"].shape[0]
+                gt_texts = self.tokenizer.batch_decode(
+                    batch["input_ids"], skip_special_tokens=True
+                )
+                gts.extend(strip_to_assistant(gt_texts))
+                ids.extend(batch["ids"])
+                subset = mgr.get_embeddings(loader.subset_batch(bi, split))
+                embs_np = np.zeros((bsz, batch["embs"].shape[1]), np.float32)
+                embs_np[:real] = batch["embs"]
+                mm = mgr.get_embeddings(embs_np)
+                soft = self._soft_for_generate(mm, subset)
+                tokens = mmmodel.caption_generate(
+                    self.llm_cfg, self.llm_params, soft, prefix,
+                    loader.max_new_tokens, self.tokenizer.pad_token_id,
+                )
+                preds.extend(
+                    self.tokenizer.batch_decode(
+                        np.asarray(tokens)[:real], skip_special_tokens=True
+                    )
+                )
+            all_gts[mgr_name] = gts
+            all_preds[mgr_name] = preds
+            all_ids[mgr_name] = ids
+            if loader.dataset_name in ("chebi20", "sydney", "candels"):
+                all_metrics[mgr_name] = calc_metrics(
+                    preds, ids, loader.dataset_name, self.name, mode, self.data_root
+                )
+            else:
+                from dmi_tpu.evals.captions import caption_evaluate
+
+                all_metrics[mgr_name] = caption_evaluate(preds, gts)
+        return all_metrics, all_gts, all_preds, all_ids
+
+    # ------------------------------------------------------------------
+    # stage-3: fewshot
+    # ------------------------------------------------------------------
+
+    @property
+    def proj_spec_generated(self) -> proj.ProjectorSpec:
+        return self.proj_spec
+
+    def fewshot_generate_adapters(self, emb_idx: int):
+        """dmi/train_hypernet.py:168-200."""
+        if not self.fewshot_args.finetune_generated_projector:
+            return
+        loader = self.fewshot_loaders[emb_idx]
+        mgr = self.fewshot_emb_mgrs[emb_idx]
+        if self.fewshot_args.fewshot_n_adapters == "one":
+            n_subsets = 1
+        elif self.fewshot_args.fewshot_n_adapters == "multiple":
+            n_subsets = max(
+                1, len(loader.train) // self.train_args.subset_batch_size
+            )
+        else:
+            raise ValueError(self.fewshot_args.fewshot_n_adapters)
+        log.info("Generating %d adapters for fewshot training", n_subsets)
+        draws = []
+        for s in range(n_subsets):
+            subset = mgr.get_embeddings(loader.subset_batch(s, "train"))
+            _, z = process_embeddings(
+                jnp.zeros((1, self.proj_spec.mm_dim)), subset,
+                feed_txt_embs=self.train_args.feed_txt_embs,
+                augment=False, rotate_key=None, pad_to=self.pad_to,
+            )
+            draws.append(hn.apply(self.hn_spec, self.state.params, z, train=False))
+        avg = hn.average_adapters(draws)
+        self.generated_projector = proj.combine_lora(self.proj_spec, self.frozen_proj, *avg)
+
+    def fewshot_generate(self, train_step_idx: Optional[int] = None):
+        """dmi/train_hypernet.py:202-295."""
+        args, fargs = self.train_args, self.fewshot_args
+        all_test = {"metrics": {}, "gts": {}, "preds": {}, "ids": {}}
+        for emb_idx, (loader, mgr) in enumerate(
+            zip(self.fewshot_loaders, self.fewshot_emb_mgrs)
+        ):
+            mgr_name = mgr.short_name
+            total = loader.total_train_steps()
+            self.fewshot_generate_adapters(emb_idx)
+
+            # fresh AdamW over the trainable set (:220-224)
+            fs_args = TrainArgs(
+                output_dir=args.output_dir,
+                learning_rate=fargs.fewshot_learning_rate,
+                weight_decay=fargs.fewshot_weight_decay,
+                max_grad_norm=args.max_grad_norm,
+                adam_beta1=0.9, adam_beta2=0.999, adam_epsilon=1e-8,
+            )
+            trainable = (
+                self.generated_projector
+                if self.generated_projector is not None
+                else self.hn_params
+            )
+            fs_opt = make_optimizer(fs_args)
+            fs_state = TrainState(
+                params=trainable,
+                opt_state=fs_opt.init(trainable),
+                accum=jax.tree.map(jnp.zeros_like, trainable),
+                sched_step=jnp.asarray(0, jnp.int32),
+            )
+            micro = self._build_fewshot_step(fs_opt, fargs.fewshot_learning_rate)
+
+            fs_ckpt = BestCheckpointer(
+                args.checkpoint_dir, self.name, "fewshot", mode="max"
+            )
+            best_metric = float("-inf")
+            comp_metric = "coco_cider"
+            accumulated = 0.0
+            for step in range(total):
+                if step % args.gradient_accumulation_steps == 0:
+                    accumulated = 0.0
+                batch = loader.train_batch(step)
+                subset = mgr.get_embeddings(loader.subset_batch(step, "train"))
+                mm = mgr.get_embeddings(batch["embs"])
+                ids, mask, labels = self._device_batch(batch)
+                rng = jax.random.fold_in(self._base_key, 3 * step + 2)
+                do_update = self.cond.grad_acc(step, total)
+                fs_state, loss = micro(
+                    fs_state, self.llm_params, mm, subset, ids, mask, labels,
+                    rng, do_update,
+                )
+                accumulated += float(loss)
+                if self.generated_projector is not None:
+                    self.generated_projector = fs_state.params
+                else:
+                    self.state = self.state._replace(params=fs_state.params)
+                if do_update:
+                    if (step + 1) % args.logging_steps == 0 and step > 0:
+                        log.info("Fewshot step %d/%d loss %.3f", step, total, accumulated)
+                    if self.cond.evaluate(step, total):
+                        all_metrics, _, _, _ = self.generate("eval", fewshot_idx=emb_idx)
+                        comp_metric, cur = self._comp_metric(all_metrics)
+                        if best_metric < cur:
+                            log.info("Best %s: %s < %s", comp_metric, best_metric, cur)
+                            best_metric = cur
+                            save_pytree(
+                                fs_ckpt.best_path,
+                                {
+                                    "step_idx": step,
+                                    "hypernet_state_dict": self.state.params,
+                                    "generated_projector": self.generated_projector,
+                                    comp_metric: cur,
+                                },
+                            )
+
+            best = fs_ckpt.load_best()
+            if best is not None:
+                self.state = self.state._replace(
+                    params=jax.tree.map(jnp.asarray, best["hypernet_state_dict"])
+                )
+                if best.get("generated_projector") is not None:
+                    self.generated_projector = jax.tree.map(
+                        jnp.asarray, best["generated_projector"]
+                    )
+            tm, tg, tp, ti = self.generate("test", fewshot_idx=emb_idx)
+            all_test["metrics"][mgr_name] = tm[mgr_name]
+            all_test["gts"][mgr_name] = tg[mgr_name]
+            all_test["preds"][mgr_name] = tp[mgr_name]
+            all_test["ids"][mgr_name] = ti[mgr_name]
+            self.generated_projector = None  # (:294-295)
+
+        save_run_results(
+            args.output_root, self.TRAINER_TYPE, self.name,
+            all_test["metrics"], all_test["gts"], all_test["preds"], all_test["ids"],
+        )
+        return all_test["metrics"]
+
+    def _comp_metric(self, all_metrics):
+        names = list(next(iter(all_metrics.values())).keys())
+        comp = "coco_cider" if "coco_cider" in names else "bleu"
+        val = sum(m[comp] for m in all_metrics.values()) / len(all_metrics)
+        return comp, val
+
+    def _build_fewshot_step(self, fs_opt, lr):
+        cfg = self.llm_cfg
+        args = self.train_args
+        accum_steps = args.gradient_accumulation_steps
+        finetune_generated = self.generated_projector is not None
+
+        if finetune_generated:
+
+            def loss_fn(params, llm_params, mm, subset, ids, mask, labels, rng):
+                soft = proj.apply(self.proj_spec, params, mm, train=True, rng=rng)
+                return mmmodel.caption_loss(cfg, llm_params, soft, ids, mask, labels)
+
+        else:
+
+            def loss_fn(params, llm_params, mm, subset, ids, mask, labels, rng):
+                mm2, z = process_embeddings(
+                    mm, subset, feed_txt_embs=args.feed_txt_embs,
+                    augment=False, rotate_key=None, pad_to=self.pad_to,
+                )
+                soft = self._soft_from_hypernet(params, mm2, z, rng, train=True)
+                return mmmodel.caption_loss(cfg, llm_params, soft, ids, mask, labels)
+
+        @partial(jax.jit, static_argnames=("do_update",))
+        def micro(state, llm_params, mm, subset, ids, mask, labels, rng, do_update):
+            loss, grads = jax.value_and_grad(loss_fn)(
+                state.params, llm_params, mm, subset, ids, mask, labels, rng
+            )
+            loss = loss / accum_steps
+            grads = jax.tree.map(lambda g: g / accum_steps, grads)
+            accum = jax.tree.map(jnp.add, state.accum, grads)
+            if not do_update:
+                return state._replace(accum=accum), loss
+            opt_state = set_lr(state.opt_state, jnp.asarray(lr, jnp.float32))
+            updates, opt_state = fs_opt.update(accum, opt_state, state.params)
+            params = jax.tree.map(jnp.add, state.params, updates)
+            accum = jax.tree.map(jnp.zeros_like, accum)
+            return TrainState(params, opt_state, accum, state.sched_step), loss
+
+        return micro
