@@ -1,0 +1,105 @@
+"""Decode-throughput benchmark: captions/sec/chip on the flagship captioner.
+
+The headline serving path (SURVEY.md §3.4): soft token + chat prefix ->
+batched KV-cache greedy decode on Llama-3.2-1B(-shaped) weights, sydney's
+max_new_tokens=22 budget.  Weight values don't affect decode cost, so
+random bf16 weights measure the same compute/bandwidth path as real ones;
+EOS early-exit is disabled so every sequence decodes the full budget (a
+lower bound on real-workload throughput, where early exit only helps).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline compares against bench_baseline.json (written on first run) so
+later rounds track improvement; the reference publishes no decode numbers
+(BASELINE.md).
+
+Env knobs: DMI_BENCH_SMALL=1 (tiny model for CPU smokes),
+DMI_BENCH_BATCH (default 64), DMI_BENCH_NEW_TOKENS (default 22).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import os.path as osp
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from dmi_tpu.models import decode, llama
+    from dmi_tpu.models import projector as proj
+
+    small = os.environ.get("DMI_BENCH_SMALL") == "1"
+    batch = int(os.environ.get("DMI_BENCH_BATCH", "16" if small else "64"))
+    max_new = int(os.environ.get("DMI_BENCH_NEW_TOKENS", "22"))
+    prefix_len = 15  # typical chat-template instruction prompt
+
+    if small:
+        cfg = llama.tiny_config(vocab_size=512, hidden_size=128, n_layers=4,
+                                n_heads=8, n_kv=4, intermediate=256)
+        mm_dim = 64
+    else:
+        cfg = llama.llama32_1b()
+        mm_dim = 1024
+    # disable EOS early-exit: decode the full budget every time
+    cfg = dataclasses.replace(cfg, eos_token_ids=())
+
+    key = jax.random.key(0)
+    llm_params = llama.init(key, cfg)
+    pspec = proj.ProjectorSpec(mm_dim=mm_dim, lm_dim=cfg.hidden_size, n_layers=2)
+    pparams = proj.init(jax.random.key(1), pspec)
+
+    rng = np.random.default_rng(0)
+    embs = jnp.asarray(rng.normal(size=(batch, mm_dim)).astype(np.float32))
+    prefix = jnp.asarray(rng.integers(1, cfg.vocab_size, size=(batch, prefix_len)), jnp.int32)
+
+    def run_once():
+        soft = proj.apply(pspec, pparams, embs, train=False)
+        prefix_embeds = llama.embed_tokens(cfg, llm_params, prefix)
+        inputs = jnp.concatenate(
+            [soft[:, None, :].astype(prefix_embeds.dtype), prefix_embeds], axis=1
+        )
+        toks = decode.greedy_generate(cfg, llm_params, inputs, max_new, 0)
+        # force completion via a host transfer: on the axon relay platform,
+        # block_until_ready returns before remote execution finishes
+        return np.asarray(toks)
+
+    run_once()  # compile
+    n_iters = 3
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        run_once()
+    dt = time.perf_counter() - t0
+
+    captions_per_sec = batch * n_iters / dt
+    metric = "decode_captions_per_sec_per_chip_1b" if not small else "decode_captions_per_sec_small"
+
+    baseline_file = osp.join(osp.dirname(osp.abspath(__file__)), "bench_baseline.json")
+    baseline = None
+    if osp.exists(baseline_file):
+        recorded = json.load(open(baseline_file))
+        baseline = recorded.get(metric)
+    if baseline is None:
+        with open(baseline_file, "w") as f:
+            json.dump({metric: captions_per_sec, "recorded_on": jax.default_backend()}, f, indent=2)
+        baseline = captions_per_sec
+
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(captions_per_sec, 3),
+                "unit": "captions/s/chip",
+                "vs_baseline": round(captions_per_sec / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

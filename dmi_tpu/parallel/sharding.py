@@ -1,0 +1,79 @@
+"""Sharding rules: tensor-parallel LLM weights, data-parallel batches.
+
+Layout (scaling-book style: pick a mesh, annotate, let XLA insert the
+collectives):
+
+  * mesh axes ("data", "model"); batch dims shard over "data"
+  * attention: wq/wk/wv shard the head dim ("model" on the out column),
+    wo shards its input rows -> one psum per attention block
+  * MLP: w_gate/w_up shard columns, w_down shards rows -> one psum
+  * embedding/lm-head shard the vocab dim (logits gather under argmax /
+    softmax handled by XLA)
+  * norms replicated
+
+All params are stacked (L, in, out), so the layer axis is never sharded —
+layers run as a lax.scan (no pipeline parallelism; at 1B params per-layer
+compute is far too small for PP to beat dp x tp on ICI, and sequence
+lengths here are tiny so sequence/context parallelism has nothing to cut).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def replicate(mesh: Mesh):
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, ndim: int):
+    """Shard dim0 (batch) over 'data', replicate the rest."""
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def llm_param_specs() -> Dict[str, Any]:
+    """PartitionSpecs for the stacked-layer Llama pytree."""
+    return {
+        "embed": P("model", None),  # vocab rows sharded
+        "layers": {
+            "wq": P(None, None, "model"),
+            "wk": P(None, None, "model"),
+            "wv": P(None, None, "model"),
+            "wo": P(None, "model", None),
+            "w_gate": P(None, None, "model"),
+            "w_up": P(None, None, "model"),
+            "w_down": P(None, "model", None),
+            "ln_attn": P(None, None),
+            "ln_mlp": P(None, None),
+        },
+        "final_norm": P(None),
+        "lm_head": P(None, "model"),
+    }
+
+
+def shard_llm_params(mesh: Mesh, params: dict) -> dict:
+    """device_put the LLM pytree with tensor-parallel shardings."""
+    specs = llm_param_specs()
+
+    def put(path, x):
+        spec = specs
+        for k in path:
+            spec = spec[k.key]
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(put, params)
+
+
+def shard_params(mesh: Mesh, params, spec=P()):
+    """Replicate (default) or uniformly shard a trainable pytree."""
+    return jax.tree.map(lambda x: jax.device_put(x, NamedSharding(mesh, spec)), params)
+
+
+def shard_batch(mesh: Mesh, batch):
+    """device_put a pytree of batch arrays sharded on dim0 over 'data'."""
+    return jax.tree.map(
+        lambda x: jax.device_put(x, batch_sharding(mesh, x.ndim)), batch
+    )

@@ -1,0 +1,121 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import PartitionSpec as P
+
+from dmi_tpu.models import llama, mmmodel
+from dmi_tpu.models import projector as proj
+from dmi_tpu.parallel import (
+    make_mesh,
+    shard_batch,
+    shard_llm_params,
+    shard_params,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = llama.tiny_config(vocab_size=256, hidden_size=64, n_layers=2, n_heads=4, n_kv=2)
+    llm_params = llama.init(jax.random.key(0), cfg)
+    pspec = proj.ProjectorSpec(mm_dim=32, lm_dim=64, n_layers=2)
+    pparams = proj.init(jax.random.key(1), pspec)
+    rng = np.random.default_rng(0)
+    B, T = 8, 16
+    batch = {
+        "embs": rng.normal(size=(B, 32)).astype(np.float32),
+        "input_ids": rng.integers(1, 256, size=(B, T)).astype(np.int32),
+        "attention_mask": np.ones((B, T), np.int32),
+        "labels": rng.integers(1, 256, size=(B, T)).astype(np.int64),
+    }
+    return cfg, llm_params, pspec, pparams, batch
+
+
+def _loss_fn(cfg, pspec):
+    def loss(pparams, llm_params, embs, ids, mask, labels):
+        soft = proj.apply(pspec, pparams, embs, train=False)
+        return mmmodel.caption_loss(cfg, llm_params, soft, ids, mask, labels)
+
+    return loss
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(platform="cpu")
+    assert mesh.devices.shape == (8, 1)
+    mesh = make_mesh((4, 2), platform="cpu")
+    assert mesh.axis_names == ("data", "model")
+    with pytest.raises(ValueError):
+        make_mesh((16, 2), platform="cpu")
+
+
+@pytest.mark.parametrize("shape", [(8, 1), (4, 2), (2, 4)])
+def test_sharded_loss_matches_single_device(setup, shape):
+    cfg, llm_params, pspec, pparams, batch = setup
+    loss = _loss_fn(cfg, pspec)
+
+    single = float(
+        jax.jit(loss)(
+            pparams, llm_params, batch["embs"], batch["input_ids"],
+            batch["attention_mask"], batch["labels"],
+        )
+    )
+
+    mesh = make_mesh(shape, platform="cpu")
+    llm_s = shard_llm_params(mesh, llm_params)
+    p_s = shard_params(mesh, pparams)
+    b_s = shard_batch(mesh, batch)
+    sharded = float(
+        jax.jit(loss)(
+            p_s, llm_s, b_s["embs"], b_s["input_ids"],
+            b_s["attention_mask"], b_s["labels"],
+        )
+    )
+    assert abs(single - sharded) < 1e-4, (single, sharded)
+
+
+def test_sharded_train_step_runs_and_matches(setup):
+    """Full dp x tp train step (grads + AdamW update) on a (4,2) mesh must
+    reproduce the single-device update."""
+    cfg, llm_params, pspec, pparams, batch = setup
+    loss = _loss_fn(cfg, pspec)
+    opt = optax.adamw(1e-3)
+
+    def step(pparams, opt_state, llm_params, b):
+        l, g = jax.value_and_grad(loss)(
+            pparams, llm_params, b["embs"], b["input_ids"],
+            b["attention_mask"], b["labels"],
+        )
+        updates, opt_state = opt.update(g, opt_state, pparams)
+        return optax.apply_updates(pparams, updates), opt_state, l
+
+    opt_state = opt.init(pparams)
+    ref_params, _, ref_loss = jax.jit(step)(pparams, opt_state, llm_params, batch)
+
+    mesh = make_mesh((4, 2), platform="cpu")
+    llm_s = shard_llm_params(mesh, llm_params)
+    p_s = shard_params(mesh, pparams)
+    b_s = shard_batch(mesh, batch)
+    opt_s = shard_params(mesh, opt.init(p_s))
+    new_params, _, l = jax.jit(step)(p_s, opt_s, llm_s, b_s)
+
+    assert abs(float(l) - float(ref_loss)) < 1e-4
+    for a, b in zip(jax.tree.leaves(ref_params), jax.tree.leaves(new_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_sharded_decode_runs(setup):
+    cfg, llm_params, pspec, pparams, batch = setup
+    mesh = make_mesh((4, 2), platform="cpu")
+    llm_s = shard_llm_params(mesh, llm_params)
+    embs = shard_batch(mesh, {"e": batch["embs"]})["e"]
+    soft = proj.apply(pspec, pparams, embs, train=False)
+    toks = mmmodel.caption_generate(cfg, llm_s, soft, None, 4, 5)
+    assert toks.shape == (8, 4)
+    # matches the unsharded decode
+    soft1 = proj.apply(pspec, pparams, jnp.asarray(batch["embs"]), train=False)
+    toks1 = mmmodel.caption_generate(cfg, llm_params, soft1, None, 4, 5)
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(toks1))
