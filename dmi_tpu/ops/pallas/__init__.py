@@ -1,0 +1,10 @@
+"""Pallas TPU kernels for the hot compute paths.
+
+Each kernel has a pure-XLA twin in dmi_tpu.ops / dmi_tpu.models that serves
+as its correctness oracle; wrappers fall back to the twin off-TPU or on
+unaligned shapes.
+"""
+
+from dmi_tpu.ops.pallas.projector import fused_mlp2, fused_lora_layer0
+
+__all__ = ["fused_mlp2", "fused_lora_layer0"]

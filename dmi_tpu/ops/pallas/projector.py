@@ -1,0 +1,172 @@
+"""Fused projector kernels.
+
+The projector MLP2 (x @ W0 + b0 -> gelu_tanh -> @ W1 + b1) and the
+hypernet-train LoRA layer-0 forward gelu(x @ W0 + b0 + (x @ A) @ B + d)
+are the trainable-path hot ops (reference: dmi/model/projector.py:56-159).
+Fusing them keeps the [B, lm] intermediate in VMEM instead of round-tripping
+HBM, and feeds both matmuls to the MXU back-to-back.
+
+Kernel design:
+  * grid over batch tiles (TILE_B=128 = MXU height); weights are small
+    enough (mm<=1024, lm=2048 -> W0 4MB + W1 8MB bf16) to sit whole in
+    VMEM for every grid step, streamed once from HBM by the pipeline
+  * f32 accumulation on the MXU (preferred_element_type), cast on store
+  * tanh-GELU computed in-register between the two matmuls (VPU)
+
+Wrappers fall back to the XLA twin when shapes are not lane-aligned or the
+backend is not TPU; gradients route through the twin via custom_vjp (the
+backward is matmul-shaped and XLA-fuses well already).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_B = 128
+
+
+def _gelu_tanh(x):
+    # nn.GELU(approximate='tanh') == jax.nn.gelu(approximate=True)
+    return jax.nn.gelu(x, approximate=True)
+
+
+# ---------------------------------------------------------------------------
+# fused MLP2
+# ---------------------------------------------------------------------------
+
+def _mlp2_kernel(x_ref, w0_ref, b0_ref, w1_ref, b1_ref, out_ref):
+    h = jnp.dot(x_ref[:], w0_ref[:], preferred_element_type=jnp.float32)
+    h = _gelu_tanh(h + b0_ref[:].astype(jnp.float32))
+    y = jnp.dot(h.astype(w1_ref.dtype), w1_ref[:], preferred_element_type=jnp.float32)
+    out_ref[:] = (y + b1_ref[:].astype(jnp.float32)).astype(out_ref.dtype)
+
+
+def _mlp2_xla(x, w0, b0, w1, b1):
+    return _gelu_tanh(x @ w0 + b0) @ w1 + b1
+
+
+def _aligned(*dims):
+    return all(d % 128 == 0 for d in dims)
+
+
+def _mlp2_pallas(x, w0, b0, w1, b1):
+    B = x.shape[0]
+    mm, lm = w0.shape
+    lm2 = w1.shape[1]
+    pad_b = (-B) % TILE_B
+    xp = jnp.pad(x, ((0, pad_b), (0, 0))) if pad_b else x
+    grid = (xp.shape[0] // TILE_B,)
+    out = pl.pallas_call(
+        _mlp2_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE_B, mm), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((mm, lm), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((lm,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((lm, lm2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((lm2,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE_B, lm2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((xp.shape[0], lm2), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * xp.shape[0] * (mm * lm + lm * lm2),
+            bytes_accessed=xp.size * x.dtype.itemsize
+            + (w0.size + w1.size) * w0.dtype.itemsize,
+            transcendentals=xp.shape[0] * lm,
+        ),
+    )(xp, w0, b0, w1, b1)
+    return out[:B] if pad_b else out
+
+
+@partial(jax.custom_vjp, nondiff_argnums=())
+def fused_mlp2(x, w0, b0, w1, b1):
+    """gelu_tanh(x @ w0 + b0) @ w1 + b1 — Pallas on aligned TPU shapes."""
+    if jax.default_backend() == "tpu" and _aligned(w0.shape[0], w0.shape[1], w1.shape[1]):
+        return _mlp2_pallas(x, w0, b0, w1, b1)
+    return _mlp2_xla(x, w0, b0, w1, b1)
+
+
+def _mlp2_fwd(x, w0, b0, w1, b1):
+    return fused_mlp2(x, w0, b0, w1, b1), (x, w0, b0, w1, b1)
+
+
+def _mlp2_bwd(res, g):
+    x, w0, b0, w1, b1 = res
+    _, vjp = jax.vjp(_mlp2_xla, x, w0, b0, w1, b1)
+    return vjp(g)
+
+
+fused_mlp2.defvjp(_mlp2_fwd, _mlp2_bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused LoRA layer-0 (the hypernet-train forward)
+# ---------------------------------------------------------------------------
+
+def _lora0_kernel(x_ref, w0_ref, b0_ref, a_ref, b_ref, d_ref, out_ref):
+    base = jnp.dot(x_ref[:], w0_ref[:], preferred_element_type=jnp.float32)
+    inter = jnp.dot(x_ref[:], a_ref[:], preferred_element_type=jnp.float32)
+    delta = jnp.dot(inter.astype(b_ref.dtype), b_ref[:], preferred_element_type=jnp.float32)
+    y = base + delta + b0_ref[:].astype(jnp.float32) + d_ref[:].astype(jnp.float32)
+    out_ref[:] = _gelu_tanh(y).astype(out_ref.dtype)
+
+
+def _lora0_xla(x, w0, b0, a, b, d):
+    return _gelu_tanh(x @ w0 + b0 + (x @ a) @ b + d)
+
+
+def _lora0_pallas(x, w0, b0, a, b, d):
+    B = x.shape[0]
+    mm, lm = w0.shape
+    r = a.shape[1]
+    pad_b = (-B) % TILE_B
+    xp = jnp.pad(x, ((0, pad_b), (0, 0))) if pad_b else x
+    # rank (32) is below the 128-lane tile; pad A's columns / B's rows —
+    # zero columns contribute nothing
+    pad_r = (-r) % 128
+    if pad_r:
+        a = jnp.pad(a, ((0, 0), (0, pad_r)))
+        b = jnp.pad(b, ((0, pad_r), (0, 0)))
+        r = r + pad_r
+    grid = (xp.shape[0] // TILE_B,)
+    out = pl.pallas_call(
+        _lora0_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE_B, mm), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((mm, lm), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((lm,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((mm, r), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, lm), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((lm,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE_B, lm), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((xp.shape[0], lm), x.dtype),
+    )(xp, w0, b0, a, b, d)
+    return out[:B] if pad_b else out
+
+
+@partial(jax.custom_vjp, nondiff_argnums=())
+def fused_lora_layer0(x, w0, b0, a, b, d):
+    """gelu_tanh(x@w0 + b0 + (x@a)@b + d) — the reference-faithful
+    hypernet-train soft-token forward, fused."""
+    if jax.default_backend() == "tpu" and _aligned(w0.shape[0], w0.shape[1]):
+        return _lora0_pallas(x, w0, b0, a, b, d)
+    return _lora0_xla(x, w0, b0, a, b, d)
+
+
+def _lora0_fwd(x, w0, b0, a, b, d):
+    return fused_lora_layer0(x, w0, b0, a, b, d), (x, w0, b0, a, b, d)
+
+
+def _lora0_bwd(res, g):
+    _, vjp = jax.vjp(_lora0_xla, *res)
+    return vjp(g)
+
+
+fused_lora_layer0.defvjp(_lora0_fwd, _lora0_bwd)

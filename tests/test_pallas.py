@@ -1,0 +1,80 @@
+"""Pallas kernel tests (interpreter mode on CPU; compiled path exercised on
+TPU by bench/production)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dmi_tpu.ops.pallas import projector as pk
+
+
+def _data(B=200, mm=256, lm=256, r=32, seed=0, dtype=np.float32):
+    rng = np.random.default_rng(seed)
+    return (
+        jnp.asarray(rng.normal(size=(B, mm)).astype(dtype)),
+        jnp.asarray(rng.normal(size=(mm, lm)).astype(dtype) * 0.05),
+        jnp.asarray(rng.normal(size=(lm,)).astype(dtype) * 0.05),
+        jnp.asarray(rng.normal(size=(lm, lm)).astype(dtype) * 0.05),
+        jnp.asarray(rng.normal(size=(lm,)).astype(dtype) * 0.05),
+        jnp.asarray(rng.normal(size=(mm, r)).astype(dtype) * 0.05),
+        jnp.asarray(rng.normal(size=(r, lm)).astype(dtype) * 0.05),
+        jnp.asarray(rng.normal(size=(lm,)).astype(dtype) * 0.05),
+    )
+
+
+def test_fused_mlp2_interpret_matches_xla():
+    from jax.experimental.pallas import tpu as pltpu
+
+    x, w0, b0, w1, b1, *_ = _data()
+    ref = pk._mlp2_xla(x, w0, b0, w1, b1)
+    with pltpu.force_tpu_interpret_mode():
+        out = pk._mlp2_pallas(x, w0, b0, w1, b1)
+    assert out.shape == ref.shape  # batch 200 padded to 256 then sliced
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_lora0_interpret_matches_xla():
+    from jax.experimental.pallas import tpu as pltpu
+
+    x, w0, b0, _, _, a, b, d = _data(seed=1)
+    ref = pk._lora0_xla(x, w0, b0, a, b, d)
+    with pltpu.force_tpu_interpret_mode():
+        out = pk._lora0_pallas(x, w0, b0, a, b, d)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_wrappers_fall_back_off_tpu():
+    x, w0, b0, w1, b1, a, b, d = _data(B=8)
+    # default_backend is cpu under tests -> wrapper must use the XLA twin
+    out = pk.fused_mlp2(x, w0, b0, w1, b1)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(pk._mlp2_xla(x, w0, b0, w1, b1)), atol=1e-6
+    )
+    out = pk.fused_lora_layer0(x, w0, b0, a, b, d)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(pk._lora0_xla(x, w0, b0, a, b, d)), atol=1e-6
+    )
+
+
+def test_custom_vjp_grads_match_xla():
+    x, w0, b0, w1, b1, a, b, d = _data(B=16)
+
+    g1 = jax.grad(lambda *args: pk.fused_mlp2(*args).sum(), argnums=(0, 1, 2, 3, 4))(
+        x, w0, b0, w1, b1
+    )
+    g2 = jax.grad(lambda *args: pk._mlp2_xla(*args).sum(), argnums=(0, 1, 2, 3, 4))(
+        x, w0, b0, w1, b1
+    )
+    for u, v in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(u), np.asarray(v), atol=1e-5)
+
+    g1 = jax.grad(lambda *args: pk.fused_lora_layer0(*args).sum(), argnums=(0, 3, 4, 5))(
+        x, w0, b0, a, b, d
+    )
+    g2 = jax.grad(lambda *args: pk._lora0_xla(*args).sum(), argnums=(0, 3, 4, 5))(
+        x, w0, b0, a, b, d
+    )
+    for u, v in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(u), np.asarray(v), atol=1e-5)
