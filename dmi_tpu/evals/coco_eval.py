@@ -50,10 +50,17 @@ def coco_caption_eval(
     cands = [ptb_tokenize(preds[i]) for i in img_ids]
     refs = [[ptb_tokenize(c) for c in gts[i]] for i in img_ids]
 
-    bleus, _ = coco_bleu(cands, refs)
+    # prefer the C++ n-gram core (native/ngram_scorer.cpp); the python
+    # scorers are the semantic oracle and the fallback
+    from dmi_tpu.evals.native import cider_d_native, coco_bleu_native
+
+    bleus = coco_bleu_native(cands, refs)
+    if bleus is None:
+        bleus, _ = coco_bleu(cands, refs)
+    nat = cider_d_native(cands, refs)
+    cider_score = nat[0] if nat is not None else cider_d(cands, refs)[0]
     meteor_score, _ = corpus_meteor(cands, refs)
     rouge_score, _ = rouge_l(cands, refs)
-    cider_score, _ = cider_d(cands, refs)
     return {
         "Bleu_1": bleus[0],
         "Bleu_2": bleus[1],
