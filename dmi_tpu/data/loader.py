@@ -109,7 +109,6 @@ class DatasetLoader:
             self.prefixes = None
             self.PREFIX = spec.fixed_prefix
 
-        self._prefix_rng = np.random.default_rng((train_args.seed, 0xB0))
         self._pretok = None
         if spec.pretokenize:
             self._pretok = {
@@ -231,10 +230,14 @@ class DatasetLoader:
             )
         return self.tokenizer(split.captions)
 
-    def pick_prefix(self) -> str:
+    def pick_prefix(self, step: int = 0) -> str:
+        """Random instruction prefix, stateless in (seed, step) so a resumed
+        run replays the same prefix sequence (the reference draws from the
+        global python RNG, dmi/data/base.py:206 — unreproducible)."""
         if self.PREFIX is not None:
             return self.PREFIX
-        return self.prefixes[int(self._prefix_rng.integers(len(self.prefixes)))]
+        rng = np.random.default_rng((self.train_args.seed, 0xB0, step))
+        return self.prefixes[int(rng.integers(len(self.prefixes)))]
 
     def _tokenize_rows(self, split: Split, idxs, prefix: str):
         if self.is_instruct:
@@ -267,7 +270,7 @@ class DatasetLoader:
             e = e - self.emb_mean
         return e
 
-    def _collate(self, split: Split, idxs, split_name: str, with_ids: bool):
+    def _collate(self, split: Split, idxs, split_name: str, with_ids: bool, step: int = 0):
         if self._pretok is not None and split_name in ("train", "validation"):
             tok = self._pretok[split_name]
             sub = {
@@ -279,7 +282,7 @@ class DatasetLoader:
                 )
             }
         else:
-            sub = self._tokenize_rows(split, idxs, self.pick_prefix())
+            sub = self._tokenize_rows(split, idxs, self.pick_prefix(step))
         batch = collate_chat_batch(
             sub,
             eos_token_id=self.tokenizer.eos_token_id,
@@ -293,13 +296,13 @@ class DatasetLoader:
             batch["ids"] = [split.ids[i] for i in idxs]
         return batch
 
-    def subset_collate(self, split: Split, idxs):
+    def subset_collate(self, split: Split, idxs, step: int = 0):
         """Conditioning-set batch (dmi/data/base.py:260-284): embeddings,
         optionally (embs, text_embs, prefix_emb) when feed_txt_embs."""
         embs = self._embs_for(split, idxs)
         if not self.train_args.feed_txt_embs:
             return embs
-        prefix = self.pick_prefix()
+        prefix = self.pick_prefix(step)
         text_embs = split.text_embs[idxs]
         if self.train_args.subtract_mean and self.text_emb_mean is not None:
             text_embs = text_embs - self.text_emb_mean
@@ -332,7 +335,7 @@ class DatasetLoader:
 
     def train_batch(self, step: int) -> Dict:
         idxs = self.train_sampler().batch_indices(step, self.train_args.train_batch_size)
-        return self._collate(self.train, idxs, "train", with_ids=False)
+        return self._collate(self.train, idxs, "train", with_ids=False, step=step)
 
     def subset_batch(self, step: int, split_name: str = "train"):
         split = self._split_by_name(split_name)
@@ -340,15 +343,15 @@ class DatasetLoader:
             len(split), self.train_args.epochs or 1, self.train_args.seed + 1
         )
         idxs = sampler.batch_indices(step, self.train_args.subset_batch_size)
-        return self.subset_collate(split, idxs)
+        return self.subset_collate(split, idxs, step=step)
 
     def eval_batches(self, split_name: str = "validation") -> Iterator[Dict]:
         """Sequential one-pass batches with ids (dmi/data/base.py:240-258)."""
         split = self._split_by_name(split_name)
         bsz = self.train_args.eval_batch_size
-        for start in range(0, len(split), bsz):
+        for bi, start in enumerate(range(0, len(split), bsz)):
             idxs = list(range(start, min(start + bsz, len(split))))
-            yield self._collate(split, idxs, split_name, with_ids=True)
+            yield self._collate(split, idxs, split_name, with_ids=True, step=bi)
 
     def n_eval_batches(self, split_name: str = "validation") -> int:
         split = self._split_by_name(split_name)

@@ -54,6 +54,16 @@ def _aligned(*dims):
     return all(d % 128 == 0 for d in dims)
 
 
+def _pallas_enabled() -> bool:
+    """Pallas is opt-in (DMI_USE_PALLAS=1): this image's axon TPU relay has
+    been observed to hang on remote Mosaic kernel compilation, wedging the
+    chip for many minutes — production paths must never trigger that
+    implicitly.  The XLA twins are numerically identical."""
+    import os
+
+    return os.environ.get("DMI_USE_PALLAS") == "1" and jax.default_backend() == "tpu"
+
+
 def _mlp2_pallas(x, w0, b0, w1, b1):
     B = x.shape[0]
     mm, lm = w0.shape
@@ -86,7 +96,7 @@ def _mlp2_pallas(x, w0, b0, w1, b1):
 @partial(jax.custom_vjp, nondiff_argnums=())
 def fused_mlp2(x, w0, b0, w1, b1):
     """gelu_tanh(x @ w0 + b0) @ w1 + b1 — Pallas on aligned TPU shapes."""
-    if jax.default_backend() == "tpu" and _aligned(w0.shape[0], w0.shape[1], w1.shape[1]):
+    if _pallas_enabled() and _aligned(w0.shape[0], w0.shape[1], w1.shape[1]):
         return _mlp2_pallas(x, w0, b0, w1, b1)
     return _mlp2_xla(x, w0, b0, w1, b1)
 
@@ -155,7 +165,7 @@ def _lora0_pallas(x, w0, b0, a, b, d):
 def fused_lora_layer0(x, w0, b0, a, b, d):
     """gelu_tanh(x@w0 + b0 + (x@a)@b + d) — the reference-faithful
     hypernet-train soft-token forward, fused."""
-    if jax.default_backend() == "tpu" and _aligned(w0.shape[0], w0.shape[1]):
+    if _pallas_enabled() and _aligned(w0.shape[0], w0.shape[1]):
         return _lora0_pallas(x, w0, b0, a, b, d)
     return _lora0_xla(x, w0, b0, a, b, d)
 

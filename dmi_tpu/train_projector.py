@@ -87,16 +87,14 @@ def main(name, data_args, lm_args, menc_args, projector_args, train_args):
         train_args=train_args,
         data_root=data_args.data_root,
     )
+    start_step = 0
     if train_args.resume_from_checkpoint:
-        best = trainer.ckpt.load_best()
-        if best is not None:
-            import jax.numpy as jnp
-
-            trainer.state = trainer.state._replace(
-                params=jax.tree.map(jnp.asarray, best["projector_state_dict"])
-            )
+        start_step = trainer.resume()
+        if train_args.resume_from_checkpoint_reset_steps:
+            start_step = 0
+        log.info("Resuming training from step %d", start_step)
     log.info("Starting training (%d steps)", trainer.total_steps)
-    return trainer.train()
+    return trainer.train(start_step)
 
 
 def run(config_path: str) -> None:

@@ -267,27 +267,61 @@ class ProjectorTrainer:
         val = sum(m[comp] for m in all_metrics.values()) / len(all_metrics)
         return comp, val
 
+    def resume(self) -> int:
+        """Restore params + optimizer state + step from the best checkpoint
+        (exact resume — the stateless sampler removes the reference's
+        iterator-replay approximation, dmi/train.py:79-86)."""
+        best = self.ckpt.load_best()
+        if best is None:
+            return 0
+        self.state = self.state._replace(
+            params=jax.tree.map(jnp.asarray, best[f"{self.SAVE_TYPE}_state_dict"])
+        )
+        if best.get("optimizer_state_dict") is not None:
+            self.state = self.state._replace(
+                opt_state=jax.tree.map(jnp.asarray, best["optimizer_state_dict"]),
+                sched_step=jnp.asarray(best["step_idx"], jnp.int32),
+            )
+        return int(best["step_idx"]) + 1
+
     def train(self, start_step: int = 0):
+        from dmi_tpu.utils.logging import MetricLogger
+        from dmi_tpu.utils.profiling import StepTimer, trace
+
         total = self.total_steps
         accumulated = 0.0
         cur_metric, comp_metric = float("-inf"), "coco_cider"
-        for step in range(start_step, total):
-            if step % self.train_args.gradient_accumulation_steps == 0:
-                accumulated = 0.0
-            loss, did_update = self.train_step(step, total)
-            accumulated += loss
-            if did_update:
-                if (step + 1) % self.train_args.logging_steps == 0 and step > 0:
-                    log.info("Step: %d/%d Train Loss: %.3f", step, total, accumulated)
-                if self.cond.evaluate(step, total):
-                    ev = self.evaluate()
-                    log.info("Step: %d Eval Loss: %.3f", step, ev)
-                if self.cond.generate(step, total):
-                    all_metrics, _, _, _ = self.generate("eval")
-                    comp_metric, cur_metric = self.comp_metric_value(all_metrics)
-                    log.info("Step: %d Metrics: %s", step, all_metrics)
-                if self.cond.save(step, total):
-                    self.ckpt.save(step, cur_metric, comp_metric, self.state.params)
+        mlog = MetricLogger(self.name, f"dmi_{self.TRAINER_TYPE}")
+        timer = StepTimer()
+        with trace(self.train_args.profile_dir):
+            for step in range(start_step, total):
+                if step % self.train_args.gradient_accumulation_steps == 0:
+                    accumulated = 0.0
+                timer.start()
+                loss, did_update = self.train_step(step, total)
+                timer.stop()
+                accumulated += loss
+                if did_update:
+                    if (step + 1) % self.train_args.logging_steps == 0 and step > 0:
+                        log.info("Step: %d/%d Train Loss: %.3f", step, total, accumulated)
+                        mlog.log({"train_loss": accumulated, **timer.summary()}, step)
+                    if self.cond.evaluate(step, total):
+                        ev = self.evaluate()
+                        log.info("Step: %d Eval Loss: %.3f", step, ev)
+                        mlog.log({"eval_loss": ev}, step)
+                    if self.cond.generate(step, total):
+                        all_metrics, _, _, _ = self.generate("eval")
+                        comp_metric, cur_metric = self.comp_metric_value(all_metrics)
+                        log.info("Step: %d Metrics: %s", step, all_metrics)
+                        for mgr, ms in all_metrics.items():
+                            mlog.log({f"{k} - {mgr}": v for k, v in ms.items()}, step)
+                    if self.cond.save(step, total):
+                        self.ckpt.save(
+                            step, cur_metric, comp_metric, self.state.params,
+                            optimizer_state=self.state.opt_state
+                            if self.train_args.save_state else None,
+                        )
+        mlog.finish()
 
         best = self.ckpt.load_best()
         if best is not None:

@@ -1,0 +1,78 @@
+"""Exact checkpoint resume: params + optimizer state + step restore."""
+
+import os.path as osp
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dmi_tpu.config import TrainArgs
+from dmi_tpu.data.fixtures import generate_dataset
+from dmi_tpu.data.loader import DatasetLoader
+from dmi_tpu.data.tok_fixture import build_test_tokenizer
+from dmi_tpu.models import llama
+from dmi_tpu.models import projector as proj
+from dmi_tpu.registry import dataset_spec
+from dmi_tpu.training.embeddings import EmbeddingManager
+from dmi_tpu.training.projector_trainer import ProjectorTrainer
+
+
+@pytest.fixture()
+def pieces(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    generate_dataset("data", "sydney", "RemoteCLIP-RN50-Unchanged", mm_dim=32,
+                     n_train=4, n_eval=2, seed=0)
+    tok = build_test_tokenizer()
+    args = TrainArgs(
+        output_dir="x", train_batch_size=4, eval_batch_size=4, epochs=2,
+        dataset_size="full", seed=3, learning_rate=1e-3, warmup_steps=2,
+        save_steps=1000, eval_steps=1000, generate_steps=1000,
+    )
+    cfg = llama.tiny_config(vocab_size=tok.vocab_size + 8, hidden_size=64)
+    llm = llama.init(jax.random.key(0), cfg)
+    pspec = proj.ProjectorSpec(mm_dim=32, lm_dim=64, n_layers=2)
+    pparams = proj.init(jax.random.key(1), pspec)
+    loader = DatasetLoader(dataset_spec("sydney"), tok, args, "RemoteCLIP-RN50-Unchanged", True, "data")
+    mgr = EmbeddingManager("chendelong/RemoteCLIP-RN50-Unchanged")
+
+    def make():
+        return ProjectorTrainer(
+            name="resume_test", llm_cfg=cfg, llm_params=llm, proj_spec=pspec,
+            proj_params=pparams, loaders=[loader], emb_mgrs=[mgr],
+            tokenizer=tok, train_args=args,
+        )
+
+    return make
+
+
+def test_resume_reproduces_uninterrupted_run(pieces):
+    make = pieces
+    total = 8
+
+    # uninterrupted: 8 steps
+    t1 = make()
+    for step in range(total):
+        t1.train_step(step, total)
+    ref = t1.state.params
+
+    # interrupted at 4, checkpointed with optimizer state, resumed
+    t2 = make()
+    for step in range(4):
+        t2.train_step(step, total)
+    t2.ckpt.save(3, 0.0, "coco_cider", t2.state.params, optimizer_state=t2.state.opt_state)
+
+    t3 = make()
+    start = t3.resume()
+    assert start == 4
+    for step in range(start, total):
+        t3.train_step(step, total)
+
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(t3.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_resume_without_checkpoint_starts_at_zero(pieces):
+    t = pieces()
+    assert t.resume() == 0
