@@ -35,7 +35,9 @@ def main() -> None:
     from dmi_tpu.models import projector as proj
 
     small = os.environ.get("DMI_BENCH_SMALL") == "1"
-    batch = int(os.environ.get("DMI_BENCH_BATCH", "16" if small else "64"))
+    # batch 256 saturates the weight-read-bound decode on v5e (64 -> 376,
+    # 256 -> 750, 1024 -> 776 captions/s measured)
+    batch = int(os.environ.get("DMI_BENCH_BATCH", "16" if small else "256"))
     max_new = int(os.environ.get("DMI_BENCH_NEW_TOKENS", "22"))
     prefix_len = 15  # typical chat-template instruction prompt
 

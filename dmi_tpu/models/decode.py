@@ -41,8 +41,12 @@ def init_cache(cfg: LlamaConfig, batch: int, max_len: int) -> Tuple[jax.Array, j
     return jnp.zeros(shape, cfg.dtype), jnp.zeros(shape, cfg.dtype)
 
 
-def _run_layers(cfg, params, x, cos, sin, bias, caches, cache_index):
-    """lax.scan over stacked layer weights, threading stacked KV caches."""
+def _run_layers(cfg, params, x, cos, sin, bias, caches, cache_index, last_only=False):
+    """lax.scan over stacked layer weights, threading stacked KV caches.
+
+    last_only restricts the vocab-head matmul to the final position —
+    prefill only needs the next-token logits, and the [B, T, V] head output
+    is by far its largest tensor."""
     k_cache, v_cache = caches
 
     def body(carry, xs):
@@ -54,6 +58,8 @@ def _run_layers(cfg, params, x, cos, sin, bias, caches, cache_index):
         return h, (kc, vc)
 
     x, (k_cache, v_cache) = jax.lax.scan(body, x, (params["layers"], k_cache, v_cache))
+    if last_only:
+        x = x[:, -1:, :]
     x = llama.rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     head = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]
     return x @ head, (k_cache, v_cache)
@@ -71,7 +77,8 @@ def prefill(cfg, params, inputs_embeds, caches):
     bias = jnp.where(valid, 0.0, jnp.finfo(jnp.float32).min)[None]
     bias = jnp.broadcast_to(bias, (B, T, S))
     logits, caches = _run_layers(
-        cfg, params, inputs_embeds.astype(cfg.dtype), cos, sin, bias, caches, 0
+        cfg, params, inputs_embeds.astype(cfg.dtype), cos, sin, bias, caches, 0,
+        last_only=True,
     )
     return logits[:, -1, :], caches
 
