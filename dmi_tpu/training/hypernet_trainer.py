@@ -230,10 +230,17 @@ class HypernetTrainer:
 
     def load_checkpoint(self, path: str):
         """Resume hypernet (dmi/train_hypernet.py:417-427); pruning of the
-        frozen projector happens at construction, not here."""
+        frozen projector happens at construction, not here.  Optimizer
+        state and the LR-schedule step restore too when present, giving
+        exact mid-run resume."""
         ckpt = load_pytree(path)
         self.hn_params = jax.tree.map(jnp.asarray, ckpt[f"{self.SAVE_TYPE}_state_dict"])
         self.state = self.state._replace(params=self.hn_params)
+        if ckpt.get("optimizer_state_dict") is not None:
+            self.state = self.state._replace(
+                opt_state=jax.tree.map(jnp.asarray, ckpt["optimizer_state_dict"]),
+                sched_step=jnp.asarray(ckpt["step_idx"], jnp.int32),
+            )
         return dict(step_idx=ckpt["step_idx"])
 
     # ------------------------------------------------------------------
@@ -272,7 +279,11 @@ class HypernetTrainer:
                     all_metrics, _, _, _ = self.generate(mode="eval")
                     log.info("Step: %d Metrics: %s", step, all_metrics)
                 if self.cond.save(step, total):
-                    self.ckpt.save(step, cur_eval_loss, "loss", self.state.params)
+                    self.ckpt.save(
+                        step, cur_eval_loss, "loss", self.state.params,
+                        optimizer_state=self.state.opt_state
+                        if self.train_args.save_state else None,
+                    )
         return cur_eval_loss
 
     def evaluate(self, fewshot_idx: Optional[int] = None) -> float:

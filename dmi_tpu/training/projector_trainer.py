@@ -310,11 +310,23 @@ class ProjectorTrainer:
                         log.info("Step: %d Eval Loss: %.3f", step, ev)
                         mlog.log({"eval_loss": ev}, step)
                     if self.cond.generate(step, total):
-                        all_metrics, _, _, _ = self.generate("eval")
+                        all_metrics, all_gts, all_preds, _ = self.generate("eval")
                         comp_metric, cur_metric = self.comp_metric_value(all_metrics)
                         log.info("Step: %d Metrics: %s", step, all_metrics)
                         for mgr, ms in all_metrics.items():
                             mlog.log({f"{k} - {mgr}": v for k, v in ms.items()}, step)
+                            # prediction table sample (dmi/train.py:182-185)
+                            mlog.log(
+                                {
+                                    f"samples - {mgr}": [
+                                        {"expected": g, "prediction": p}
+                                        for g, p in list(
+                                            zip(all_gts[mgr], all_preds[mgr])
+                                        )[:10]
+                                    ]
+                                },
+                                step,
+                            )
                     if self.cond.save(step, total):
                         self.ckpt.save(
                             step, cur_metric, comp_metric, self.state.params,
