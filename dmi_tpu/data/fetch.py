@@ -38,16 +38,18 @@ def fetch_real(out_dir: str) -> None:
 
 def fetch_synthetic(out_dir: str, mm_dim: int = 768, seed: int = 0) -> None:
     from dmi_tpu.data.fixtures import generate_dataset
-    from dmi_tpu.registry import DATASETS, ENCODER_DIMS, ENCODER_MODALITIES
+    from dmi_tpu.registry import DATASETS, ENCODER_MODALITIES
 
-    per_modality_enc = {m: n for n, m in ENCODER_MODALITIES.items()}
     for i, (name, spec) in enumerate(DATASETS.items()):
-        enc = per_modality_enc[spec.modality].split("/")[-1]
-        generate_dataset(
-            out_dir, name, enc,
-            mm_dim=mm_dim, n_train=64, n_eval=16, seed=seed + i,
+        # one pkl per registered encoder of this modality, same items
+        encs = sorted(
+            {n.split("/")[-1] for n, m in ENCODER_MODALITIES.items() if m == spec.modality}
         )
-        print(f"synthesized {name} ({enc})")
+        generate_dataset(
+            out_dir, name, encs,
+            mm_dim=mm_dim, n_train=64, n_eval=16, text_dim=mm_dim, seed=seed + i,
+        )
+        print(f"synthesized {name} ({', '.join(encs)})")
 
 
 if __name__ == "__main__":

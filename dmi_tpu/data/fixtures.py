@@ -70,7 +70,7 @@ def _norm_img_id(image_id: str) -> str:
 def generate_dataset(
     data_root: str,
     name: str,
-    enc_name: str,
+    enc_name,  # str or list[str]: one pkl per encoder, same items/captions
     mm_dim: int = 64,
     n_train: int = 32,
     n_eval: int = 8,
@@ -79,6 +79,7 @@ def generate_dataset(
     splits: Optional[Sequence[str]] = None,
 ) -> None:
     spec = dataset_spec(name)
+    enc_names = [enc_name] if isinstance(enc_name, str) else list(enc_name)
     rng = np.random.default_rng(seed)
     ddir = osp.join(data_root, spec.path)
     os.makedirs(ddir, exist_ok=True)
@@ -99,18 +100,19 @@ def generate_dataset(
     for split in splits:
         n_items = n_train if split == "train" else n_eval
         ids = _make_ids(spec, n_items, split)
-        split_dict = {}
+        split_dicts = {e: {} for e in enc_names}
         text_dict = {}
         split_gts: Dict[str, List[str]] = {}
         for j, item_id in enumerate(ids):
             caption = CAPTION_BANK[(j + len(split)) % len(CAPTION_BANK)]
-            emb = rng.normal(size=(mm_dim,)).astype(np.float32)
-            if spec.emb_index is not None:
-                emb = emb[None, :].repeat(2, axis=0)  # leading axis; loaders take [0]
-            value = {"caption": caption, spec.emb_key: emb}
-            if spec.has_smiles:
-                value["smiles"] = "C" * ((j % 3) + 1) + "O"
-            split_dict[item_id] = value
+            for e in enc_names:
+                emb = rng.normal(size=(mm_dim,)).astype(np.float32)
+                if spec.emb_index is not None:
+                    emb = emb[None, :].repeat(2, axis=0)  # leading axis; [0] at load
+                value = {"caption": caption, spec.emb_key: emb}
+                if spec.has_smiles:
+                    value["smiles"] = "C" * ((j % 3) + 1) + "O"
+                split_dicts[e][item_id] = value
             key = (
                 (int(item_id.split("_")[0]), caption)
                 if spec.text_emb_key == "int_first"
@@ -119,8 +121,9 @@ def generate_dataset(
             text_dict[key] = rng.normal(size=(text_dim,)).astype(np.float32)
             split_gts.setdefault(_norm_img_id(item_id), []).append(caption)
 
-        with open(osp.join(ddir, f"{split}_embs_{enc_name}.pkl"), "wb") as f:
-            pickle.dump(split_dict, f)
+        for e in enc_names:
+            with open(osp.join(ddir, f"{split}_embs_{e}.pkl"), "wb") as f:
+                pickle.dump(split_dicts[e], f)
         with open(osp.join(ddir, f"{split}_embs_gte-modernbert-base.pkl"), "wb") as f:
             pickle.dump(text_dict, f)
         all_split_ids[split] = ids
