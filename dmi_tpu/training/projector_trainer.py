@@ -77,6 +77,17 @@ class ProjectorTrainer:
             train_args.checkpoint_dir, name, self.SAVE_TYPE, mode="max"
         )
 
+        # optional multi-chip execution: tp-shard the frozen LLM, dp-shard
+        # batches; XLA inserts the collectives (new surface vs the
+        # single-device reference, SURVEY.md §5)
+        self.mesh = None
+        if train_args.mesh_shape:
+            from dmi_tpu.parallel import make_mesh, shard_llm_params
+
+            self.mesh = make_mesh(tuple(train_args.mesh_shape))
+            llm_params = shard_llm_params(self.mesh, llm_params)
+            self.llm_params = llm_params
+
         if train_args.finetune_from_checkpoint:
             self.TRAINER_TYPE = "ft_projector"
             proj_params = self._load_pruned(train_args.finetune_from_checkpoint, proj_params)
@@ -155,11 +166,18 @@ class ProjectorTrainer:
     # ------------------------------------------------------------------
 
     def _device_batch(self, batch):
-        return (
+        out = (
             jnp.asarray(batch["input_ids"]),
             jnp.asarray(batch["attention_mask"]),
             jnp.asarray(batch["labels"]),
         )
+        if self.mesh is not None:
+            from dmi_tpu.parallel import batch_sharding
+
+            out = tuple(
+                jax.device_put(x, batch_sharding(self.mesh, x.ndim)) for x in out
+            )
+        return out
 
     def train_step(self, step: int, total_steps: int):
         weights = [len(ld.train_sampler()) for ld in self.loaders]
