@@ -126,6 +126,15 @@ class HypernetTrainer:
         self.ckpt = BestCheckpointer(
             train_args.checkpoint_dir, name, self.SAVE_TYPE, mode="min"
         )
+
+        # optional multi-chip execution (see projector_trainer)
+        self.mesh = None
+        if train_args.mesh_shape:
+            from dmi_tpu.parallel import make_mesh, shard_llm_params
+
+            self.mesh = make_mesh(tuple(train_args.mesh_shape))
+            llm_params = shard_llm_params(self.mesh, llm_params)
+            self.llm_params = llm_params
         self.hn_params = hn_params
         self.generated_projector: Optional[dict] = None
         self._base_key = jax.random.key(train_args.seed)
@@ -222,11 +231,18 @@ class HypernetTrainer:
     # ------------------------------------------------------------------
 
     def _device_batch(self, batch):
-        return (
+        out = (
             jnp.asarray(batch["input_ids"]),
             jnp.asarray(batch["attention_mask"]),
             jnp.asarray(batch["labels"]),
         )
+        if self.mesh is not None:
+            from dmi_tpu.parallel import batch_sharding
+
+            out = tuple(
+                jax.device_put(x, batch_sharding(self.mesh, x.ndim)) for x in out
+            )
+        return out
 
     def load_checkpoint(self, path: str):
         """Resume hypernet (dmi/train_hypernet.py:417-427); pruning of the
