@@ -53,6 +53,11 @@ def main() -> None:
 
     key = jax.random.key(0)
     llm_params = llama.init(key, cfg)
+    int8 = os.environ.get("DMI_BENCH_INT8") == "1"
+    if int8:
+        from dmi_tpu.models.quant import quantize_llama
+
+        llm_params = quantize_llama(llm_params)
     pspec = proj.ProjectorSpec(mm_dim=mm_dim, lm_dim=cfg.hidden_size, n_layers=2)
     pparams = proj.init(jax.random.key(1), pspec)
 
@@ -80,6 +85,8 @@ def main() -> None:
 
     captions_per_sec = batch * n_iters / dt
     metric = "decode_captions_per_sec_per_chip_1b" if not small else "decode_captions_per_sec_small"
+    if int8:
+        metric += "_int8"
 
     baseline_file = osp.join(osp.dirname(osp.abspath(__file__)), "bench_baseline.json")
     baseline = None

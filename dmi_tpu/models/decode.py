@@ -61,8 +61,7 @@ def _run_layers(cfg, params, x, cos, sin, bias, caches, cache_index, last_only=F
     if last_only:
         x = x[:, -1:, :]
     x = llama.rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    head = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]
-    return x @ head, (k_cache, v_cache)
+    return llama._head_matmul(x, params, cfg), (k_cache, v_cache)
 
 
 def prefill(cfg, params, inputs_embeds, caches):
@@ -128,7 +127,7 @@ def greedy_generate(
         next_tok = jnp.where(done, pad_token_id, next_tok)
         tokens = jax.lax.dynamic_update_slice(tokens, next_tok[:, None], (0, step))
         done = done | jnp.isin(next_tok, eos)
-        embeds = params["embed"][next_tok][:, None, :]
+        embeds = llama.embed_tokens(cfg, params, next_tok)[:, None, :]
         logits, caches = decode_step(cfg, params, embeds, caches, T + step)
         return step + 1, logits, caches, done, tokens
 

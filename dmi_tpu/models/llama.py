@@ -220,6 +220,26 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 # Forward
 # ---------------------------------------------------------------------------
 
+def _mm(h: jax.Array, w) -> jax.Array:
+    """Matmul dispatching on optionally int8-quantized weights
+    (dmi_tpu.models.quant): h @ (q*s) == (h @ q_bf16) * s with per-output-
+    column scales; XLA fuses the convert so HBM reads stay int8."""
+    if isinstance(w, dict) and "q" in w:
+        return (h @ w["q"].astype(h.dtype)) * w["s"].astype(h.dtype)
+    return h @ w
+
+
+def _head_matmul(x: jax.Array, params: dict, cfg: "LlamaConfig") -> jax.Array:
+    if cfg.tie_word_embeddings:
+        embed = params["embed"]
+        if isinstance(embed, dict) and "q" in embed:
+            # embed quantized per vocab row -> head output channel scales
+            logits = x @ embed["q"].astype(x.dtype).T
+            return logits * embed["s"].astype(x.dtype)[:, 0][None, None, :]
+        return x @ embed.T
+    return _mm(x, params["lm_head"])
+
+
 def rms_norm(x: jax.Array, scale: jax.Array, eps: float) -> jax.Array:
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
@@ -249,9 +269,9 @@ def _block(cfg: LlamaConfig, x, lw, cos, sin, bias, cache_kv=None, cache_index=N
     nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
     h = rms_norm(x, lw["ln_attn"], cfg.rms_norm_eps)
-    q = (h @ lw["wq"]).reshape(B, T, nh, hd).transpose(0, 2, 1, 3)
-    k = (h @ lw["wk"]).reshape(B, T, nkv, hd).transpose(0, 2, 1, 3)
-    v = (h @ lw["wv"]).reshape(B, T, nkv, hd).transpose(0, 2, 1, 3)
+    q = _mm(h, lw["wq"]).reshape(B, T, nh, hd).transpose(0, 2, 1, 3)
+    k = _mm(h, lw["wk"]).reshape(B, T, nkv, hd).transpose(0, 2, 1, 3)
+    v = _mm(h, lw["wv"]).reshape(B, T, nkv, hd).transpose(0, 2, 1, 3)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -265,11 +285,11 @@ def _block(cfg: LlamaConfig, x, lw, cos, sin, bias, cache_kv=None, cache_index=N
 
     attn = _attention(q, k, v, bias)
     attn = attn.transpose(0, 2, 1, 3).reshape(B, T, nh * hd)
-    x = x + attn @ lw["wo"]
+    x = x + _mm(attn, lw["wo"])
 
     h = rms_norm(x, lw["ln_mlp"], cfg.rms_norm_eps)
-    gate = jax.nn.silu(h @ lw["w_gate"])
-    x = x + (gate * (h @ lw["w_up"])) @ lw["w_down"]
+    gate = jax.nn.silu(_mm(h, lw["w_gate"]))
+    x = x + _mm(gate * _mm(h, lw["w_up"]), lw["w_down"])
     return x, new_cache
 
 
@@ -307,12 +327,15 @@ def forward(
 
     x, _ = jax.lax.scan(body, x, layer_params)
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    head = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]
-    return x @ head
+    return _head_matmul(x, params, cfg)
 
 
 def embed_tokens(cfg: LlamaConfig, params: dict, input_ids: jax.Array) -> jax.Array:
-    return params["embed"][input_ids]
+    embed = params["embed"]
+    if isinstance(embed, dict) and "q" in embed:
+        rows = embed["q"][input_ids].astype(cfg.dtype)
+        return rows * embed["s"][input_ids].astype(cfg.dtype)
+    return embed[input_ids]
 
 
 def causal_lm_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
