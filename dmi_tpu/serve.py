@@ -1,0 +1,180 @@
+"""Batch captioning service: embeddings in, captions out.
+
+The deployment surface over the trained artifacts (the reference stops at
+experiment scripts; serving is part of this framework's mandate):
+
+    captioner = Captioner.from_checkpoint(
+        lm="meta-llama/Llama-3.2-1B-Instruct",
+        projector_ckpt="checkpoints/...-projector-best.pt",
+        dataset="sydney",
+    )
+    captions = captioner.caption(embeddings)   # [N, mm_dim] -> N strings
+
+Fixed-shape batching (pad the tail batch) keeps one compiled decode;
+options: int8 weight quantization, multi-chip mesh (dp-sharded batches,
+tp-sharded LLM).
+
+CLI:  python -m dmi_tpu.serve --lm test:tiny --projector-ckpt P --dataset
+      sydney --embs embs.npy --out captions.json
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from typing import List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from dmi_tpu.config import LMArgs
+from dmi_tpu.models import mmmodel
+from dmi_tpu.models import projector as proj
+from dmi_tpu.ops import l2_normalize
+from dmi_tpu.registry import dataset_spec
+from dmi_tpu.training.checkpoint import load_pytree
+from dmi_tpu.training.model_utils import build_lm, build_tokenizer
+
+log = logging.getLogger("dmi_tpu")
+
+
+class Captioner:
+    def __init__(
+        self,
+        llm_cfg,
+        llm_params,
+        proj_spec: proj.ProjectorSpec,
+        proj_params: dict,
+        tokenizer,
+        prefix: str,
+        max_new_tokens: int,
+        batch_size: int = 256,
+        int8: bool = False,
+        mesh_shape: Optional[tuple] = None,
+    ):
+        if int8:
+            from dmi_tpu.models.quant import quantize_llama
+
+            llm_params = quantize_llama(llm_params)
+        self.mesh = None
+        if mesh_shape:
+            from dmi_tpu.parallel import make_mesh, shard_llm_params
+
+            self.mesh = make_mesh(tuple(mesh_shape))
+            llm_params = shard_llm_params(self.mesh, llm_params)
+        self.llm_cfg = llm_cfg
+        self.llm_params = llm_params
+        self.proj_spec = proj_spec
+        self.proj_params = proj_params
+        self.tokenizer = tokenizer
+        self.max_new_tokens = max_new_tokens
+        self.batch_size = batch_size
+
+        ids = tokenizer.apply_chat_template(
+            [{"role": "user", "content": prefix}],
+            tokenize=True,
+            add_generation_prompt=True,
+        )
+        self._prefix = jnp.asarray(
+            np.tile(np.asarray(ids, np.int32)[None, :], (batch_size, 1))
+        )
+
+    @classmethod
+    def from_checkpoint(
+        cls,
+        lm: str,
+        projector_ckpt: str,
+        dataset: str,
+        lm_dtype: str = "bfloat16",
+        **kwargs,
+    ) -> "Captioner":
+        spec = dataset_spec(dataset)
+        lm_args = LMArgs(lm_name_or_path=lm, lm_dtype=lm_dtype)
+        tokenizer = build_tokenizer(lm_args)
+        llm_cfg, llm_params = build_lm(lm_args, tokenizer)
+        ckpt = load_pytree(projector_ckpt)
+        key = next(
+            k for k in ckpt
+            if k.endswith("_state_dict") and k != "optimizer_state_dict"
+        )
+        pparams = jax.tree.map(jnp.asarray, ckpt[key])
+        mm_dim = pparams["layers"][0]["w"].shape[0]
+        pspec = proj.ProjectorSpec(
+            mm_dim=mm_dim,
+            lm_dim=llm_cfg.hidden_size,
+            n_layers=len(pparams["layers"]),
+        )
+        prefix = spec.fixed_prefix or f"Describe the {spec.modality.value}"
+        return cls(
+            llm_cfg, llm_params, pspec, pparams, tokenizer,
+            prefix, spec.max_new_tokens, **kwargs,
+        )
+
+    def caption(self, embeddings: np.ndarray) -> List[str]:
+        n = embeddings.shape[0]
+        out: List[str] = []
+        for start in range(0, n, self.batch_size):
+            chunk = embeddings[start : start + self.batch_size]
+            real = chunk.shape[0]
+            if real < self.batch_size:  # pad the tail to the compiled shape
+                pad = np.zeros((self.batch_size - real, chunk.shape[1]), chunk.dtype)
+                chunk = np.concatenate([chunk, pad + 1e-3], axis=0)
+            embs = l2_normalize(jnp.asarray(chunk, jnp.float32))
+            if self.mesh is not None:
+                from dmi_tpu.parallel import batch_sharding
+
+                embs = jax.device_put(embs, batch_sharding(self.mesh, embs.ndim))
+            soft = proj.apply(self.proj_spec, self.proj_params, embs, train=False)
+            tokens = mmmodel.caption_generate(
+                self.llm_cfg, self.llm_params, soft, self._prefix,
+                self.max_new_tokens, self.tokenizer.pad_token_id,
+            )
+            out.extend(
+                self.tokenizer.batch_decode(
+                    np.asarray(tokens)[:real], skip_special_tokens=True
+                )
+            )
+        return out
+
+
+def _load_embs(path: str):
+    import pickle
+
+    if path.endswith(".npy"):
+        arr = np.load(path)
+        return [str(i) for i in range(arr.shape[0])], arr
+    with open(path, "rb") as f:
+        d = pickle.load(f)
+    ids = list(d)
+    key = "emb" if "emb" in next(iter(d.values())) else "embs"
+    embs = np.stack([np.asarray(d[i][key], np.float32) for i in ids])
+    if embs.ndim == 3:
+        embs = embs[:, 0]
+    return ids, embs
+
+
+if __name__ == "__main__":
+    import argparse
+
+    logging.basicConfig(level=logging.INFO)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--lm", required=True)
+    ap.add_argument("--projector-ckpt", required=True)
+    ap.add_argument("--dataset", required=True)
+    ap.add_argument("--embs", required=True, help=".npy array or reference-schema .pkl")
+    ap.add_argument("--out", default="captions.json")
+    ap.add_argument("--batch-size", type=int, default=256)
+    ap.add_argument("--int8", action="store_true")
+    args = ap.parse_args()
+
+    cap = Captioner.from_checkpoint(
+        args.lm, args.projector_ckpt, args.dataset,
+        batch_size=args.batch_size, int8=args.int8,
+    )
+    ids, embs = _load_embs(args.embs)
+    captions = cap.caption(embs)
+    with open(args.out, "w") as f:
+        json.dump(dict(zip(ids, captions)), f, indent=2)
+    print(f"wrote {len(captions)} captions -> {args.out}")

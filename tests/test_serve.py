@@ -1,0 +1,61 @@
+"""Serving API tests: checkpoint -> Captioner -> captions (CLI path too)."""
+
+import json
+import os.path as osp
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from dmi_tpu.data.fixtures import generate_dataset
+from dmi_tpu.serve import Captioner
+from dmi_tpu.train_projector import run as run_projector
+from tests.test_projector_e2e import make_config
+
+
+@pytest.fixture()
+def trained(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    generate_dataset("data", "sydney", "RemoteCLIP-RN50-Unchanged", mm_dim=32,
+                     n_train=4, n_eval=2, seed=0)
+    run_projector(make_config(tmp_path))
+    return tmp_path, osp.join(
+        "checkpoints", "cfg_projector_smoke-dszfull-seed7-checkpoint-projector-best.pt"
+    )
+
+
+def test_captioner_from_checkpoint(trained):
+    _, ckpt = trained
+    cap = Captioner.from_checkpoint(
+        "test:tiny", ckpt, "sydney", lm_dtype="float32", batch_size=4
+    )
+    embs = np.random.default_rng(0).normal(size=(10, 32)).astype(np.float32)
+    captions = cap.caption(embs)  # 10 rows through batch 4 (tail padding)
+    assert len(captions) == 10
+    assert all(isinstance(c, str) for c in captions)
+
+
+def test_captioner_int8(trained):
+    _, ckpt = trained
+    cap = Captioner.from_checkpoint(
+        "test:tiny", ckpt, "sydney", lm_dtype="float32", batch_size=4, int8=True
+    )
+    captions = cap.caption(np.ones((3, 32), np.float32))
+    assert len(captions) == 3
+
+
+def test_serve_cli(trained):
+    workdir, ckpt = trained
+    embs = np.random.default_rng(1).normal(size=(5, 32)).astype(np.float32)
+    np.save("embs.npy", embs)
+    env = dict(__import__("os").environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "-m", "dmi_tpu.serve", "--lm", "test:tiny",
+         "--projector-ckpt", ckpt, "--dataset", "sydney",
+         "--embs", "embs.npy", "--out", "caps.json", "--batch-size", "4"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    caps = json.load(open("caps.json"))
+    assert len(caps) == 5
