@@ -112,6 +112,14 @@ def apply(
     if spec.arch == "linear":
         y = x @ layers[0]["w"] + layers[0]["b"]
         return _dropout(y, spec.dropout, rng, train)
+    if spec.arch == "mlp" and spec.n_layers == 2 and not train:
+        # eval/serving hot path: fused Pallas MLP2 on TPU (XLA twin
+        # elsewhere; gradients route through the twin via custom_vjp)
+        from dmi_tpu.ops.pallas import fused_mlp2
+
+        return fused_mlp2(
+            x, layers[0]["w"], layers[0]["b"], layers[1]["w"], layers[1]["b"]
+        )
     n = len(layers)
     for i, layer in enumerate(layers):
         x = x @ layer["w"] + layer["b"]
@@ -160,11 +168,15 @@ def lora_apply(
         # Reference iteration order over modules [L0, GELU, Dropout, L1, ...]
         # zipped with len(a_weights) adapters: adapter i is consumed by
         # module i, so only module 0 (Linear) gets its adapter and module 1
-        # (GELU) ends the loop.
+        # (GELU) ends the loop.  This is the hypernet-train hot op -> fused
+        # Pallas kernel on TPU (XLA twin elsewhere / for grads).
+        from dmi_tpu.ops.pallas import fused_lora_layer0
+
         in0, out0 = dims[0]
         a, b = _reshape_ab(a_weights[0], b_weights[0], in0, out0)
-        y = x @ layers[0]["w"] + layers[0]["b"] + (x @ a) @ b + biases[0]
-        return _act(spec, y)
+        return fused_lora_layer0(
+            x, layers[0]["w"], layers[0]["b"], a, b, biases[0]
+        )
 
     # Full forward: every linear gets its adapter.
     n = len(layers)
