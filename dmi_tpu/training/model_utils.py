@@ -32,8 +32,16 @@ def is_instruct_lm(name: str) -> bool:
     return name in LLMS_CHATTEMPLATES or is_test_lm(name)
 
 
+def _resolve_name(name: str) -> str:
+    """DMI_LM_OVERRIDE substitutes the LM (e.g. 'test:tiny') so the literal
+    reference configs run in offline/smoke environments."""
+    import os
+
+    return os.environ.get("DMI_LM_OVERRIDE") or name
+
+
 def build_tokenizer(lm_args):
-    name = lm_args.lm_name_or_path
+    name = _resolve_name(lm_args.lm_name_or_path)
     if is_test_lm(name):
         from dmi_tpu.data.tok_fixture import build_test_tokenizer
 
@@ -76,7 +84,7 @@ def _hf_to_config(hf_cfg, dtype, tokenizer) -> llama.LlamaConfig:
 
 
 def build_lm(lm_args, tokenizer, seed: int = 0) -> Tuple[llama.LlamaConfig, dict]:
-    name = lm_args.lm_name_or_path
+    name = _resolve_name(lm_args.lm_name_or_path)
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "float16": jnp.bfloat16}[
         lm_args.lm_dtype or "bfloat16"
     ]
