@@ -13,7 +13,9 @@ later rounds track improvement; the reference publishes no decode numbers
 (BASELINE.md).
 
 Env knobs: DMI_BENCH_SMALL=1 (tiny model for CPU smokes),
-DMI_BENCH_BATCH (default 64), DMI_BENCH_NEW_TOKENS (default 22).
+DMI_BENCH_BATCH (default 256), DMI_BENCH_NEW_TOKENS (default 22),
+DMI_BENCH_INT8=1 (quantized weights),
+DMI_BENCH_MODE=train (projector train-step throughput instead of decode).
 """
 
 from __future__ import annotations
@@ -25,6 +27,48 @@ import os.path as osp
 import time
 
 import numpy as np
+
+
+def bench_train(cfg, llm_params, pspec, pparams, batch, seq_len=48) -> dict:
+    """Projector train-step throughput: value_and_grad through the frozen
+    LLM + AdamW update (the stage-1/3 hot loop)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from dmi_tpu.models import mmmodel
+    from dmi_tpu.models import projector as proj
+
+    rng = np.random.default_rng(0)
+    embs = jnp.asarray(rng.normal(size=(batch, pspec.mm_dim)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(1, cfg.vocab_size, size=(batch, seq_len)), jnp.int32)
+    mask = jnp.ones((batch, seq_len), jnp.int32)
+    labels = jnp.where(jnp.arange(seq_len)[None] < seq_len // 2, -100, ids)
+
+    opt = optax.adamw(1e-4)
+    opt_state = opt.init(pparams)
+
+    def loss_fn(p):
+        soft = proj.apply(pspec, p, embs, train=False)
+        return mmmodel.caption_loss(cfg, llm_params, soft, ids, mask, labels)
+
+    @jax.jit
+    def step(p, s):
+        loss, g = jax.value_and_grad(loss_fn)(p)
+        updates, s = opt.update(g, s, p)
+        return optax.apply_updates(p, updates), s, loss
+
+    pparams, opt_state, loss = step(pparams, opt_state)
+    _ = float(loss)  # compile + force
+    n = 5
+    t0 = time.perf_counter()
+    for _ in range(n):
+        pparams, opt_state, loss = step(pparams, opt_state)
+        _ = float(loss)
+    dt = time.perf_counter() - t0
+    return {"steps_per_sec": n / dt, "samples_per_sec": batch * n / dt}
 
 
 def main() -> None:
@@ -60,6 +104,21 @@ def main() -> None:
         llm_params = quantize_llama(llm_params)
     pspec = proj.ProjectorSpec(mm_dim=mm_dim, lm_dim=cfg.hidden_size, n_layers=2)
     pparams = proj.init(jax.random.key(1), pspec)
+
+    if os.environ.get("DMI_BENCH_MODE") == "train":
+        r = bench_train(cfg, llm_params, pspec, pparams, batch)
+        metric = "train_samples_per_sec_per_chip_1b" if not small else "train_samples_per_sec_small"
+        print(
+            json.dumps(
+                {
+                    "metric": metric,
+                    "value": round(r["samples_per_sec"], 3),
+                    "unit": "samples/s/chip",
+                    "vs_baseline": 1.0,
+                }
+            )
+        )
+        return
 
     rng = np.random.default_rng(0)
     embs = jnp.asarray(rng.normal(size=(batch, mm_dim)).astype(np.float32))

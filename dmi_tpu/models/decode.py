@@ -112,6 +112,9 @@ def greedy_generate(
     caches = init_cache(cfg, B, total)
     eos = jnp.asarray(cfg.eos_token_ids)
 
+    if cfg.tie_word_embeddings and not isinstance(params["embed"], dict):
+        params = {**params, "head": params["embed"].T}
+
     logits, caches = prefill(cfg, params, inputs_embeds, caches)
 
     tokens0 = jnp.full((B, max_new_tokens), pad_token_id, jnp.int32)

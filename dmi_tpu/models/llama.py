@@ -230,6 +230,10 @@ def _mm(h: jax.Array, w) -> jax.Array:
 
 
 def _head_matmul(x: jax.Array, params: dict, cfg: "LlamaConfig") -> jax.Array:
+    if "head" in params:
+        # decode pre-transposes the tied head once ([H, V] resident) so the
+        # 0.5GB embed transpose isn't re-materialized every token step
+        return _mm(x, params["head"])
     if cfg.tie_word_embeddings:
         embed = params["embed"]
         if isinstance(embed, dict) and "q" in embed:
@@ -299,12 +303,15 @@ def forward(
     inputs_embeds: jax.Array,
     attention_mask: Optional[jax.Array] = None,
     positions: Optional[jax.Array] = None,
+    remat: bool = False,
 ) -> jax.Array:
     """Full-sequence forward -> logits [B, T, V].
 
     attention_mask: [B, T] with 1 = real token (HF convention).  Causal
     masking is always applied; positions default to arange (HF default for
-    right-padded batches)."""
+    right-padded batches).  remat=True rematerializes each block on the
+    backward pass (activation memory ~O(1) in depth — trades FLOPs for
+    HBM when training through the frozen LLM at large batch/seq)."""
     B, T, H = inputs_embeds.shape
     x = inputs_embeds.astype(cfg.dtype)
     if positions is None:
@@ -325,6 +332,8 @@ def forward(
         y, _ = _block(cfg, x, lw, cos, sin, bias)
         return y, None
 
+    if remat:
+        body = jax.checkpoint(body)
     x, _ = jax.lax.scan(body, x, layer_params)
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     return _head_matmul(x, params, cfg)

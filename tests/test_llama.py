@@ -180,3 +180,24 @@ def test_rope_llama3_scaling_matches_hf():
     inv_hf, _ = ROPE_INIT_FUNCTIONS["llama3"](hf_cfg, "cpu")
     ours = np.asarray(llama.rope_inv_freq(cfg))
     np.testing.assert_allclose(ours, inv_hf.numpy(), rtol=1e-6)
+
+
+def test_remat_forward_and_grads_match():
+    """jax.checkpoint rematerialization must not change values or grads."""
+    import jax
+
+    _, cfg, params = make_pair(seed=7)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 6, 64)).astype(np.float32) * 0.1)
+
+    y1 = llama.forward(cfg, params, x, remat=False)
+    y2 = llama.forward(cfg, params, x, remat=True)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)
+
+    g1 = jax.grad(lambda x: float_loss(cfg, params, x, False))(x)
+    g2 = jax.grad(lambda x: float_loss(cfg, params, x, True))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-6)
+
+
+def float_loss(cfg, params, x, remat):
+    return jnp.sum(llama.forward(cfg, params, x, remat=remat) ** 2)
