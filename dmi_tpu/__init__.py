@@ -26,3 +26,20 @@ Design stance (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy top-level API (avoids importing jax at package import)
+    if name == "Captioner":
+        from dmi_tpu.serve import Captioner
+
+        return Captioner
+    if name == "LlamaConfig":
+        from dmi_tpu.models.llama import LlamaConfig
+
+        return LlamaConfig
+    if name == "DatasetLoader":
+        from dmi_tpu.data.loader import DatasetLoader
+
+        return DatasetLoader
+    raise AttributeError(name)

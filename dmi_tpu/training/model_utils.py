@@ -91,16 +91,25 @@ def build_lm(lm_args, tokenizer, seed: int = 0) -> Tuple[llama.LlamaConfig, dict
     if is_test_lm(name):
         parts = name.split(":")
         vocab = int(parts[2]) if len(parts) > 2 else max(512, tokenizer.vocab_size + 8)
-        cfg = llama.tiny_config(
-            vocab_size=vocab,
-            hidden_size=64,
-            n_layers=2,
-            n_heads=4,
-            n_kv=2,
-            intermediate=128,
-            dtype=dtype,
-            eos=(tokenizer.eos_token_id,),
-        )
+        if parts[1] == "1b":
+            # 1B-bodied model (Llama-3.2-1B dims) with the fixture vocab —
+            # production-scale compute/memory without HF weights, for
+            # hardware validation of the full train/decode loops
+            cfg = llama.LlamaConfig(
+                vocab_size=vocab, dtype=dtype, eos_token_ids=(tokenizer.eos_token_id,),
+                rope_scaling_factor=None, bos_token_id=tokenizer.bos_token_id or 0,
+            )
+        else:
+            cfg = llama.tiny_config(
+                vocab_size=vocab,
+                hidden_size=64,
+                n_layers=2,
+                n_heads=4,
+                n_kv=2,
+                intermediate=128,
+                dtype=dtype,
+                eos=(tokenizer.eos_token_id,),
+            )
         params = llama.init(jax.random.key(seed), cfg)
         return cfg, params
 
