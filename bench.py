@@ -71,6 +71,21 @@ def bench_train(cfg, llm_params, pspec, pparams, batch, seq_len=48) -> dict:
     return {"steps_per_sec": n / dt, "samples_per_sec": batch * n / dt}
 
 
+def _load_or_record_baseline(metric: str, value: float) -> float:
+    """Per-metric baseline tracking: merge into bench_baseline.json (never
+    clobber other variants' recorded baselines)."""
+    baseline_file = osp.join(osp.dirname(osp.abspath(__file__)), "bench_baseline.json")
+    recorded = {}
+    if osp.exists(baseline_file):
+        recorded = json.load(open(baseline_file))
+    if metric in recorded:
+        return recorded[metric]
+    recorded[metric] = value
+    with open(baseline_file, "w") as f:
+        json.dump(recorded, f, indent=2)
+    return value
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -108,13 +123,15 @@ def main() -> None:
     if os.environ.get("DMI_BENCH_MODE") == "train":
         r = bench_train(cfg, llm_params, pspec, pparams, batch)
         metric = "train_samples_per_sec_per_chip_1b" if not small else "train_samples_per_sec_small"
+        value = r["samples_per_sec"]
+        baseline = _load_or_record_baseline(metric, value)
         print(
             json.dumps(
                 {
                     "metric": metric,
-                    "value": round(r["samples_per_sec"], 3),
+                    "value": round(value, 3),
                     "unit": "samples/s/chip",
-                    "vs_baseline": 1.0,
+                    "vs_baseline": round(value / baseline, 3),
                 }
             )
         )
@@ -147,15 +164,7 @@ def main() -> None:
     if int8:
         metric += "_int8"
 
-    baseline_file = osp.join(osp.dirname(osp.abspath(__file__)), "bench_baseline.json")
-    baseline = None
-    if osp.exists(baseline_file):
-        recorded = json.load(open(baseline_file))
-        baseline = recorded.get(metric)
-    if baseline is None:
-        with open(baseline_file, "w") as f:
-            json.dump({metric: captions_per_sec, "recorded_on": jax.default_backend()}, f, indent=2)
-        baseline = captions_per_sec
+    baseline = _load_or_record_baseline(metric, captions_per_sec)
 
     print(
         json.dumps(

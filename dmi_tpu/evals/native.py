@@ -48,7 +48,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
     path = _build()
     if path is None:
         return None
-    lib = ctypes.CDLL(path)
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError as e:  # stale/foreign-arch .so — fall back to python
+        log.info("native scorer .so unloadable (%s); using python scorers", e)
+        return None
     u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")

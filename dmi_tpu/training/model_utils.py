@@ -4,8 +4,12 @@ Resolution order for the language model:
   * "test:tiny[:<vocab>]" — a tiny random-config Llama + the offline
     byte-BPE tokenizer fixture (no network; used for tests/smokes/bench
     scaffolding in this zero-egress environment)
+  * "test:1b[:<vocab>]" — the Llama-3.2-1B preset body with random weights
+    and the fixture vocab (production-scale hardware validation offline)
   * anything else — HF transformers from the local cache
     (local_files_only), converted into the stacked-layer JAX pytree
+The DMI_LM_OVERRIDE env var substitutes any configured name with one of
+the above (lets the literal reference configs run offline).
 """
 
 from __future__ import annotations
@@ -92,12 +96,17 @@ def build_lm(lm_args, tokenizer, seed: int = 0) -> Tuple[llama.LlamaConfig, dict
         parts = name.split(":")
         vocab = int(parts[2]) if len(parts) > 2 else max(512, tokenizer.vocab_size + 8)
         if parts[1] == "1b":
-            # 1B-bodied model (Llama-3.2-1B dims) with the fixture vocab —
-            # production-scale compute/memory without HF weights, for
-            # hardware validation of the full train/decode loops
-            cfg = llama.LlamaConfig(
-                vocab_size=vocab, dtype=dtype, eos_token_ids=(tokenizer.eos_token_id,),
-                rope_scaling_factor=None, bos_token_id=tokenizer.bos_token_id or 0,
+            # 1B-bodied model (Llama-3.2-1B dims via the named preset) with
+            # the fixture vocab — production-scale compute/memory without HF
+            # weights, for hardware validation of the full train/decode loops
+            import dataclasses
+
+            cfg = dataclasses.replace(
+                llama.llama32_1b(dtype),
+                vocab_size=vocab,
+                eos_token_ids=(tokenizer.eos_token_id,),
+                bos_token_id=tokenizer.bos_token_id or 0,
+                rope_scaling_factor=None,  # tiny contexts need no llama3 scaling
             )
         else:
             cfg = llama.tiny_config(
