@@ -306,10 +306,11 @@ class DatasetLoader:
         text_embs = split.text_embs[idxs]
         if self.train_args.subtract_mean and self.text_emb_mean is not None:
             text_embs = text_embs - self.text_emb_mean
-        if self.prefix_emb_dict is not None:
-            prefix_emb = np.asarray(self.prefix_emb_dict[prefix], np.float32)[None, :]
-        else:
-            prefix_emb = None  # coco-family subset has no prefix emb
+        if self.prefix_emb_dict is None:
+            # coco-family subset: (embs, text_embs) — no instruction-prefix
+            # embedding exists (dmi/data/coco.py:166-182)
+            return (embs, text_embs)
+        prefix_emb = np.asarray(self.prefix_emb_dict[prefix], np.float32)[None, :]
         return (embs, text_embs, prefix_emb)
 
     # ------------------------------------------------------------------

@@ -39,10 +39,11 @@ class EmbeddingManager:
 
     def get_embeddings(
         self, inputs: Union[jnp.ndarray, Tuple]
-    ) -> Union[jax.Array, Tuple[jax.Array, jax.Array, jax.Array]]:
+    ) -> Union[jax.Array, Tuple[jax.Array, ...]]:
+        """L2-normalize an embedding array or a (mm, text[, prefix]) tuple
+        (the coco-family subset collate has no prefix embedding)."""
         if isinstance(inputs, (tuple, list)):
-            embs, text_embs, prefix_emb = inputs
-            return (_norm(embs), _norm(text_embs), _norm(prefix_emb))
+            return tuple(_norm(x) for x in inputs)
         return _norm(inputs)
 
 

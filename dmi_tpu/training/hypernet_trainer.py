@@ -38,13 +38,18 @@ import numpy as np
 
 from dmi_tpu.config import FewshotArgs, TrainArgs
 from dmi_tpu.data.collator import pad_batch_dim
-from dmi_tpu.evals.metrics import calc_metrics
 from dmi_tpu.models import hypernet as hn
 from dmi_tpu.models import mmmodel
 from dmi_tpu.models import projector as proj
 from dmi_tpu.models.llama import LlamaConfig
 from dmi_tpu.ops import interleave_rows, pad_features, random_orthogonal
 from dmi_tpu.training.checkpoint import BestCheckpointer, load_pytree, save_pytree
+from dmi_tpu.training.generation import (
+    comp_metric,
+    metrics_for,
+    pad_emb_rows,
+    prefix_prompt_ids,
+)
 from dmi_tpu.training.optim import make_lr_fn, make_optimizer, set_lr
 from dmi_tpu.training.results import save_run_results
 from dmi_tpu.training.trainer import StepConditions, pick_loader, strip_to_assistant
@@ -70,14 +75,23 @@ def process_embeddings(
 ):
     """dmi/train_hypernet.py:85-108, jittable."""
     if feed_txt_embs:
-        subm, txt, pre = subset
+        # prefix may be absent: the coco-family subset collate yields
+        # (embs, text_embs) with no instruction-prefix embedding
+        # (dmi/data/coco.py:166-182)
+        if len(subset) == 3:
+            subm, txt, pre = subset
+        else:
+            subm, txt = subset
+            pre = None
         if augment and rotate_key is not None:
             R = random_orthogonal(rotate_key, mm_embs.shape[1])
             mm_embs = mm_embs @ R
             subm = subm @ R
         if pad_to is not None and subm.shape[1] < pad_to:
             subm = pad_features(subm, pad_to)
-        z = jnp.concatenate([pre, interleave_rows(subm, txt)], axis=0)
+        z = interleave_rows(subm, txt)
+        if pre is not None:
+            z = jnp.concatenate([pre, z], axis=0)
         return mm_embs, z
     # no-text path: the reference computes R but never applies it (:88-108)
     subm = subset
@@ -284,10 +298,10 @@ class HypernetTrainer:
                 self.state, self.llm_params, mm, subset, ids, mask, labels,
                 rot_key, hn_rng, step, do_update, can_rotate=True,
             )
-            accumulated += float(loss)
+            accumulated = accumulated + loss  # device scalar; sync at log time
             if do_update:
                 if (step + 1) % self.train_args.logging_steps == 0 and step > 0:
-                    log.info("Step: %d/%d Train Loss: %.3f", step, total, accumulated)
+                    log.info("Step: %d/%d Train Loss: %.3f", step, total, float(accumulated))
                 if self.cond.evaluate(step, total):
                     cur_eval_loss = self.evaluate()
                     log.info("Step: %d Eval Loss: %.3f", step, cur_eval_loss)
@@ -312,16 +326,13 @@ class HypernetTrainer:
         for loader, mgr in pairs:
             for bi, batch in enumerate(loader.eval_batches("validation")):
                 subset = mgr.get_embeddings(loader.subset_batch(bi, "validation"))
-                real = batch["input_ids"].shape[0]
                 batch_p = pad_batch_dim(
-                    {k: v for k, v in batch.items() if k != "ids"},
+                    {k: v for k, v in batch.items() if k != "ids" and k != "embs"},
                     self.train_args.eval_batch_size,
                 )
-                embs_np = np.zeros(
-                    (self.train_args.eval_batch_size, batch["embs"].shape[1]), np.float32
+                mm = mgr.get_embeddings(
+                    pad_emb_rows(batch["embs"], self.train_args.eval_batch_size)
                 )
-                embs_np[:real] = batch["embs"]
-                mm = mgr.get_embeddings(embs_np)
                 ids, mask, labels = self._device_batch(batch_p)
                 losses.append(
                     float(self._eval_loss(self.state.params, self.llm_params, mm, subset, ids, mask, labels))
@@ -331,15 +342,6 @@ class HypernetTrainer:
     # ------------------------------------------------------------------
     # generate (shared by train eval + fewshot)
     # ------------------------------------------------------------------
-
-    def _prefix_ids(self, loader, batch_size):
-        prefix = loader.PREFIX if loader.PREFIX is not None else loader.prefixes[0]
-        ids = self.tokenizer.apply_chat_template(
-            [{"role": "user", "content": prefix}],
-            tokenize=True, add_generation_prompt=True,
-        )
-        arr = np.asarray(ids, np.int32)[None, :]
-        return jnp.asarray(np.tile(arr, (batch_size, 1)))
 
     def _soft_for_generate(self, mm, subset):
         if self.generated_projector is not None:
@@ -362,7 +364,7 @@ class HypernetTrainer:
         for loader, mgr in triples:
             mgr_name = mgr.short_name
             gts, preds, ids = [], [], []
-            prefix = self._prefix_ids(loader, bsz)
+            prefix = prefix_prompt_ids(self.tokenizer, loader, bsz)
             for bi, batch in enumerate(loader.eval_batches(split)):
                 real = batch["input_ids"].shape[0]
                 gt_texts = self.tokenizer.batch_decode(
@@ -371,9 +373,7 @@ class HypernetTrainer:
                 gts.extend(strip_to_assistant(gt_texts))
                 ids.extend(batch["ids"])
                 subset = mgr.get_embeddings(loader.subset_batch(bi, split))
-                embs_np = np.zeros((bsz, batch["embs"].shape[1]), np.float32)
-                embs_np[:real] = batch["embs"]
-                mm = mgr.get_embeddings(embs_np)
+                mm = mgr.get_embeddings(pad_emb_rows(batch["embs"], bsz))
                 soft = self._soft_for_generate(mm, subset)
                 tokens = mmmodel.caption_generate(
                     self.llm_cfg, self.llm_params, soft, prefix,
@@ -387,14 +387,9 @@ class HypernetTrainer:
             all_gts[mgr_name] = gts
             all_preds[mgr_name] = preds
             all_ids[mgr_name] = ids
-            if loader.dataset_name in ("chebi20", "sydney", "candels"):
-                all_metrics[mgr_name] = calc_metrics(
-                    preds, ids, loader.dataset_name, self.name, mode, self.data_root
-                )
-            else:
-                from dmi_tpu.evals.captions import caption_evaluate
-
-                all_metrics[mgr_name] = caption_evaluate(preds, gts)
+            all_metrics[mgr_name] = metrics_for(
+                loader, preds, ids, gts, self.name, mode, self.data_root
+            )
         return all_metrics, all_gts, all_preds, all_ids
 
     # ------------------------------------------------------------------
@@ -484,14 +479,14 @@ class HypernetTrainer:
                     fs_state, self.llm_params, mm, subset, ids, mask, labels,
                     rng, do_update,
                 )
-                accumulated += float(loss)
+                accumulated = accumulated + loss  # device scalar
                 if self.generated_projector is not None:
                     self.generated_projector = fs_state.params
                 else:
                     self.state = self.state._replace(params=fs_state.params)
                 if do_update:
                     if (step + 1) % args.logging_steps == 0 and step > 0:
-                        log.info("Fewshot step %d/%d loss %.3f", step, total, accumulated)
+                        log.info("Fewshot step %d/%d loss %.3f", step, total, float(accumulated))
                     if self.cond.evaluate(step, total):
                         all_metrics, _, _, _ = self.generate("eval", fewshot_idx=emb_idx)
                         comp_metric, cur = self._comp_metric(all_metrics)
@@ -531,10 +526,7 @@ class HypernetTrainer:
         return all_test["metrics"]
 
     def _comp_metric(self, all_metrics):
-        names = list(next(iter(all_metrics.values())).keys())
-        comp = "coco_cider" if "coco_cider" in names else "bleu"
-        val = sum(m[comp] for m in all_metrics.values()) / len(all_metrics)
-        return comp, val
+        return comp_metric(all_metrics)
 
     def _build_fewshot_step(self, fs_opt, lr):
         cfg = self.llm_cfg

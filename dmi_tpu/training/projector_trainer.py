@@ -27,11 +27,16 @@ import numpy as np
 
 from dmi_tpu.config import TrainArgs
 from dmi_tpu.data.collator import pad_batch_dim
-from dmi_tpu.evals.metrics import calc_metrics
 from dmi_tpu.models import mmmodel
 from dmi_tpu.models import projector as proj
 from dmi_tpu.models.llama import LlamaConfig
 from dmi_tpu.training.checkpoint import BestCheckpointer, load_pytree
+from dmi_tpu.training.generation import (
+    comp_metric,
+    metrics_for,
+    pad_emb_rows,
+    prefix_prompt_ids,
+)
 from dmi_tpu.training.optim import make_lr_fn, make_optimizer, set_lr
 from dmi_tpu.training.results import save_run_results
 from dmi_tpu.training.trainer import StepConditions, pick_loader, strip_to_assistant
@@ -191,7 +196,9 @@ class ProjectorTrainer:
         self.state, loss = self._micro_step(
             self.state, self.llm_params, embs, ids, mask, labels, rng, step, do_update
         )
-        return float(loss), do_update
+        # loss stays a device scalar — forcing it every micro-step would
+        # serialize host batch prep against device compute
+        return loss, do_update
 
     def evaluate(self) -> float:
         """Mean of per-batch losses across all eval loaders
@@ -199,31 +206,17 @@ class ProjectorTrainer:
         losses = []
         for emb_idx, loader in enumerate(self.loaders):
             for batch in loader.eval_batches("validation"):
-                real = batch["input_ids"].shape[0]
                 batch_p = pad_batch_dim(
-                    {k: v for k, v in batch.items() if k != "ids"},
+                    {k: v for k, v in batch.items() if k != "ids" and k != "embs"},
                     self.train_args.eval_batch_size,
                 )
-                embs_np = np.zeros(
-                    (self.train_args.eval_batch_size, batch["embs"].shape[1]), np.float32
-                )
-                embs_np[:real] = batch["embs"]
+                embs_np = pad_emb_rows(batch["embs"], self.train_args.eval_batch_size)
                 embs = self.emb_mgrs[emb_idx].get_embeddings(embs_np)
                 ids, mask, labels = self._device_batch(batch_p)
                 losses.append(float(self._eval_loss(self.state.params, self.llm_params, embs, ids, mask, labels)))
         return float(np.mean(losses))
 
     # ------------------------------------------------------------------
-
-    def _prefix_ids(self, loader, batch_size: int) -> jnp.ndarray:
-        prefix = loader.PREFIX if loader.PREFIX is not None else loader.prefixes[0]
-        ids = self.tokenizer.apply_chat_template(
-            [{"role": "user", "content": prefix}],
-            tokenize=True,
-            add_generation_prompt=True,
-        )
-        arr = np.asarray(ids, np.int32)[None, :]
-        return jnp.asarray(np.tile(arr, (batch_size, 1)))
 
     def _generate_soft(self, embs):
         return self._soft_eval(self.state.params, embs)
@@ -237,7 +230,7 @@ class ProjectorTrainer:
         for emb_idx, loader in enumerate(self.loaders):
             mgr_name = self.emb_mgrs[emb_idx].short_name
             gts, preds, ids = [], [], []
-            prefix = self._prefix_ids(loader, bsz)
+            prefix = prefix_prompt_ids(self.tokenizer, loader, bsz)
             for batch in loader.eval_batches(split):
                 real = batch["input_ids"].shape[0]
                 gt_texts = self.tokenizer.batch_decode(
@@ -245,9 +238,9 @@ class ProjectorTrainer:
                 )
                 gts.extend(strip_to_assistant(gt_texts))
                 ids.extend(batch["ids"])
-                embs_np = np.zeros((bsz, batch["embs"].shape[1]), np.float32)
-                embs_np[:real] = batch["embs"]
-                embs = self.emb_mgrs[emb_idx].get_embeddings(embs_np)
+                embs = self.emb_mgrs[emb_idx].get_embeddings(
+                    pad_emb_rows(batch["embs"], bsz)
+                )
                 soft = self._generate_soft(embs)
                 tokens = mmmodel.caption_generate(
                     self.llm_cfg,
@@ -264,26 +257,15 @@ class ProjectorTrainer:
             all_gts[mgr_name] = gts
             all_preds[mgr_name] = preds
             all_ids[mgr_name] = ids
-            if loader.dataset_name in ("chebi20", "sydney", "candels"):
-                all_metrics[mgr_name] = calc_metrics(
-                    preds, ids, loader.dataset_name, self.name, mode, self.data_root
-                )
-            else:
-                # pretrain datasets have no GT files; score against the
-                # decoded references (the reference code crashes here —
-                # eval_utils.calc_metrics has no branch for them)
-                from dmi_tpu.evals.captions import caption_evaluate
-
-                all_metrics[mgr_name] = caption_evaluate(preds, gts)
+            all_metrics[mgr_name] = metrics_for(
+                loader, preds, ids, gts, self.name, mode, self.data_root
+            )
         return all_metrics, all_gts, all_preds, all_ids
 
     # ------------------------------------------------------------------
 
     def comp_metric_value(self, all_metrics) -> tuple:
-        metric_names = list(next(iter(all_metrics.values())).keys())
-        comp = "coco_cider" if "coco_cider" in metric_names else "bleu"
-        val = sum(m[comp] for m in all_metrics.values()) / len(all_metrics)
-        return comp, val
+        return comp_metric(all_metrics)
 
     def resume(self) -> int:
         """Restore params + optimizer state + step from the best checkpoint
@@ -321,8 +303,9 @@ class ProjectorTrainer:
                 accumulated += loss
                 if did_update:
                     if (step + 1) % self.train_args.logging_steps == 0 and step > 0:
-                        log.info("Step: %d/%d Train Loss: %.3f", step, total, accumulated)
-                        mlog.log({"train_loss": accumulated, **timer.summary()}, step)
+                        acc = float(accumulated)  # host sync only at log time
+                        log.info("Step: %d/%d Train Loss: %.3f", step, total, acc)
+                        mlog.log({"train_loss": acc, **timer.summary()}, step)
                     if self.cond.evaluate(step, total):
                         ev = self.evaluate()
                         log.info("Step: %d Eval Loss: %.3f", step, ev)

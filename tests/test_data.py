@@ -258,3 +258,32 @@ def test_emb_index_family(tok, tmp_path):
     args = _targs(train_batch_size=2)
     ld = DatasetLoader(dataset_spec("audiocaps"), tok, args, "clap-htsat-fused", True, root)
     assert ld.train.embs.shape[1] == 16  # [0] applied at load
+
+
+def test_coco_family_subset_two_tuple(tok, tmp_path):
+    """coco-family subset collate with feed_txt_embs yields (embs, text) —
+    no prefix embedding (dmi/data/coco.py:166-182) — and the hypernet
+    conditioning pipeline consumes it."""
+    root = str(tmp_path)
+    generate_dataset(root, "coco", "clip-vit-large-patch14", mm_dim=16,
+                     n_train=8, n_eval=4, text_dim=16)
+    args = _targs(train_batch_size=2, feed_txt_embs=True)
+    ld = DatasetLoader(dataset_spec("coco"), tok, args, "clip-vit-large-patch14", True, root)
+    out = ld.subset_batch(0)
+    assert isinstance(out, tuple) and len(out) == 2
+
+    from dmi_tpu.training.embeddings import EmbeddingManager
+    from dmi_tpu.training.hypernet_trainer import process_embeddings
+
+    mgr = EmbeddingManager("x/clip-vit-large-patch14")
+    normed = mgr.get_embeddings(out)
+    assert len(normed) == 2
+    mm = mgr.get_embeddings(ld.train_batch(0)["embs"])
+    import jax
+
+    mm2, z = process_embeddings(
+        mm, normed, feed_txt_embs=True, augment=True,
+        rotate_key=jax.random.key(0), pad_to=None,
+    )
+    assert z.shape == (2 * args.subset_batch_size, 16)
+    assert bool(jnp.isfinite(z).all())
