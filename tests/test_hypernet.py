@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 
 from dmi_tpu.models import hypernet as hn
@@ -170,3 +171,30 @@ def test_generated_projector_pipeline():
     y = proj.apply(pspec, generated, x)
     assert y.shape == (3, 16)
     assert np.isfinite(np.asarray(y)).all()
+
+
+@pytest.mark.parametrize("arch", ["transformer", "att_w_nonlinear"])
+def test_other_archs_jit_and_shapes(arch):
+    """The reference defaults hn_arch to 'transformer' (dmi/utils/args.py:87)
+    and also offers att_w_nonlinear; both must emit adapters under jit.
+    (att_w_nonlinear is actually broken in the reference — nn.Sequential
+    cannot take the mask argument, dmi/model/hypernet.py:172 — ours works.)"""
+    spec = hn.HypnetSpec(
+        lm_dim=16, mm_dim=12, n_tokens=4, arch=arch, n_layers=1, n_heads=2,
+        hypnet_dim=12, rank=4, alpha=4, predict_bias=True, n_proj_layers=2,
+        use_pos_encs=True,
+    )
+    params = hn.init(jax.random.key(8), spec)
+    z = jnp.asarray(np.random.default_rng(8).normal(size=(4, 12)).astype(np.float32))
+
+    @jax.jit
+    def emit(p, z):
+        return hn.apply(spec, p, z)
+
+    a, b, d = emit(params, z)
+    assert a[0].shape == (12 * 4,) and b[1].shape == (4 * 16,) and d[0].shape == (16,)
+    assert all(bool(jnp.isfinite(x).all()) for x in a + b + d)
+
+    # training mode with dropout rng runs too
+    a2, _, _ = hn.apply(spec, params, z, train=True, rng=jax.random.key(9))
+    assert bool(jnp.isfinite(a2[0]).all())
