@@ -113,6 +113,9 @@ def main() -> None:
     key = jax.random.key(0)
     llm_params = llama.init(key, cfg)
     int8 = os.environ.get("DMI_BENCH_INT8") == "1"
+    fused = os.environ.get("DMI_BENCH_FUSED") == "1"
+    if fused:
+        llm_params = llama.fuse_projections(llm_params)
     if int8:
         from dmi_tpu.models.quant import quantize_llama
 
@@ -163,6 +166,8 @@ def main() -> None:
     metric = "decode_captions_per_sec_per_chip_1b" if not small else "decode_captions_per_sec_small"
     if int8:
         metric += "_int8"
+    if fused:
+        metric += "_fused"
 
     baseline = _load_or_record_baseline(metric, captions_per_sec)
 

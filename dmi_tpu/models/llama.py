@@ -121,6 +121,22 @@ def init(key: jax.Array, cfg: LlamaConfig) -> dict:
     return params
 
 
+def fuse_projections(params: dict) -> dict:
+    """Concatenate wq|wk|wv -> w_qkv and w_gate|w_up -> w_gu.
+
+    Decode at caption batch sizes runs many skinny matmuls; fusing them
+    into fewer, fatter ones improves MXU utilization and HBM pipelining.
+    Best for single-chip / pure-dp execution — under tensor parallelism the
+    fused column blocks straddle shard boundaries (use the unfused layout
+    there)."""
+    layers = dict(params["layers"])
+    w_qkv = jnp.concatenate([layers.pop("wq"), layers.pop("wk"), layers.pop("wv")], axis=-1)
+    w_gu = jnp.concatenate([layers.pop("w_gate"), layers.pop("w_up")], axis=-1)
+    layers["w_qkv"] = w_qkv
+    layers["w_gu"] = w_gu
+    return {**params, "layers": layers}
+
+
 def from_hf_state_dict(state_dict, cfg: LlamaConfig) -> dict:
     """Convert an HF LlamaForCausalLM state dict (torch tensors or numpy)
     into the stacked-layer pytree.  HF Linear weights are (out, in); ours
@@ -273,9 +289,14 @@ def _block(cfg: LlamaConfig, x, lw, cos, sin, bias, cache_kv=None, cache_index=N
     nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
     h = rms_norm(x, lw["ln_attn"], cfg.rms_norm_eps)
-    q = _mm(h, lw["wq"]).reshape(B, T, nh, hd).transpose(0, 2, 1, 3)
-    k = _mm(h, lw["wk"]).reshape(B, T, nkv, hd).transpose(0, 2, 1, 3)
-    v = _mm(h, lw["wv"]).reshape(B, T, nkv, hd).transpose(0, 2, 1, 3)
+    if "w_qkv" in lw:  # fused layout (fuse_projections)
+        qkv = _mm(h, lw["w_qkv"])
+        q, k, v = jnp.split(qkv, [nh * hd, nh * hd + nkv * hd], axis=-1)
+    else:
+        q, k, v = _mm(h, lw["wq"]), _mm(h, lw["wk"]), _mm(h, lw["wv"])
+    q = q.reshape(B, T, nh, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(B, T, nkv, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(B, T, nkv, hd).transpose(0, 2, 1, 3)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -292,8 +313,13 @@ def _block(cfg: LlamaConfig, x, lw, cos, sin, bias, cache_kv=None, cache_index=N
     x = x + _mm(attn, lw["wo"])
 
     h = rms_norm(x, lw["ln_mlp"], cfg.rms_norm_eps)
-    gate = jax.nn.silu(_mm(h, lw["w_gate"]))
-    x = x + _mm(gate * _mm(h, lw["w_up"]), lw["w_down"])
+    if "w_gu" in lw:  # fused layout
+        gu = _mm(h, lw["w_gu"])
+        gate, up = jnp.split(gu, 2, axis=-1)
+        x = x + _mm(jax.nn.silu(gate) * up, lw["w_down"])
+    else:
+        gate = jax.nn.silu(_mm(h, lw["w_gate"]))
+        x = x + _mm(gate * _mm(h, lw["w_up"]), lw["w_down"])
     return x, new_cache
 
 

@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 
 # weights quantized per layer dict key; norms/bias-free tensors stay bf16
-_QUANT_KEYS = {"wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"}
+# (w_qkv/w_gu are the fused layouts from llama.fuse_projections)
+_QUANT_KEYS = {"wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down", "w_qkv", "w_gu"}
 
 
 def quantize_tensor(w: jax.Array) -> dict:

@@ -62,3 +62,28 @@ def test_quantized_params_memory():
 
     # int8 + small scales ≈ half the bf16... tiny config is f32 so ~1/4
     assert nbytes(qparams) < 0.5 * nbytes(params)
+
+
+def test_fused_projections_match_unfused():
+    from dmi_tpu.models.llama import fuse_projections
+
+    cfg = llama.tiny_config(vocab_size=256, hidden_size=64, n_layers=2, n_heads=4, n_kv=2)
+    params = llama.init(jax.random.key(0), cfg)
+    fused = fuse_projections(params)
+    assert "w_qkv" in fused["layers"] and "wq" not in fused["layers"]
+
+    rng = np.random.default_rng(3)
+    emb = jnp.asarray(rng.normal(size=(2, 7, 64)).astype(np.float32) * 0.1)
+    l1 = llama.forward(cfg, params, emb)
+    l2 = llama.forward(cfg, fused, emb)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
+
+    # decode equivalence (token-exact)
+    t1 = decode.greedy_generate(cfg, params, emb, 6, 5)
+    t2 = decode.greedy_generate(cfg, fused, emb, 6, 5)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+    # fused + int8 compose
+    q = quantize_llama(fused)
+    t3 = decode.greedy_generate(cfg, q, emb, 6, 5)
+    assert t3.shape == (2, 6)
