@@ -54,6 +54,34 @@ def _aligned(*dims):
     return all(d % 128 == 0 for d in dims)
 
 
+# VMEM is ~16MB/core; leave headroom for the pipeline's double buffers.
+VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _mlp2_vmem_bytes(x, w0, w1):
+    i = x.dtype.itemsize
+    mm, lm = w0.shape
+    lm2 = w1.shape[1]
+    return (
+        (mm * lm + lm + lm * lm2 + lm2) * w0.dtype.itemsize  # resident weights
+        + TILE_B * mm * i                                     # input tile
+        + TILE_B * lm * 4                                     # f32 intermediate
+        + TILE_B * lm2 * i                                    # output tile
+    )
+
+
+def _lora0_vmem_bytes(x, w0, a, b):
+    i = x.dtype.itemsize
+    mm, lm = w0.shape
+    r = ((a.shape[1] + 127) // 128) * 128
+    return (
+        (mm * lm + lm + mm * r + r * lm + lm) * w0.dtype.itemsize
+        + TILE_B * mm * i
+        + TILE_B * (lm + r) * 4
+        + TILE_B * lm * i
+    )
+
+
 def _pallas_enabled() -> bool:
     """Default ON for TPU backends (measured ~1.8x faster than the XLA twin
     for the fused MLP2 at [128,1024]x[1024,2048]x[2048,2048] bf16);
@@ -99,7 +127,11 @@ def _mlp2_pallas(x, w0, b0, w1, b1):
 @partial(jax.custom_vjp, nondiff_argnums=())
 def fused_mlp2(x, w0, b0, w1, b1):
     """gelu_tanh(x @ w0 + b0) @ w1 + b1 — Pallas on aligned TPU shapes."""
-    if _pallas_enabled() and _aligned(w0.shape[0], w0.shape[1], w1.shape[1]):
+    if (
+        _pallas_enabled()
+        and _aligned(w0.shape[0], w0.shape[1], w1.shape[1])
+        and _mlp2_vmem_bytes(x, w0, w1) <= VMEM_BUDGET
+    ):
         return _mlp2_pallas(x, w0, b0, w1, b1)
     return _mlp2_xla(x, w0, b0, w1, b1)
 
@@ -168,7 +200,11 @@ def _lora0_pallas(x, w0, b0, a, b, d):
 def fused_lora_layer0(x, w0, b0, a, b, d):
     """gelu_tanh(x@w0 + b0 + (x@a)@b + d) — the reference-faithful
     hypernet-train soft-token forward, fused."""
-    if _pallas_enabled() and _aligned(w0.shape[0], w0.shape[1]):
+    if (
+        _pallas_enabled()
+        and _aligned(w0.shape[0], w0.shape[1])
+        and _lora0_vmem_bytes(x, w0, a, b) <= VMEM_BUDGET
+    ):
         return _lora0_pallas(x, w0, b0, a, b, d)
     return _lora0_xla(x, w0, b0, a, b, d)
 

@@ -95,11 +95,16 @@ class Captioner:
         tokenizer = build_tokenizer(lm_args)
         llm_cfg, llm_params = build_lm(lm_args, tokenizer)
         ckpt = load_pytree(projector_ckpt)
-        key = next(
-            k for k in ckpt
-            if k.endswith("_state_dict") and k != "optimizer_state_dict"
-        )
-        pparams = jax.tree.map(jnp.asarray, ckpt[key])
+        if ckpt.get("generated_projector") is not None:
+            # fewshot checkpoint: serve the baked generated projector
+            pparams = jax.tree.map(jnp.asarray, ckpt["generated_projector"])
+        else:
+            key = next(
+                k for k in ckpt
+                if k.endswith("_state_dict")
+                and k not in ("optimizer_state_dict", "hypernet_state_dict")
+            )
+            pparams = jax.tree.map(jnp.asarray, ckpt[key])
         mm_dim = pparams["layers"][0]["w"].shape[0]
         pspec = proj.ProjectorSpec(
             mm_dim=mm_dim,

@@ -59,3 +59,32 @@ def test_serve_cli(trained):
     assert r.returncode == 0, r.stderr[-2000:]
     caps = json.load(open("caps.json"))
     assert len(caps) == 5
+
+
+def test_captioner_from_fewshot_checkpoint(tmp_path, monkeypatch):
+    """Few-shot checkpoints carry {hypernet_state_dict, generated_projector};
+    serving must pick the baked generated projector."""
+    import jax
+    import jax.numpy as jnp
+
+    monkeypatch.chdir(tmp_path)
+    from dmi_tpu.models import projector as proj
+    from dmi_tpu.training.checkpoint import save_pytree
+
+    pspec = proj.ProjectorSpec(mm_dim=32, lm_dim=64, n_layers=2)
+    gen = proj.init(jax.random.key(0), pspec)
+    save_pytree(
+        "fewshot-best.pt",
+        {
+            "step_idx": 3,
+            "hypernet_state_dict": {"prefix_tokens": jnp.zeros((2, 32))},
+            "generated_projector": gen,
+            "coco_cider": 1.0,
+        },
+    )
+    cap = Captioner.from_checkpoint(
+        "test:tiny", "fewshot-best.pt", "candels", lm_dtype="float32", batch_size=2
+    )
+    assert cap.proj_spec.mm_dim == 32
+    out = cap.caption(np.ones((3, 32), np.float32))
+    assert len(out) == 3
