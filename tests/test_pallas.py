@@ -10,7 +10,7 @@ import jax.numpy as jnp
 from dmi_tpu.ops.pallas import projector as pk
 
 
-def _data(B=200, mm=256, lm=256, r=32, seed=0, dtype=np.float32):
+def _data(B=200, mm=256, lm=256, r=32, seed=0, dtype=np.float32, lm2=None):
     rng = np.random.default_rng(seed)
     return (
         jnp.asarray(rng.normal(size=(B, mm)).astype(dtype)),
@@ -78,3 +78,15 @@ def test_custom_vjp_grads_match_xla():
     )
     for u, v in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(u), np.asarray(v), atol=1e-5)
+
+
+def test_tiled_mlp2_interpret_matches_xla():
+    """Column-tiled variant (h scratch reuse) for weights too big for
+    single-block residency."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    x, w0, b0, w1, b1, *_ = _data(B=130, mm=256, lm=512, seed=3)
+    ref = pk._mlp2_xla(x, w0, b0, w1, b1)
+    with pltpu.force_tpu_interpret_mode():
+        out = pk._mlp2_pallas_tiled(x, w0, b0, w1, b1, tile_n=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
