@@ -20,7 +20,7 @@ from dmi_tpu.training.projector_trainer import ProjectorTrainer
 
 class LoraTrainer(ProjectorTrainer):
     TRAINER_TYPE = "lora"
-    SAVE_TYPE = "lora"
+    SAVE_TYPE = "lora_model"  # checkpoint key parity (dmi/train_lora.py:28)
 
     def __init__(
         self,
