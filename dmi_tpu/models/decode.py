@@ -96,6 +96,64 @@ def decode_step(cfg, params, token_embeds, caches, pos):
     return logits[:, 0, :], caches
 
 
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "max_new_tokens", "pad_token_id", "temperature", "top_k"),
+)
+def sample_generate(
+    cfg: LlamaConfig,
+    params: dict,
+    inputs_embeds: jax.Array,
+    max_new_tokens: int,
+    pad_token_id: int,
+    rng: jax.Array,
+    temperature: float = 1.0,
+    top_k: int = 0,
+) -> jax.Array:
+    """Stochastic decode (temperature / top-k) with the same cache/early-exit
+    machinery as greedy_generate.  The reference only ever decodes greedily
+    (no sampling args passed to HF generate, dmi/model/mmmodel.py:72) — this
+    is serving surface the framework adds."""
+    B, T, _ = inputs_embeds.shape
+    total = T + max_new_tokens
+    caches = init_cache(cfg, B, total)
+    eos = jnp.asarray(cfg.eos_token_ids)
+
+    if cfg.tie_word_embeddings and not isinstance(params["embed"], dict):
+        params = {**params, "head": params["embed"].T}
+
+    logits, caches = prefill(cfg, params, inputs_embeds, caches)
+    tokens0 = jnp.full((B, max_new_tokens), pad_token_id, jnp.int32)
+    done0 = jnp.zeros((B,), bool)
+
+    def pick(logits, key):
+        scaled = logits.astype(jnp.float32) / max(temperature, 1e-6)
+        if top_k > 0:
+            kth = jnp.sort(scaled, axis=-1)[:, -top_k][:, None]
+            scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
+        return jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+
+    def cond(state):
+        step, _, _, done, _, _ = state
+        return (step < max_new_tokens) & ~jnp.all(done)
+
+    def body(state):
+        step, logits, caches, done, tokens, key = state
+        key, sub = jax.random.split(key)
+        next_tok = pick(logits, sub)
+        next_tok = jnp.where(done, pad_token_id, next_tok)
+        tokens = jax.lax.dynamic_update_slice(tokens, next_tok[:, None], (0, step))
+        done = done | jnp.isin(next_tok, eos)
+        embeds = llama.embed_tokens(cfg, params, next_tok)[:, None, :]
+        logits, caches = decode_step(cfg, params, embeds, caches, T + step)
+        return step + 1, logits, caches, done, tokens, key
+
+    _, _, _, _, tokens, _ = jax.lax.while_loop(
+        cond, body, (0, logits, caches, done0, tokens0, rng)
+    )
+    return tokens
+
+
 @partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "pad_token_id"))
 def greedy_generate(
     cfg: LlamaConfig,

@@ -201,3 +201,27 @@ def test_remat_forward_and_grads_match():
 
 def float_loss(cfg, params, x, remat):
     return jnp.sum(llama.forward(cfg, params, x, remat=remat) ** 2)
+
+
+def test_sample_generate_temperature_and_topk():
+    _, cfg, params = make_pair(seed=8)
+    rng = np.random.default_rng(8)
+    embeds = jnp.asarray(rng.normal(size=(3, 5, 64)).astype(np.float32) * 0.1)
+
+    # near-zero temperature reproduces greedy
+    cold = dec.sample_generate(
+        cfg, params, embeds, 8, PAD, jax.random.key(0), temperature=1e-4
+    )
+    greedy = dec.greedy_generate(cfg, params, embeds, 8, PAD)
+    np.testing.assert_array_equal(np.asarray(cold), np.asarray(greedy))
+
+    # hot sampling differs across keys (with overwhelming probability)
+    h1 = dec.sample_generate(cfg, params, embeds, 8, PAD, jax.random.key(1), temperature=2.0)
+    h2 = dec.sample_generate(cfg, params, embeds, 8, PAD, jax.random.key(2), temperature=2.0)
+    assert not np.array_equal(np.asarray(h1), np.asarray(h2))
+
+    # top-k=1 is greedy regardless of temperature
+    tk = dec.sample_generate(
+        cfg, params, embeds, 8, PAD, jax.random.key(3), temperature=5.0, top_k=1
+    )
+    np.testing.assert_array_equal(np.asarray(tk), np.asarray(greedy))
