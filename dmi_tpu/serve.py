@@ -117,25 +117,52 @@ class Captioner:
             prefix, spec.max_new_tokens, **kwargs,
         )
 
-    def caption(self, embeddings: np.ndarray) -> List[str]:
+    def caption(
+        self,
+        embeddings: np.ndarray,
+        temperature: Optional[float] = None,
+        top_k: int = 0,
+        seed: int = 0,
+    ) -> List[str]:
+        """Greedy by default (the reference's decode mode); pass a
+        temperature for stochastic decoding."""
+        from dmi_tpu.models import decode as dec
+        from dmi_tpu.models import llama as llama_mod
+
         n = embeddings.shape[0]
         out: List[str] = []
-        for start in range(0, n, self.batch_size):
+        for bi, start in enumerate(range(0, n, self.batch_size)):
             chunk = embeddings[start : start + self.batch_size]
             real = chunk.shape[0]
             if real < self.batch_size:  # pad the tail to the compiled shape
-                pad = np.zeros((self.batch_size - real, chunk.shape[1]), chunk.dtype)
-                chunk = np.concatenate([chunk, pad + 1e-3], axis=0)
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], self.batch_size - real, axis=0)],
+                    axis=0,
+                )
             embs = l2_normalize(jnp.asarray(chunk, jnp.float32))
             if self.mesh is not None:
                 from dmi_tpu.parallel import batch_sharding
 
                 embs = jax.device_put(embs, batch_sharding(self.mesh, embs.ndim))
             soft = proj.apply(self.proj_spec, self.proj_params, embs, train=False)
-            tokens = mmmodel.caption_generate(
-                self.llm_cfg, self.llm_params, soft, self._prefix,
-                self.max_new_tokens, self.tokenizer.pad_token_id,
-            )
+            if temperature is None:
+                tokens = mmmodel.caption_generate(
+                    self.llm_cfg, self.llm_params, soft, self._prefix,
+                    self.max_new_tokens, self.tokenizer.pad_token_id,
+                )
+            else:
+                prefix_embeds = llama_mod.embed_tokens(
+                    self.llm_cfg, self.llm_params, self._prefix
+                )
+                inputs = jnp.concatenate(
+                    [soft[:, None, :].astype(prefix_embeds.dtype), prefix_embeds], axis=1
+                )
+                tokens = dec.sample_generate(
+                    self.llm_cfg, self.llm_params, inputs, self.max_new_tokens,
+                    self.tokenizer.pad_token_id,
+                    jax.random.fold_in(jax.random.key(seed), bi),
+                    temperature=temperature, top_k=top_k,
+                )
             out.extend(
                 self.tokenizer.batch_decode(
                     np.asarray(tokens)[:real], skip_special_tokens=True

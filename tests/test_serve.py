@@ -88,3 +88,15 @@ def test_captioner_from_fewshot_checkpoint(tmp_path, monkeypatch):
     assert cap.proj_spec.mm_dim == 32
     out = cap.caption(np.ones((3, 32), np.float32))
     assert len(out) == 3
+
+
+def test_captioner_sampling(trained):
+    _, ckpt = trained
+    cap = Captioner.from_checkpoint(
+        "test:tiny", ckpt, "sydney", lm_dtype="float32", batch_size=4
+    )
+    embs = np.random.default_rng(5).normal(size=(4, 32)).astype(np.float32)
+    c1 = cap.caption(embs, temperature=2.0, seed=1)
+    c2 = cap.caption(embs, temperature=2.0, seed=2)
+    assert len(c1) == len(c2) == 4
+    assert c1 != c2  # different seeds sample different captions (whp)
