@@ -54,6 +54,12 @@ class Captioner:
         int8: bool = False,
         mesh_shape: Optional[tuple] = None,
     ):
+        if mesh_shape is None:
+            # fused QKV/gate-up layout: +3.4% decode on v5e (token-exact);
+            # unfused under tensor parallelism (shard-boundary straddling)
+            from dmi_tpu.models.llama import fuse_projections
+
+            llm_params = fuse_projections(llm_params)
         if int8:
             from dmi_tpu.models.quant import quantize_llama
 
