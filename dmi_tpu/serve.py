@@ -205,6 +205,10 @@ if __name__ == "__main__":
     ap.add_argument("--out", default="captions.json")
     ap.add_argument("--batch-size", type=int, default=256)
     ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--temperature", type=float, default=None,
+                    help="stochastic decoding (default: greedy)")
+    ap.add_argument("--top-k", type=int, default=0)
+    ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
     cap = Captioner.from_checkpoint(
@@ -212,7 +216,9 @@ if __name__ == "__main__":
         batch_size=args.batch_size, int8=args.int8,
     )
     ids, embs = _load_embs(args.embs)
-    captions = cap.caption(embs)
+    captions = cap.caption(
+        embs, temperature=args.temperature, top_k=args.top_k, seed=args.seed
+    )
     with open(args.out, "w") as f:
         json.dump(dict(zip(ids, captions)), f, indent=2)
     print(f"wrote {len(captions)} captions -> {args.out}")
