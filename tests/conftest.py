@@ -21,6 +21,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compilation cache: the decode/train-step compiles dominate the
+# suite runtime on this 1-core host; repeat runs hit the cache
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache_dmi")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import pytest  # noqa: E402
 
