@@ -47,6 +47,10 @@ class LlamaConfig:
     rope_original_max_position: int = 8192
     tie_word_embeddings: bool = True
     dtype: Any = jnp.bfloat16
+    # full-sequence attention implementation: "xla" (HF-parity oracle) or
+    # "flash" (Pallas TPU flash attention for the training forward; decode
+    # always uses the KV-cache path)
+    attention_impl: str = "xla"
     # Llama-3.x instruct EOS ids: <|end_of_text|>, <|eom_id|>, <|eot_id|>
     eos_token_ids: Tuple[int, ...] = (128001, 128008, 128009)
     bos_token_id: int = 128000
@@ -281,7 +285,27 @@ def _attention(q, k, v, bias):
     return out.reshape(B, nh, T, hd)
 
 
-def _block(cfg: LlamaConfig, x, lw, cos, sin, bias, cache_kv=None, cache_index=None):
+def _flash_attention(cfg, q, k, v, seg_ids):
+    """Pallas TPU flash attention over the full sequence (training path):
+    causal + segment-id padding masks, kv heads repeated for GQA."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds,
+        flash_attention,
+    )
+
+    group = cfg.num_attention_heads // cfg.num_key_value_heads
+    if group > 1:
+        k = jnp.repeat(k, group, axis=1)
+        v = jnp.repeat(v, group, axis=1)
+    seg = SegmentIds(q=seg_ids, kv=seg_ids) if seg_ids is not None else None
+    return flash_attention(
+        q, k, v, segment_ids=seg, causal=True,
+        sm_scale=1.0 / float(np.sqrt(cfg.head_dim)),
+    )
+
+
+def _block(cfg: LlamaConfig, x, lw, cos, sin, bias, cache_kv=None, cache_index=None,
+           seg_ids=None):
     """One transformer block.  lw holds this layer's (unstacked) weights.
     If cache_kv=(k_cache, v_cache) is given, new k/v are written at
     cache_index and attention runs against the full cache."""
@@ -308,7 +332,10 @@ def _block(cfg: LlamaConfig, x, lw, cos, sin, bias, cache_kv=None, cache_index=N
         k, v = k_cache, v_cache
         new_cache = (k_cache, v_cache)
 
-    attn = _attention(q, k, v, bias)
+    if cfg.attention_impl == "flash" and cache_kv is None:
+        attn = _flash_attention(cfg, q, k, v, seg_ids)
+    else:
+        attn = _attention(q, k, v, bias)
     attn = attn.transpose(0, 2, 1, 3).reshape(B, T, nh * hd)
     x = x + _mm(attn, lw["wo"])
 
@@ -344,18 +371,28 @@ def forward(
         positions = jnp.arange(T)
     cos, sin = rope_tables(cfg, positions)
 
-    causal = jnp.tril(jnp.ones((T, T), bool))
-    valid = causal[None, :, :]
-    if attention_mask is not None:
-        valid = valid & attention_mask[:, None, :].astype(bool)
+    seg_ids = None
+    bias = None
+    if cfg.attention_impl == "flash":
+        # segment ids: real tokens = 1, pads = 0 — pads only see pads,
+        # and their rows are excluded by -100 labels anyway
+        if attention_mask is not None:
+            seg_ids = attention_mask.astype(jnp.int32)
+        else:
+            seg_ids = jnp.ones((B, T), jnp.int32)
     else:
-        valid = jnp.broadcast_to(valid, (B, T, T))
-    bias = jnp.where(valid, 0.0, jnp.finfo(jnp.float32).min)
+        causal = jnp.tril(jnp.ones((T, T), bool))
+        valid = causal[None, :, :]
+        if attention_mask is not None:
+            valid = valid & attention_mask[:, None, :].astype(bool)
+        else:
+            valid = jnp.broadcast_to(valid, (B, T, T))
+        bias = jnp.where(valid, 0.0, jnp.finfo(jnp.float32).min)
 
     layer_params = params["layers"]
 
     def body(x, lw):
-        y, _ = _block(cfg, x, lw, cos, sin, bias)
+        y, _ = _block(cfg, x, lw, cos, sin, bias, seg_ids=seg_ids)
         return y, None
 
     if remat:

@@ -87,6 +87,17 @@ def _hf_to_config(hf_cfg, dtype, tokenizer) -> llama.LlamaConfig:
     )
 
 
+def _apply_attention_impl(cfg: llama.LlamaConfig) -> llama.LlamaConfig:
+    """DMI_FLASH_ATTENTION=1 switches the training forward to the Pallas
+    TPU flash-attention kernel (decode is unaffected)."""
+    import dataclasses
+    import os
+
+    if os.environ.get("DMI_FLASH_ATTENTION") == "1":
+        return dataclasses.replace(cfg, attention_impl="flash")
+    return cfg
+
+
 def build_lm(lm_args, tokenizer, seed: int = 0) -> Tuple[llama.LlamaConfig, dict]:
     name = _resolve_name(lm_args.lm_name_or_path)
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "float16": jnp.bfloat16}[
@@ -119,6 +130,7 @@ def build_lm(lm_args, tokenizer, seed: int = 0) -> Tuple[llama.LlamaConfig, dict
                 dtype=dtype,
                 eos=(tokenizer.eos_token_id,),
             )
+        cfg = _apply_attention_impl(cfg)
         params = llama.init(jax.random.key(seed), cfg)
         return cfg, params
 
@@ -126,7 +138,7 @@ def build_lm(lm_args, tokenizer, seed: int = 0) -> Tuple[llama.LlamaConfig, dict
 
     log.info("loading %s from local HF cache", name)
     hf = transformers.AutoModelForCausalLM.from_pretrained(name)
-    cfg = _hf_to_config(hf.config, dtype, tokenizer)
+    cfg = _apply_attention_impl(_hf_to_config(hf.config, dtype, tokenizer))
     params = llama.from_hf_state_dict(hf.state_dict(), cfg)
     del hf
     return cfg, params

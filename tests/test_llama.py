@@ -225,3 +225,47 @@ def test_sample_generate_temperature_and_topk():
         cfg, params, embeds, 8, PAD, jax.random.key(3), temperature=5.0, top_k=1
     )
     np.testing.assert_array_equal(np.asarray(tk), np.asarray(greedy))
+
+
+def test_flash_attention_matches_xla():
+    """Pallas TPU flash attention (training path) vs the XLA oracle —
+    causal + right-padding, values and grads, interpret mode on CPU."""
+    import dataclasses
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    cfg = llama.tiny_config(
+        vocab_size=256, hidden_size=256, n_layers=1, n_heads=2, n_kv=1,
+        intermediate=256,
+    )
+    params = llama.init(jax.random.key(9), cfg)
+    cfg_f = dataclasses.replace(cfg, attention_impl="flash")
+
+    rng = np.random.default_rng(9)
+    B, T = 2, 256  # flash block sizes need T >= 128
+    x = jnp.asarray(rng.normal(size=(B, T, 256)).astype(np.float32) * 0.1)
+    mask = np.ones((B, T), np.int64)
+    mask[1, -64:] = 0
+    mask_j = jnp.asarray(mask)
+
+    y_ref = llama.forward(cfg, params, x, mask_j)
+    with pltpu.force_tpu_interpret_mode():
+        y_flash = llama.forward(cfg_f, params, x, mask_j)
+    for b in range(B):
+        tv = int(mask[b].sum())
+        np.testing.assert_allclose(
+            np.asarray(y_flash)[b, :tv], np.asarray(y_ref)[b, :tv], atol=2e-3, rtol=2e-3
+        )
+
+    # grads through the custom vjp
+    labels = jnp.asarray(rng.integers(1, 256, size=(B, T)))
+
+    def loss(cfg_, x):
+        return llama.causal_lm_loss(llama.forward(cfg_, params, x, mask_j), labels)
+
+    g_ref = jax.grad(lambda x: loss(cfg, x))(x)
+    with pltpu.force_tpu_interpret_mode():
+        g_flash = jax.grad(lambda x: loss(cfg_f, x))(x)
+    np.testing.assert_allclose(
+        np.asarray(g_flash), np.asarray(g_ref), atol=2e-3, rtol=2e-2
+    )
