@@ -136,7 +136,9 @@ class Captioner:
         from dmi_tpu.models import llama as llama_mod
 
         n = embeddings.shape[0]
-        out: List[str] = []
+        # two-phase pipeline: dispatch every batch (async), then fetch in
+        # order — host prep and detokenization overlap device decode
+        pending = []
         for bi, start in enumerate(range(0, n, self.batch_size)):
             chunk = embeddings[start : start + self.batch_size]
             real = chunk.shape[0]
@@ -169,6 +171,10 @@ class Captioner:
                     jax.random.fold_in(jax.random.key(seed), bi),
                     temperature=temperature, top_k=top_k,
                 )
+            pending.append((tokens, real))
+
+        out: List[str] = []
+        for tokens, real in pending:
             out.extend(
                 self.tokenizer.batch_decode(
                     np.asarray(tokens)[:real], skip_special_tokens=True

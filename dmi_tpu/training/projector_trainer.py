@@ -184,11 +184,15 @@ class ProjectorTrainer:
             )
         return out
 
-    def train_step(self, step: int, total_steps: int):
+    def fetch_batch(self, step: int):
+        """Host-side batch assembly — a pure function of the step index
+        (stateless samplers/prefixes), so it can be prefetched ahead."""
         weights = [len(ld.train_sampler()) for ld in self.loaders]
         idx = pick_loader(self.train_args.seed, step, len(self.loaders), weights)
-        loader = self.loaders[idx]
-        batch = loader.train_batch(step)
+        return idx, self.loaders[idx].train_batch(step)
+
+    def train_step(self, step: int, total_steps: int, prefetched=None):
+        idx, batch = prefetched if prefetched is not None else self.fetch_batch(step)
         embs = self.emb_mgrs[idx].get_embeddings(batch["embs"])
         ids, mask, labels = self._device_batch(batch)
         rng = jax.random.fold_in(self._base_key, step)
@@ -293,12 +297,15 @@ class ProjectorTrainer:
         cur_metric, comp_metric = float("-inf"), "coco_cider"
         mlog = MetricLogger(self.name, f"dmi_{self.TRAINER_TYPE}")
         timer = StepTimer()
+        from dmi_tpu.data.prefetch import Prefetcher
+
+        prefetcher = Prefetcher(self.fetch_batch, depth=2)
         with trace(self.train_args.profile_dir):
-            for step in range(start_step, total):
+            for step, prefetched in prefetcher.run(start_step, total):
                 if step % self.train_args.gradient_accumulation_steps == 0:
                     accumulated = 0.0
                 timer.start()
-                loss, did_update = self.train_step(step, total)
+                loss, did_update = self.train_step(step, total, prefetched)
                 timer.stop()
                 accumulated += loss
                 if did_update:

@@ -287,3 +287,13 @@ def test_coco_family_subset_two_tuple(tok, tmp_path):
     )
     assert z.shape == (2 * args.subset_batch_size, 16)
     assert bool(jnp.isfinite(z).all())
+
+
+def test_prefetcher_order_and_values():
+    from dmi_tpu.data.prefetch import Prefetcher
+
+    seen = []
+    pf = Prefetcher(lambda s: s * 10, depth=2)
+    for step, batch in pf.run(3, 9):
+        seen.append((step, batch))
+    assert seen == [(s, s * 10) for s in range(3, 9)]
