@@ -23,9 +23,15 @@ from __future__ import annotations
 
 import os.path as osp
 import pickle
+import threading
 from typing import Dict, Iterator, List, Optional
 
 import numpy as np
+
+# HF fast (Rust) tokenizers are not thread-safe ("Already borrowed"); the
+# batch prefetcher tokenizes in a worker thread while eval/generate may
+# tokenize/decode on the main thread — serialize every tokenizer call.
+TOKENIZER_LOCK = threading.RLock()
 
 from dmi_tpu.config import TrainArgs
 from dmi_tpu.data.collator import collate_chat_batch
@@ -216,19 +222,20 @@ class DatasetLoader:
         ]
 
     def _tokenize(self, split: Split, prefix: str):
-        if self.is_instruct:
-            chats = [
-                self._chat(prefix, cap, split.smiles[i] if split.smiles else None)
-                for i, cap in enumerate(split.captions)
-            ]
-            return self.tokenizer.apply_chat_template(
-                chats,
-                tokenize=True,
-                return_dict=True,
-                return_assistant_tokens_mask=True,
-                add_generation_prompt=False,
-            )
-        return self.tokenizer(split.captions)
+        with TOKENIZER_LOCK:
+            if self.is_instruct:
+                chats = [
+                    self._chat(prefix, cap, split.smiles[i] if split.smiles else None)
+                    for i, cap in enumerate(split.captions)
+                ]
+                return self.tokenizer.apply_chat_template(
+                    chats,
+                    tokenize=True,
+                    return_dict=True,
+                    return_assistant_tokens_mask=True,
+                    add_generation_prompt=False,
+                )
+            return self.tokenizer(split.captions)
 
     def pick_prefix(self, step: int = 0) -> str:
         """Random instruction prefix, stateless in (seed, step) so a resumed
@@ -240,23 +247,24 @@ class DatasetLoader:
         return self.prefixes[int(rng.integers(len(self.prefixes)))]
 
     def _tokenize_rows(self, split: Split, idxs, prefix: str):
-        if self.is_instruct:
-            chats = [
-                self._chat(
-                    prefix,
-                    split.captions[i],
-                    split.smiles[i] if split.smiles else None,
+        with TOKENIZER_LOCK:
+            if self.is_instruct:
+                chats = [
+                    self._chat(
+                        prefix,
+                        split.captions[i],
+                        split.smiles[i] if split.smiles else None,
+                    )
+                    for i in idxs
+                ]
+                return self.tokenizer.apply_chat_template(
+                    chats,
+                    tokenize=True,
+                    return_dict=True,
+                    return_assistant_tokens_mask=True,
+                    add_generation_prompt=False,
                 )
-                for i in idxs
-            ]
-            return self.tokenizer.apply_chat_template(
-                chats,
-                tokenize=True,
-                return_dict=True,
-                return_assistant_tokens_mask=True,
-                add_generation_prompt=False,
-            )
-        return self.tokenizer([split.captions[i] for i in idxs])
+            return self.tokenizer([split.captions[i] for i in idxs])
 
     # ------------------------------------------------------------------
     # collates

@@ -25,10 +25,13 @@ class Prefetcher:
         self._next_to_produce = 0
 
     def _worker(self, start: int, end: int):
-        for step in range(start, end):
-            if self._stop.is_set():
-                return
-            self._q.put((step, self.fetch(step)))
+        try:
+            for step in range(start, end):
+                if self._stop.is_set():
+                    return
+                self._q.put((step, self.fetch(step)))
+        except BaseException as e:  # propagate to the consumer, never hang
+            self._q.put((None, e))
 
     def run(self, start: int, end: int) -> Iterator:
         """Yield (step, batch) for steps [start, end) with lookahead."""
@@ -38,7 +41,10 @@ class Prefetcher:
         self._thread.start()
         try:
             for _ in range(start, end):
-                yield self._q.get()
+                step, batch = self._q.get()
+                if step is None:
+                    raise batch  # worker exception
+                yield step, batch
         finally:
             self._stop.set()
             # drain so the worker can exit a blocking put

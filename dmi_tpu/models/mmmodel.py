@@ -60,6 +60,23 @@ def caption_loss(
     return llama.causal_lm_loss(logits, labels)
 
 
+def assemble_prompt(
+    cfg: LlamaConfig,
+    llm_params: dict,
+    soft_tokens: jax.Array,
+    prefix_ids: Optional[jax.Array],
+) -> jax.Array:
+    """soft token ⊕ embedded chat prefix — the single prompt-assembly path
+    shared by greedy and stochastic decoding."""
+    embeds = soft_tokens[:, None, :]
+    if prefix_ids is not None:
+        prefix_embeds = llama.embed_tokens(cfg, llm_params, prefix_ids)
+        embeds = jnp.concatenate(
+            [embeds.astype(prefix_embeds.dtype), prefix_embeds], axis=1
+        )
+    return embeds
+
+
 def caption_generate(
     cfg: LlamaConfig,
     llm_params: dict,
@@ -70,8 +87,5 @@ def caption_generate(
 ) -> jax.Array:
     """Greedy decode from soft token (+ optional chat prefix)
     (reference: dmi/model/mmmodel.py:149-169)."""
-    embeds = soft_tokens[:, None, :]
-    if prefix_ids is not None:
-        prefix_embeds = llama.embed_tokens(cfg, llm_params, prefix_ids)
-        embeds = jnp.concatenate([embeds.astype(prefix_embeds.dtype), prefix_embeds], axis=1)
+    embeds = assemble_prompt(cfg, llm_params, soft_tokens, prefix_ids)
     return dec.greedy_generate(cfg, llm_params, embeds, max_new_tokens, pad_token_id)

@@ -60,16 +60,19 @@ class Captioner:
             from dmi_tpu.models.llama import fuse_projections
 
             llm_params = fuse_projections(llm_params)
-        if int8:
-            from dmi_tpu.models.quant import quantize_llama
-
-            llm_params = quantize_llama(llm_params)
         self.mesh = None
         if mesh_shape:
+            # shard BEFORE quantizing: the sharding rules walk the
+            # unquantized tree; quantization of sharded arrays propagates
+            # the shardings through GSPMD
             from dmi_tpu.parallel import make_mesh, shard_llm_params
 
             self.mesh = make_mesh(tuple(mesh_shape))
             llm_params = shard_llm_params(self.mesh, llm_params)
+        if int8:
+            from dmi_tpu.models.quant import quantize_llama
+
+            llm_params = quantize_llama(llm_params)
         self.llm_cfg = llm_cfg
         self.llm_params = llm_params
         self.proj_spec = proj_spec
@@ -133,7 +136,6 @@ class Captioner:
         """Greedy by default (the reference's decode mode); pass a
         temperature for stochastic decoding."""
         from dmi_tpu.models import decode as dec
-        from dmi_tpu.models import llama as llama_mod
 
         n = embeddings.shape[0]
         # two-phase pipeline: dispatch every batch (async), then fetch in
@@ -159,11 +161,8 @@ class Captioner:
                     self.max_new_tokens, self.tokenizer.pad_token_id,
                 )
             else:
-                prefix_embeds = llama_mod.embed_tokens(
-                    self.llm_cfg, self.llm_params, self._prefix
-                )
-                inputs = jnp.concatenate(
-                    [soft[:, None, :].astype(prefix_embeds.dtype), prefix_embeds], axis=1
+                inputs = mmmodel.assemble_prompt(
+                    self.llm_cfg, self.llm_params, soft, self._prefix
                 )
                 tokens = dec.sample_generate(
                     self.llm_cfg, self.llm_params, inputs, self.max_new_tokens,

@@ -14,14 +14,26 @@ import jax.numpy as jnp
 def prefix_prompt_ids(tokenizer, loader, batch_size: int) -> jnp.ndarray:
     """Chat-template generation prompt for the loader's instruction
     (dmi/train.py:198-204: fixed PREFIX, else prefixes[0])."""
+    from dmi_tpu.data.loader import TOKENIZER_LOCK
+
     prefix = loader.PREFIX if loader.PREFIX is not None else loader.prefixes[0]
-    ids = tokenizer.apply_chat_template(
-        [{"role": "user", "content": prefix}],
-        tokenize=True,
-        add_generation_prompt=True,
-    )
+    with TOKENIZER_LOCK:
+        ids = tokenizer.apply_chat_template(
+            [{"role": "user", "content": prefix}],
+            tokenize=True,
+            add_generation_prompt=True,
+        )
     arr = np.asarray(ids, np.int32)[None, :]
     return jnp.asarray(np.tile(arr, (batch_size, 1)))
+
+
+def safe_batch_decode(tokenizer, token_array, **kw):
+    """tokenizer.batch_decode under the shared tokenizer lock (the batch
+    prefetcher tokenizes concurrently in its worker thread)."""
+    from dmi_tpu.data.loader import TOKENIZER_LOCK
+
+    with TOKENIZER_LOCK:
+        return tokenizer.batch_decode(token_array, **kw)
 
 
 def pad_emb_rows(embs: np.ndarray, target: int) -> np.ndarray:

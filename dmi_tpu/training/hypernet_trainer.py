@@ -49,6 +49,7 @@ from dmi_tpu.training.generation import (
     metrics_for,
     pad_emb_rows,
     prefix_prompt_ids,
+    safe_batch_decode,
 )
 from dmi_tpu.training.optim import make_lr_fn, make_optimizer, set_lr
 from dmi_tpu.training.results import save_run_results
@@ -367,7 +368,8 @@ class HypernetTrainer:
             prefix = prefix_prompt_ids(self.tokenizer, loader, bsz)
             for bi, batch in enumerate(loader.eval_batches(split)):
                 real = batch["input_ids"].shape[0]
-                gt_texts = self.tokenizer.batch_decode(
+                gt_texts = safe_batch_decode(
+                    self.tokenizer,
                     batch["input_ids"], skip_special_tokens=True
                 )
                 gts.extend(strip_to_assistant(gt_texts))
@@ -380,7 +382,8 @@ class HypernetTrainer:
                     loader.max_new_tokens, self.tokenizer.pad_token_id,
                 )
                 preds.extend(
-                    self.tokenizer.batch_decode(
+                    safe_batch_decode(
+                    self.tokenizer,
                         np.asarray(tokens)[:real], skip_special_tokens=True
                     )
                 )

@@ -297,3 +297,21 @@ def test_prefetcher_order_and_values():
     for step, batch in pf.run(3, 9):
         seen.append((step, batch))
     assert seen == [(s, s * 10) for s in range(3, 9)]
+
+
+def test_prefetcher_propagates_worker_exception():
+    from dmi_tpu.data.prefetch import Prefetcher
+
+    def bad(step):
+        if step == 2:
+            raise ValueError("boom at 2")
+        return step
+
+    pf = Prefetcher(bad, depth=2)
+    out = []
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="boom at 2"):
+        for step, batch in pf.run(0, 5):
+            out.append(step)
+    assert out == [0, 1]
