@@ -87,6 +87,11 @@ def _load_or_record_baseline(metric: str, value: float) -> float:
 
 
 def main() -> None:
+    # the projector is <0.1% of decode cost; don't let its Pallas kernel
+    # compile add relay risk to the headline measurement (the kernels are
+    # exercised by the serving path and their own hardware validation)
+    os.environ.setdefault("DMI_DISABLE_PALLAS", "1")
+
     import jax
     import jax.numpy as jnp
 
