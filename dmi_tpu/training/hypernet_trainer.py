@@ -278,18 +278,25 @@ class HypernetTrainer:
     # stage-2 training
     # ------------------------------------------------------------------
 
+    def fetch_batch(self, step: int):
+        """Host-side batch + conditioning-subset assembly — pure in the step
+        index, so the prefetch worker can stage it ahead."""
+        idx = pick_loader(self.train_args.seed, step, len(self.loaders))
+        loader = self.loaders[idx]
+        return idx, loader.train_batch(step), loader.subset_batch(step, "train")
+
     def train(self, start_step: int = 0):
+        from dmi_tpu.data.prefetch import Prefetcher
+
         total = self.total_steps
         accumulated = 0.0
         cur_eval_loss = float("inf")
-        for step in range(start_step, total):
+        prefetcher = Prefetcher(self.fetch_batch, depth=2)
+        for step, (idx, batch, subset_raw) in prefetcher.run(start_step, total):
             if step % self.train_args.gradient_accumulation_steps == 0:
                 accumulated = 0.0
-            idx = pick_loader(self.train_args.seed, step, len(self.loaders))
-            loader = self.loaders[idx]
             mgr = self.emb_mgrs[idx]
-            batch = loader.train_batch(step)
-            subset = mgr.get_embeddings(loader.subset_batch(step, "train"))
+            subset = mgr.get_embeddings(subset_raw)
             mm = mgr.get_embeddings(batch["embs"])
             ids, mask, labels = self._device_batch(batch)
             rot_key = jax.random.fold_in(self._base_key, 2 * step)
