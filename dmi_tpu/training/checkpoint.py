@@ -37,6 +37,26 @@ def load_pytree(path: str) -> Dict[str, Any]:
         return pickle.load(f)
 
 
+def save_pytree_orbax(path: str, obj: Dict[str, Any]) -> None:
+    """Orbax backend: sharded/async-capable checkpointing for params too
+    large to funnel through a single-host pickle (multi-chip runs).  The
+    pickle backend stays the default at the reference's model scale."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(osp.abspath(path), obj, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_pytree_orbax(path: str, like: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    if like is not None:
+        return ckptr.restore(osp.abspath(path), target=like)
+    return ckptr.restore(osp.abspath(path))
+
+
 class BestCheckpointer:
     def __init__(self, ckpt_dir: str, model_name: str, save_type: str, mode: str = "max"):
         assert mode in ("max", "min")

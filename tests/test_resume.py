@@ -76,3 +76,19 @@ def test_resume_reproduces_uninterrupted_run(pieces):
 def test_resume_without_checkpoint_starts_at_zero(pieces):
     t = pieces()
     assert t.resume() == 0
+
+
+def test_orbax_backend_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from dmi_tpu.models import projector as proj
+    from dmi_tpu.training.checkpoint import load_pytree_orbax, save_pytree_orbax
+
+    pspec = proj.ProjectorSpec(mm_dim=16, lm_dim=32, n_layers=2)
+    params = proj.init(jax.random.key(0), pspec)
+    path = str(tmp_path / "orbax_ckpt")
+    save_pytree_orbax(path, params)
+    restored = load_pytree_orbax(path, like=params)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
