@@ -173,7 +173,8 @@ def main() -> None:
     metric = "decode_captions_per_sec_per_chip_1b" if not small else "decode_captions_per_sec_small"
     if int8:
         metric += "_int8"
-    # fused is the default configuration of the headline metric; no suffix
+    if not fused:
+        metric += "_unfused"  # fused is the headline configuration
 
     baseline = _load_or_record_baseline(metric, captions_per_sec)
 

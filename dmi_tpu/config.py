@@ -212,15 +212,23 @@ def parse_config(
     return tuple(out)
 
 
-def projector_post_init(train_args: TrainArgs, menc_args: MEncArgs, projector_args: ProjectorArgs) -> None:
-    """finetune_mm_dim routing: prune (mm_dim < target) vs InfFS top-k
-    (mm_dim > target).  Reference: dmi/train_projector.py:178-184."""
+def _apply_finetune_mm_dim(
+    train_args: TrainArgs, menc_args: MEncArgs, projector_args: ProjectorArgs
+) -> None:
+    """finetune_mm_dim routing shared by all three entry points: prune when
+    the encoder is narrower than the shared interface, InfFS top-k when it
+    is wider (reference: dmi/train_projector.py:178-184,
+    dmi/train_hypernet.py:465-472, dmi/train_lora.py:162-169)."""
     if train_args.finetune_mm_dim is not None:
         if menc_args.mm_dim < train_args.finetune_mm_dim:
             projector_args.proj_prune = menc_args.mm_dim
         elif menc_args.mm_dim > train_args.finetune_mm_dim:
             train_args.n_components = train_args.finetune_mm_dim
             menc_args.mm_dim = train_args.finetune_mm_dim
+
+
+def projector_post_init(train_args: TrainArgs, menc_args: MEncArgs, projector_args: ProjectorArgs) -> None:
+    _apply_finetune_mm_dim(train_args, menc_args, projector_args)
 
 
 def hypernet_post_init(
@@ -229,14 +237,8 @@ def hypernet_post_init(
     train_args: TrainArgs,
     menc_args: MEncArgs,
 ) -> None:
-    """Reference: dmi/train_hypernet.py:465-472."""
     hn_args.hn_n_proj_layers = projector_args.proj_n_layers
-    if train_args.finetune_mm_dim is not None:
-        if menc_args.mm_dim < train_args.finetune_mm_dim:
-            projector_args.proj_prune = menc_args.mm_dim
-        elif menc_args.mm_dim > train_args.finetune_mm_dim:
-            train_args.n_components = train_args.finetune_mm_dim
-            menc_args.mm_dim = train_args.finetune_mm_dim
+    _apply_finetune_mm_dim(train_args, menc_args, projector_args)
 
 
 def lora_post_init(
@@ -245,14 +247,8 @@ def lora_post_init(
     lora_args: LoraArgs,
     projector_args: ProjectorArgs,
 ) -> None:
-    """Reference: dmi/train_lora.py:162-169."""
     lora_args.lora_n_proj_layers = projector_args.proj_n_layers
-    if train_args.finetune_mm_dim is not None:
-        if menc_args.mm_dim < train_args.finetune_mm_dim:
-            projector_args.proj_prune = menc_args.mm_dim
-        elif menc_args.mm_dim > train_args.finetune_mm_dim:
-            train_args.n_components = train_args.finetune_mm_dim
-            menc_args.mm_dim = train_args.finetune_mm_dim
+    _apply_finetune_mm_dim(train_args, menc_args, projector_args)
 
 
 def apply_debug_overrides(train_args: TrainArgs, kind: str) -> None:

@@ -340,7 +340,12 @@ class DatasetLoader:
         )
 
     def total_train_steps(self) -> int:
-        return len(self.train_sampler())
+        """Total optimizer micro-steps = len(torch DataLoader) in the
+        reference = ceil(sampler_len / batch_size) where sampler_len is
+        n_samples * epochs (dmi/train.py:75 + torch BatchSampler semantics).
+        Each step consumes one full batch."""
+        sampler_len = len(self.train_sampler())
+        return -(-sampler_len // self.train_args.train_batch_size)
 
     def train_batch(self, step: int) -> Dict:
         idxs = self.train_sampler().batch_indices(step, self.train_args.train_batch_size)

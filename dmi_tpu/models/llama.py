@@ -374,8 +374,13 @@ def forward(
     seg_ids = None
     bias = None
     if cfg.attention_impl == "flash":
-        # segment ids: real tokens = 1, pads = 0 — pads only see pads,
-        # and their rows are excluded by -100 labels anyway
+        # segment ids: real tokens = 1, pads = 0.  NOTE a documented
+        # divergence from the XLA oracle on ragged batches: pad-position
+        # QUERIES see only other pads here, whereas HF lets them attend the
+        # real prefix — and the preserved collator quirk counts
+        # pad-position labels in the loss, so flash mode optimizes a
+        # slightly cleaner objective than reference parity.  Keep the
+        # default 'xla' when bit-matching reference training.
         if attention_mask is not None:
             seg_ids = attention_mask.astype(jnp.int32)
         else:

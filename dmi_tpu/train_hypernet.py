@@ -129,12 +129,16 @@ def main(name, train_args, hn_args, projector_args, data_args, menc_args, lm_arg
         fewshot_args=fewshot_args,
         data_root=data_args.data_root,
     )
+    start_step = 0
     if train_args.resume_from_checkpoint:
-        trainer.load_checkpoint(train_args.resume_from_checkpoint)
+        ck = trainer.load_checkpoint(train_args.resume_from_checkpoint)
+        if train_args.mode == "train" and not train_args.resume_from_checkpoint_reset_steps:
+            start_step = int(ck["step_idx"]) + 1
+            log.info("Resuming hypernet training from step %d", start_step)
 
     if train_args.mode == "train":
         log.info("Starting hypernet training (%d steps)", trainer.total_steps)
-        trainer.train()
+        trainer.train(start_step)
     else:
         log.info("Starting fewshot integration")
         trainer.fewshot_generate()

@@ -89,7 +89,7 @@ def main(name, data_args, lm_args, menc_args, projector_args, train_args):
     )
     start_step = 0
     if train_args.resume_from_checkpoint:
-        start_step = trainer.resume()
+        start_step = trainer.resume(train_args.resume_from_checkpoint)
         if train_args.resume_from_checkpoint_reset_steps:
             start_step = 0
         log.info("Resuming training from step %d", start_step)

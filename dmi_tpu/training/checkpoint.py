@@ -88,7 +88,11 @@ class BestCheckpointer:
         """Save if metric improves; returns True when the best was replaced."""
         old = None
         if osp.exists(self.best_path):
-            old = load_pytree(self.best_path)[metric_name]
+            # the comparison metric can legitimately change between saves
+            # (coco_cider seeded before the first generate, bleu after on
+            # datasets without a CIDEr source) — an old checkpoint missing
+            # the new metric name is simply replaced
+            old = load_pytree(self.best_path).get(metric_name)
         self.clear_step_checkpoints()
         improved = (
             old is None

@@ -99,7 +99,7 @@ class ProjectorTrainer:
             proj_params = self._load_pruned(train_args.finetune_from_checkpoint, proj_params)
 
         self.opt = make_optimizer(train_args)
-        total = sum(len(ld.train_sampler()) for ld in loaders)
+        total = sum(ld.total_train_steps() for ld in loaders)
         self.total_steps = total
         self.lr_fn = make_lr_fn(train_args, total)
         self.state = TrainState(
@@ -188,7 +188,8 @@ class ProjectorTrainer:
     def fetch_batch(self, step: int):
         """Host-side batch assembly — a pure function of the step index
         (stateless samplers/prefixes), so it can be prefetched ahead."""
-        weights = [len(ld.train_sampler()) for ld in self.loaders]
+        # weighted by per-loader step counts (dmi/train.py:76)
+        weights = [ld.total_train_steps() for ld in self.loaders]
         idx = pick_loader(self.train_args.seed, step, len(self.loaders), weights)
         return idx, self.loaders[idx].train_batch(step)
 
@@ -274,11 +275,16 @@ class ProjectorTrainer:
     def comp_metric_value(self, all_metrics) -> tuple:
         return comp_metric(all_metrics)
 
-    def resume(self) -> int:
-        """Restore params + optimizer state + step from the best checkpoint
-        (exact resume — the stateless sampler removes the reference's
-        iterator-replay approximation, dmi/train.py:79-86)."""
-        best = self.ckpt.load_best()
+    def resume(self, path: Optional[str] = None) -> int:
+        """Restore params + optimizer state + step from an explicit
+        checkpoint path (the reference loads the configured
+        resume_from_checkpoint, dmi/train_projector.py:34-35) or this run's
+        best checkpoint.  Exact resume — the stateless sampler removes the
+        reference's iterator-replay approximation (dmi/train.py:79-86)."""
+        if path:
+            best = load_pytree(path)
+        else:
+            best = self.ckpt.load_best()
         if best is None:
             return 0
         self.state = self.state._replace(
@@ -293,29 +299,34 @@ class ProjectorTrainer:
 
     def train(self, start_step: int = 0):
         from dmi_tpu.utils.logging import MetricLogger
-        from dmi_tpu.utils.profiling import StepTimer, trace
+        from dmi_tpu.utils.profiling import trace
 
         total = self.total_steps
         accumulated = 0.0
         cur_metric, comp_metric = float("-inf"), "coco_cider"
         mlog = MetricLogger(self.name, f"dmi_{self.TRAINER_TYPE}")
-        timer = StepTimer()
         from dmi_tpu.data.prefetch import Prefetcher
 
+        import time as _time
+
         prefetcher = Prefetcher(self.fetch_batch, depth=2)
+        last_log_t, last_log_step = _time.perf_counter(), start_step
         with trace(self.train_args.profile_dir):
             for step, prefetched in prefetcher.run(start_step, total):
                 if step % self.train_args.gradient_accumulation_steps == 0:
                     accumulated = 0.0
-                timer.start()
                 loss, did_update = self.train_step(step, total, prefetched)
-                timer.stop()
                 accumulated += loss
                 if did_update:
                     if (step + 1) % self.train_args.logging_steps == 0 and step > 0:
                         acc = float(accumulated)  # host sync only at log time
+                        # the sync above makes wall time between logs cover
+                        # real device work — honest steps/s on async backends
+                        now = _time.perf_counter()
+                        sps = (step - last_log_step) / max(now - last_log_t, 1e-9)
+                        last_log_t, last_log_step = now, step
                         log.info("Step: %d/%d Train Loss: %.3f", step, total, acc)
-                        mlog.log({"train_loss": acc, **timer.summary()}, step)
+                        mlog.log({"train_loss": acc, "steps_per_s": sps}, step)
                     if self.cond.evaluate(step, total):
                         ev = self.evaluate()
                         log.info("Step: %d Eval Loss: %.3f", step, ev)

@@ -178,7 +178,9 @@ def test_loader_end_to_end(tok, sydney_root):
     args = _targs()
     ld = DatasetLoader(spec, tok, args, "RemoteCLIP-RN50-Unchanged", True, sydney_root)
     assert len(ld.train) == 8 * 5  # caps_per_image=5
-    assert ld.total_train_steps() == len(ld.train) * 2
+    # total steps = ceil(samples*epochs / batch) — torch DataLoader length
+    # semantics the reference derives its step count from (dmi/train.py:75)
+    assert ld.total_train_steps() == -(-len(ld.train) * 2 // args.train_batch_size)
 
     b = ld.train_batch(0)
     assert b["input_ids"].shape[0] == 4

@@ -50,7 +50,10 @@ def test_reference_v2_sydney_rn50_builds_and_schedules(tmp_path, monkeypatch):
     )
     # dsz "128" > fixture size -> baseid subsample keeps all 40 rows
     assert len(loader.train) == 40
-    assert loader.total_train_steps() == 40 * 1152
+    # reference total steps = len(torch DataLoader) = ceil(n*epochs/bsz)
+    # (dmi/train.py:75): ceil(40*1152/64) = 720
+    assert loader.total_train_steps() == -(-40 * 1152 // train_args.train_batch_size)
+    assert loader.total_train_steps() == 720
     b = loader.train_batch(0)
     assert b["embs"].shape == (train_args.train_batch_size, 1024)
 
