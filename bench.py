@@ -86,11 +86,33 @@ def _load_or_record_baseline(metric: str, value: float) -> float:
     return value
 
 
+def _ensure_tpu_or_retry() -> str:
+    """The axon relay's PJRT registration fails transiently (a failure at
+    interpreter start leaves only the CPU backend).  Re-exec a few times to
+    win a healthy registration; report the backend actually obtained."""
+    import jax
+
+    backend = jax.default_backend()
+    if backend == "tpu" or os.environ.get("DMI_BENCH_SMALL") == "1":
+        return backend
+    tries = int(os.environ.get("_DMI_BENCH_TRIES", "0"))
+    if tries < 5:
+        import sys
+        import time
+
+        time.sleep(90)
+        os.environ["_DMI_BENCH_TRIES"] = str(tries + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+    return backend
+
+
 def main() -> None:
     # the projector is <0.1% of decode cost; don't let its Pallas kernel
     # compile add relay risk to the headline measurement (the kernels are
     # exercised by the serving path and their own hardware validation)
     os.environ.setdefault("DMI_DISABLE_PALLAS", "1")
+
+    backend = _ensure_tpu_or_retry()
 
     import jax
     import jax.numpy as jnp
@@ -99,6 +121,12 @@ def main() -> None:
     from dmi_tpu.models import projector as proj
 
     small = os.environ.get("DMI_BENCH_SMALL") == "1"
+    if backend != "tpu" and not small:
+        # relay never registered: run the small model so the bench still
+        # completes, under an explicit metric name that cannot pollute the
+        # TPU baselines
+        small = True
+        os.environ["_DMI_BENCH_CPU_FALLBACK"] = "1"
     # batch 256 saturates the weight-read-bound decode on v5e (64 -> 376,
     # 256 -> 750, 1024 -> 776 captions/s measured)
     batch = int(os.environ.get("DMI_BENCH_BATCH", "16" if small else "256"))
@@ -175,6 +203,8 @@ def main() -> None:
         metric += "_int8"
     if not fused:
         metric += "_unfused"  # fused is the headline configuration
+    if os.environ.get("_DMI_BENCH_CPU_FALLBACK") == "1":
+        metric += "_cpu_fallback"
 
     baseline = _load_or_record_baseline(metric, captions_per_sec)
 
