@@ -133,4 +133,7 @@ if __name__ == "__main__":
         format="%(asctime)s - %(levelname)s - %(message)s",
         datefmt="%d/%m/%Y %H:%M:%S",
     )
+    from dmi_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     run(osp.abspath(sys.argv[1]))
