@@ -100,3 +100,15 @@ def test_captioner_sampling(trained):
     c2 = cap.caption(embs, temperature=2.0, seed=2)
     assert len(c1) == len(c2) == 4
     assert c1 != c2  # different seeds sample different captions (whp)
+
+
+def test_captioner_mesh_and_int8_compose(trained):
+    """int8 + mesh advertised combination (review fix: shard then quantize)."""
+    _, ckpt = trained
+    cap = Captioner.from_checkpoint(
+        "test:tiny", ckpt, "sydney", lm_dtype="float32", batch_size=8,
+        mesh_shape=(4, 2), int8=True,
+    )
+    assert cap.mesh is not None
+    out = cap.caption(np.random.default_rng(9).normal(size=(10, 32)).astype(np.float32))
+    assert len(out) == 10
