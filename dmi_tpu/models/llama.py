@@ -332,7 +332,9 @@ def _block(cfg: LlamaConfig, x, lw, cos, sin, bias, cache_kv=None, cache_index=N
         k, v = k_cache, v_cache
         new_cache = (k_cache, v_cache)
 
-    if cfg.attention_impl == "flash" and cache_kv is None:
+    if cfg.attention_impl == "flash" and cache_kv is None and seg_ids is not None:
+        # seg_ids is only provided when forward() chose the flash path
+        # (TPU backend); everywhere else the additive-bias oracle runs
         attn = _flash_attention(cfg, q, k, v, seg_ids)
     else:
         attn = _attention(q, k, v, bias)
@@ -373,7 +375,14 @@ def forward(
 
     seg_ids = None
     bias = None
-    if cfg.attention_impl == "flash":
+    # flash needs a TPU (or interpret mode via DMI_FORCE_FLASH in tests);
+    # off-TPU the additive-bias oracle runs even when configured 'flash'
+    import os as _os
+
+    use_flash = cfg.attention_impl == "flash" and (
+        jax.default_backend() == "tpu" or _os.environ.get("DMI_FORCE_FLASH") == "1"
+    )
+    if use_flash:
         # segment ids: real tokens = 1, pads = 0.  NOTE a documented
         # divergence from the XLA oracle on ragged batches: pad-position
         # QUERIES see only other pads here, whereas HF lets them attend the

@@ -227,12 +227,14 @@ def test_sample_generate_temperature_and_topk():
     np.testing.assert_array_equal(np.asarray(tk), np.asarray(greedy))
 
 
-def test_flash_attention_matches_xla():
+def test_flash_attention_matches_xla(monkeypatch):
     """Pallas TPU flash attention (training path) vs the XLA oracle —
     causal + right-padding, values and grads, interpret mode on CPU."""
     import dataclasses
 
     from jax.experimental.pallas import tpu as pltpu
+
+    monkeypatch.setenv("DMI_FORCE_FLASH", "1")  # CPU guard bypass for tests
 
     cfg = llama.tiny_config(
         vocab_size=256, hidden_size=256, n_layers=1, n_heads=2, n_kv=1,
