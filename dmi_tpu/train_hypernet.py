@@ -50,6 +50,12 @@ def main(name, train_args, hn_args, projector_args, data_args, menc_args, lm_arg
     assert train_args.mode in ("train", "fewshot")
     apply_debug_overrides(train_args, "hypernet")
 
+    from dmi_tpu.utils.logging import dump_config_snapshot
+
+    dump_config_snapshot(
+        name, data_args, hn_args, lm_args, menc_args, projector_args,
+        train_args, fewshot_args,
+    )
     tokenizer = build_tokenizer(lm_args)
     llm_cfg, llm_params = build_lm(lm_args, tokenizer, seed=train_args.seed)
 

@@ -42,6 +42,9 @@ def main(name, data_args, lora_args, lm_args, menc_args, projector_args, train_a
     apply_debug_overrides(train_args, "lora")
     lora_post_init(train_args, menc_args, lora_args, projector_args)
 
+    from dmi_tpu.utils.logging import dump_config_snapshot
+
+    dump_config_snapshot(name, data_args, lora_args, lm_args, menc_args, projector_args, train_args)
     tokenizer = build_tokenizer(lm_args)
     llm_cfg, llm_params = build_lm(lm_args, tokenizer, seed=train_args.seed)
     emb_mgrs = build_embedding_managers(menc_args)

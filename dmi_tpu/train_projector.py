@@ -45,6 +45,9 @@ def main(name, data_args, lm_args, menc_args, projector_args, train_args):
     apply_debug_overrides(train_args, "projector")
     projector_post_init(train_args, menc_args, projector_args)
 
+    from dmi_tpu.utils.logging import dump_config_snapshot
+
+    dump_config_snapshot(name, data_args, lm_args, menc_args, projector_args, train_args)
     log.info("Building tokenizer / language model")
     tokenizer = build_tokenizer(lm_args)
     llm_cfg, llm_params = build_lm(lm_args, tokenizer, seed=train_args.seed)

@@ -42,3 +42,15 @@ class MetricLogger:
         self._f.close()
         if self._wandb is not None:
             self._wandb.finish()
+
+
+def dump_config_snapshot(run_name: str, *arg_groups, out_dir: str = "logs") -> str:
+    """Persist the fully-resolved arg groups for the run (the reference
+    pushes these to wandb.config, dmi/utils/model_utils.py:90-95)."""
+    from dmi_tpu.config import asdict_flat
+
+    os.makedirs(out_dir, exist_ok=True)
+    path = osp.join(out_dir, f"{run_name}.config.json")
+    with open(path, "w") as f:
+        json.dump(asdict_flat(*arg_groups), f, indent=2, default=str)
+    return path
