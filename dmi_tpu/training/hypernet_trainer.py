@@ -476,11 +476,16 @@ class HypernetTrainer:
             best_metric = float("-inf")
             comp_metric = "coco_cider"
             accumulated = 0.0
-            for step in range(total):
+            from dmi_tpu.data.prefetch import Prefetcher
+
+            fs_prefetcher = Prefetcher(
+                lambda s, _ld=loader: (_ld.train_batch(s), _ld.subset_batch(s, "train")),
+                depth=2,
+            )
+            for step, (batch, subset_raw) in fs_prefetcher.run(0, total):
                 if step % args.gradient_accumulation_steps == 0:
                     accumulated = 0.0
-                batch = loader.train_batch(step)
-                subset = mgr.get_embeddings(loader.subset_batch(step, "train"))
+                subset = mgr.get_embeddings(subset_raw)
                 mm = mgr.get_embeddings(batch["embs"])
                 ids, mask, labels = self._device_batch(batch)
                 rng = jax.random.fold_in(self._base_key, 3 * step + 2)
