@@ -105,3 +105,32 @@ def test_three_stage_pipeline(workdir):
     # aggregate JSON present
     agg = json.load(open(osp.join("outputs", "candels-results.json")))
     assert "hypernet:cfg_hypernet_fewshot-dsz10" in agg
+
+
+def test_stage2_multi_dataset_training(workdir):
+    """The v4 headline config trains on THREE hr datasets with uniform
+    per-step loader choice (dmi/train_hypernet.py:125) — exercise the
+    multi-loader path with two."""
+    from dmi_tpu.data.fixtures import generate_dataset as gen
+
+    gen("data", "clothodetail", "Cacophony", mm_dim=MM, n_train=10, n_eval=4,
+        text_dim=MM, seed=5)
+
+    run_projector(make_config(workdir, mm_dim=MM))
+    proj_ckpt = osp.join(
+        "checkpoints", "cfg_projector_smoke-dszfull-seed7-checkpoint-projector-best.pt"
+    )
+    cfg = hypernet_config(
+        workdir, proj_ckpt, "train",
+        menc_names_or_paths=["timm/ViT-L-16-SigLIP2-384", "Cacophony"],
+        load_extracted_features=[True, True],
+        dataset_names_or_paths=["sharegpt4v", "clothodetail"],
+    )
+    import os
+
+    new = str(workdir / "cfg_hn_multi.json")
+    os.rename(cfg, new)
+    run_hypernet(new)
+    assert osp.exists(
+        osp.join("checkpoints", "cfg_hn_multi-checkpoint-hypernet-best.pt")
+    )
