@@ -98,3 +98,29 @@ def test_ft_projector_from_checkpoint(workdir):
     run(new_path)
     ft_file = osp.join("outputs", "ft_projector:cfg_ft_smoke-dsz10-seed7-results.json")
     assert osp.exists(ft_file)
+
+
+def test_v1_style_multi_dataset_pretrain(workdir):
+    """Stage-1 pretrain mixes several dataset/encoder pairs with
+    length-weighted sampling (v1 config shape, dmi/train.py:76)."""
+    from dmi_tpu.data.fixtures import generate_dataset as gen
+
+    gen("data", "coco", "clip-vit-large-patch14", mm_dim=32, n_train=12, n_eval=4, seed=3)
+    gen("data", "audiocaps", "clap-htsat-fused", mm_dim=32, n_train=6, n_eval=2, seed=4)
+
+    cfg = make_config(
+        workdir,
+        menc_names_or_paths=["openai/clip-vit-large-patch14", "clap-htsat-fused"],
+        load_extracted_features=[True, True],
+        dataset_names_or_paths=["coco", "audiocaps"],
+        epochs_l=[2],
+        dataset_size_l=["full"],
+    )
+    new = str(workdir / "cfg_v1_multi.json")
+    os.rename(cfg, new)
+    run(new)
+    rf = osp.join("outputs", "projector:cfg_v1_multi-dszfull-seed7-results.json")
+    assert osp.exists(rf)
+    results = json.load(open(rf))
+    # one metrics entry per embedding manager
+    assert set(results["metrics"]) == {"clip-vit-large-patch14", "clap-htsat-fused"}
