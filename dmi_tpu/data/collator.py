@@ -19,7 +19,7 @@ eval batches works the same way (labels all -100 rows).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

@@ -19,7 +19,7 @@ match that exactly.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 from scipy import stats

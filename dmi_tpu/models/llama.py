@@ -20,8 +20,7 @@ Decode (KV cache, while_loop early exit) lives in dmi_tpu.models.decode.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
-from functools import partial
+from dataclasses import dataclass
 from typing import Any, Optional, Tuple
 
 import jax

@@ -14,7 +14,7 @@ import jax
 
 from dmi_tpu.models import projector as proj
 from dmi_tpu.models.lora import LoraSpec
-from dmi_tpu.training.checkpoint import BestCheckpointer, load_pytree
+from dmi_tpu.training.checkpoint import load_pytree
 from dmi_tpu.training.projector_trainer import ProjectorTrainer
 
 
