@@ -21,6 +21,7 @@ shape set.
 
 from __future__ import annotations
 
+import os
 import os.path as osp
 import pickle
 import threading
@@ -143,33 +144,25 @@ class DatasetLoader:
             return (int(item_id.split("_")[0]), caption)
         return (item_id, caption)  # 'full_id' and 'item_id' coincide here
 
-    def _init_split(self, split: str) -> Split:
+    def _columnar_cache_path(self, split: str) -> str:
+        return osp.join(self.path, f".cache_{split}_{self.model_name}.npz")
+
+    def _load_columns(self, split: str):
+        """Columnar load with an .npz sidecar cache: the reference re-parses
+        the (potentially GB-scale) pickles for every seed of every sweep
+        point; the first load here converts to arrays and later runs mmap
+        them in milliseconds.  Invalidated by the pkl's mtime."""
+        import json as _json
+
+        pkl_path = osp.join(self.path, f"{split}_embs_{self.model_name}.pkl")
+        cache = self._columnar_cache_path(split)
+        if osp.exists(cache) and os.path.getmtime(cache) >= os.path.getmtime(pkl_path):
+            z = np.load(cache, allow_pickle=False)
+            meta = _json.loads(str(z["meta"]))
+            return meta["ids"], meta["captions"], z["embs"], meta.get("smiles")
+
         raw = self._load_pkl(split)
-        text_raw = self._load_text_pkl(split) if self.train_args.feed_txt_embs else None
-
-        ds = self.train_args.dataset_size
-        if split == "train" and ds is not None and ds != "full":
-            size = int(ds)
-            if self.spec.subsample == "baseid":
-                # keep whole caption groups (dmi/data/base.py:139-157)
-                baseids = set()
-                for cur_id in raw:
-                    if len(baseids) <= size // self.spec.caps_per_image:
-                        baseids.add(cur_id.split("_")[0])
-                raw = {
-                    k: v for k, v in raw.items() if k.split("_")[0] in baseids
-                }
-                raw = {k: v for i, (k, v) in enumerate(raw.items()) if i < size}
-            else:  # 'shuffle' (dmi/data/coco.py:124-126, HF datasets.shuffle)
-                if self.spec.clamp_dataset_size:
-                    size = min(size, len(raw))
-                keys = list(raw)
-                perm = np.random.default_rng(self.train_args.seed).permutation(len(keys))
-                keep = [keys[i] for i in perm[:size]]
-                raw = {k: raw[k] for k in keep}
-
         ids, captions, embs, smiles = [], [], [], []
-        text_embs = [] if text_raw is not None else None
         for key, value in raw.items():
             ids.append(key)
             captions.append(value["caption"])
@@ -179,18 +172,52 @@ class DatasetLoader:
             embs.append(e)
             if self.spec.has_smiles:
                 smiles.append(value["smiles"])
-            if text_raw is not None:
-                text_embs.append(
-                    np.asarray(text_raw[self._text_key(key, value["caption"])], np.float32)
-                )
         embs = np.stack(embs) if embs else np.zeros((0, 0), np.float32)
-        split_obj = Split(
-            ids,
-            captions,
-            embs,
-            smiles if self.spec.has_smiles else None,
-            np.stack(text_embs) if text_embs else None,
-        )
+        meta = {"ids": ids, "captions": captions}
+        if self.spec.has_smiles:
+            meta["smiles"] = smiles
+        try:
+            np.savez(cache, embs=embs, meta=_json.dumps(meta))
+        except OSError:
+            pass  # read-only data dir: skip caching
+        return ids, captions, embs, smiles if self.spec.has_smiles else None
+
+    def _init_split(self, split: str) -> Split:
+        ids, captions, embs, smiles = self._load_columns(split)
+        text_raw = self._load_text_pkl(split) if self.train_args.feed_txt_embs else None
+
+        ds = self.train_args.dataset_size
+        if split == "train" and ds is not None and ds != "full":
+            size = int(ds)
+            if self.spec.subsample == "baseid":
+                # keep whole caption groups (dmi/data/base.py:139-157);
+                # columns preserve the pkl's insertion order
+                baseids = set()
+                for cur_id in ids:
+                    if len(baseids) <= size // self.spec.caps_per_image:
+                        baseids.add(cur_id.split("_")[0])
+                keep = [i for i, k in enumerate(ids) if k.split("_")[0] in baseids]
+                keep = keep[:size]
+            else:  # 'shuffle' (dmi/data/coco.py:124-126, HF datasets.shuffle)
+                if self.spec.clamp_dataset_size:
+                    size = min(size, len(ids))
+                perm = np.random.default_rng(self.train_args.seed).permutation(len(ids))
+                keep = list(perm[:size])
+            ids = [ids[i] for i in keep]
+            captions = [captions[i] for i in keep]
+            embs = embs[np.asarray(keep, np.int64)] if len(keep) else embs[:0]
+            if smiles is not None:
+                smiles = [smiles[i] for i in keep]
+
+        text_embs = None
+        if text_raw is not None:
+            text_embs = np.stack(
+                [
+                    np.asarray(text_raw[self._text_key(k, c)], np.float32)
+                    for k, c in zip(ids, captions)
+                ]
+            ) if ids else None
+        split_obj = Split(ids, captions, embs, smiles, text_embs)
 
         if split == "train":
             if self.train_args.n_components is not None:

@@ -317,3 +317,25 @@ def test_prefetcher_propagates_worker_exception():
         for step, batch in pf.run(0, 5):
             out.append(step)
     assert out == [0, 1]
+
+
+def test_columnar_cache_roundtrip(tok, tmp_path):
+    """Second construction loads the .npz sidecar, identical columns."""
+    import os as _os
+
+    root = str(tmp_path)
+    generate_dataset(root, "sydney", "E2", mm_dim=16, n_train=4, n_eval=2, seed=0)
+    args = _targs()
+    ld1 = DatasetLoader(dataset_spec("sydney"), tok, args, "E2", True, root)
+    cache = ld1._columnar_cache_path("train")
+    assert _os.path.exists(cache)
+    ld2 = DatasetLoader(dataset_spec("sydney"), tok, args, "E2", True, root)
+    assert ld2.train.ids == ld1.train.ids
+    assert ld2.train.captions == ld1.train.captions
+    np.testing.assert_array_equal(ld2.train.embs, ld1.train.embs)
+
+    # stale cache invalidation: touching the pkl forces a re-parse
+    pkl = _os.path.join(root, "sydney", "train_embs_E2.pkl")
+    _os.utime(pkl, None)
+    ld3 = DatasetLoader(dataset_spec("sydney"), tok, args, "E2", True, root)
+    assert ld3.train.ids == ld1.train.ids
