@@ -50,22 +50,25 @@ def bench_train(cfg, llm_params, pspec, pparams, batch, seq_len=48) -> dict:
     opt = optax.adamw(1e-4)
     opt_state = opt.init(pparams)
 
-    def loss_fn(p):
+    def loss_fn(p, llm_p, embs, ids, mask, labels):
         soft = proj.apply(pspec, p, embs, train=False)
-        return mmmodel.caption_loss(cfg, llm_params, soft, ids, mask, labels)
+        return mmmodel.caption_loss(cfg, llm_p, soft, ids, mask, labels)
 
+    # llm params MUST be jit arguments, not closure captures: captured
+    # constants embed the 2.5GB of weights into the lowered program, and
+    # the relay's compile helper chokes on the multi-GB POST
     @jax.jit
-    def step(p, s):
-        loss, g = jax.value_and_grad(loss_fn)(p)
+    def step(p, s, llm_p, embs, ids, mask, labels):
+        loss, g = jax.value_and_grad(loss_fn)(p, llm_p, embs, ids, mask, labels)
         updates, s = opt.update(g, s, p)
         return optax.apply_updates(p, updates), s, loss
 
-    pparams, opt_state, loss = step(pparams, opt_state)
+    pparams, opt_state, loss = step(pparams, opt_state, llm_params, embs, ids, mask, labels)
     _ = float(loss)  # compile + force
     n = 5
     t0 = time.perf_counter()
     for _ in range(n):
-        pparams, opt_state, loss = step(pparams, opt_state)
+        pparams, opt_state, loss = step(pparams, opt_state, llm_params, embs, ids, mask, labels)
         _ = float(loss)
     dt = time.perf_counter() - t0
     return {"steps_per_sec": n / dt, "samples_per_sec": batch * n / dt}
