@@ -54,43 +54,48 @@ def _mlp2_tiled_kernel(x_ref, w0_ref, b0_ref, w1_ref, b1_ref, out_ref, h_ref):
     """Grid (batch tiles, output-column tiles), j fastest: the hidden
     activation is computed once per batch tile (j == 0) into VMEM scratch
     and reused for every W1 column block — W1 never needs to be fully
-    resident, so f32 production dims fit the 16MB VMEM."""
+    resident, so f32 production dims fit the 16MB VMEM.
+
+    Biases arrive as (1, n) 2-D blocks: Mosaic requires 1-D operand blocks
+    to match XLA's lane tiling, which a 512-wide slice of a 2048 vector
+    violates."""
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         h = jnp.dot(x_ref[:], w0_ref[:], preferred_element_type=jnp.float32)
-        h_ref[:] = _gelu_tanh(h + b0_ref[:].astype(jnp.float32))
+        h_ref[:] = _gelu_tanh(h + b0_ref[0].astype(jnp.float32))
 
     y = jnp.dot(
         h_ref[:].astype(w1_ref.dtype), w1_ref[:], preferred_element_type=jnp.float32
     )
-    out_ref[:] = (y + b1_ref[:].astype(jnp.float32)).astype(out_ref.dtype)
+    out_ref[:] = (y + b1_ref[0].astype(jnp.float32)).astype(out_ref.dtype)
 
 
-def _mlp2_pallas_tiled(x, w0, b0, w1, b1, tile_n=512):
+def _mlp2_pallas_tiled(x, w0, b0, w1, b1, tile_n=256):
     B = x.shape[0]
     mm, lm = w0.shape
     lm2 = w1.shape[1]
-    pad_b = (-B) % TILE_B
+    tb = TILE_B_TILED
+    pad_b = (-B) % tb
     xp = jnp.pad(x, ((0, pad_b), (0, 0))) if pad_b else x
-    grid = (xp.shape[0] // TILE_B, lm2 // tile_n)
+    grid = (xp.shape[0] // tb, lm2 // tile_n)
     out = pl.pallas_call(
         _mlp2_tiled_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE_B, mm), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, mm), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((mm, lm), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((lm,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lm), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((lm, tile_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n,), lambda i, j: (j,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (TILE_B, tile_n), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            (tb, tile_n), lambda i, j: (i, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((xp.shape[0], lm2), x.dtype),
-        scratch_shapes=[pltpu.VMEM((TILE_B, lm), jnp.float32)],
-    )(xp, w0, b0, w1, b1)
+        scratch_shapes=[pltpu.VMEM((tb, lm), jnp.float32)],
+    )(xp, w0, b0.reshape(1, -1), w1, b1.reshape(1, -1))
     return out[:B] if pad_b else out
 
 
@@ -114,15 +119,19 @@ def _mlp2_vmem_bytes(x, w0, w1):
     )
 
 
+TILE_B_TILED = 64
+
+
 def _mlp2_tiled_vmem_bytes(x, w0, w1, tile_n):
+    """Streamed blocks are double-buffered by the pipeline (x2)."""
     i = x.dtype.itemsize
     mm, lm = w0.shape
     return (
-        (mm * lm + lm) * w0.dtype.itemsize   # W0 resident
-        + (lm * tile_n + tile_n) * w0.dtype.itemsize  # one W1 column block
-        + TILE_B * mm * i                    # input tile
-        + TILE_B * lm * 4                    # h scratch (f32)
-        + TILE_B * tile_n * i                # output tile
+        (mm * lm + lm) * w0.dtype.itemsize          # W0 resident (const idx)
+        + 2 * (lm * tile_n + tile_n) * w0.dtype.itemsize  # W1 block x2
+        + 2 * TILE_B_TILED * mm * i                 # input tile x2
+        + TILE_B_TILED * lm * 4                     # h scratch (f32)
+        + 2 * TILE_B_TILED * tile_n * i             # output tile x2
     )
 
 
@@ -186,7 +195,7 @@ def fused_mlp2(x, w0, b0, w1, b1):
     if _pallas_enabled() and _aligned(w0.shape[0], w0.shape[1], w1.shape[1]):
         if _mlp2_vmem_bytes(x, w0, w1) <= VMEM_BUDGET:
             return _mlp2_pallas(x, w0, b0, w1, b1)
-        tile_n = 512 if w1.shape[1] % 512 == 0 else (128 if w1.shape[1] % 128 == 0 else None)
+        tile_n = 256 if w1.shape[1] % 256 == 0 else (128 if w1.shape[1] % 128 == 0 else None)
         if tile_n is not None and _mlp2_tiled_vmem_bytes(x, w0, w1, tile_n) <= VMEM_BUDGET:
             return _mlp2_pallas_tiled(x, w0, b0, w1, b1, tile_n)
     return _mlp2_xla(x, w0, b0, w1, b1)
