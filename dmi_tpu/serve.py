@@ -198,7 +198,7 @@ def _load_embs(path: str):
     return ids, embs
 
 
-if __name__ == "__main__":
+def main(argv=None) -> None:
     import argparse
 
     logging.basicConfig(level=logging.INFO)
@@ -214,7 +214,7 @@ if __name__ == "__main__":
                     help="stochastic decoding (default: greedy)")
     ap.add_argument("--top-k", type=int, default=0)
     ap.add_argument("--seed", type=int, default=0)
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     cap = Captioner.from_checkpoint(
         args.lm, args.projector_ckpt, args.dataset,
@@ -227,3 +227,7 @@ if __name__ == "__main__":
     with open(args.out, "w") as f:
         json.dump(dict(zip(ids, captions)), f, indent=2)
     print(f"wrote {len(captions)} captions -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()
