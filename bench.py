@@ -91,22 +91,35 @@ def _load_or_record_baseline(metric: str, value: float) -> float:
 
 def _ensure_tpu_or_retry() -> str:
     """The axon relay's PJRT registration fails transiently (a failure at
-    interpreter start leaves only the CPU backend).  Re-exec a few times to
-    win a healthy registration; report the backend actually obtained."""
+    interpreter start leaves only the CPU backend) or terminally (default
+    platforms name a backend that never registered, making
+    jax.default_backend() RAISE).  Re-exec a few times to win a healthy
+    registration; if the relay never appears, re-exec once more pinned to
+    CPU (the config update must precede backend init, hence the fresh
+    interpreter) so the bench always completes."""
+    import sys
+    import time
+
     import jax
 
-    backend = jax.default_backend()
-    if backend == "tpu" or os.environ.get("DMI_BENCH_SMALL") == "1":
+    if os.environ.get("_DMI_BENCH_FORCE_CPU") == "1":
+        jax.config.update("jax_platforms", "cpu")
+        return jax.default_backend()
+    try:
+        backend = jax.default_backend()
+    except RuntimeError:
+        backend = "uninitialized"  # e.g. "Backend 'axon' is not ... known"
+    if backend == "tpu":
+        return backend
+    if backend == "cpu" and os.environ.get("DMI_BENCH_SMALL") == "1":
         return backend
     tries = int(os.environ.get("_DMI_BENCH_TRIES", "0"))
-    if tries < 5:
-        import sys
-        import time
-
+    if tries < 5 and os.environ.get("DMI_BENCH_SMALL") != "1":
         time.sleep(90)
         os.environ["_DMI_BENCH_TRIES"] = str(tries + 1)
         os.execv(sys.executable, [sys.executable] + sys.argv)
-    return backend
+    os.environ["_DMI_BENCH_FORCE_CPU"] = "1"
+    os.execv(sys.executable, [sys.executable] + sys.argv)
 
 
 def main() -> None:
