@@ -81,4 +81,4 @@ def test_graft_dryrun_multichip(capsys):
 
     ge.dryrun_multichip(8)
     out = capsys.readouterr().out
-    assert out.count("dryrun_multichip OK") == 2
+    assert out.count("dryrun_multichip OK") == 3  # projector, hypernet, decode
