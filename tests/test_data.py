@@ -135,6 +135,19 @@ def test_sampler_stateless_and_sized():
     assert sorted(epoch0.tolist()) == list(range(6))
 
 
+def test_pick_loader_stateless_and_weighted():
+    from dmi_tpu.training.trainer import pick_loader
+
+    picks = [pick_loader(3, s, 3) for s in range(300)]
+    assert picks == [pick_loader(3, s, 3) for s in range(300)]  # stateless
+    assert set(picks) == {0, 1, 2}  # uniform default touches every loader
+
+    # weighted: a zero-weight loader is never picked, normalization implicit
+    w = [pick_loader(3, s, 3, weights=[5.0, 0.0, 1.0]) for s in range(300)]
+    assert 1 not in w
+    assert w.count(0) > w.count(2) > 0
+
+
 @requires_reference
 def test_inffs_matches_reference():
     # load the reference module directly (its package __init__ pulls heavy
