@@ -52,13 +52,17 @@ def fetch_synthetic(out_dir: str, mm_dim: int = 768, seed: int = 0) -> None:
         print(f"synthesized {name} ({', '.join(encs)})")
 
 
-if __name__ == "__main__":
+def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="data")
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--mm-dim", type=int, default=768)
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
     if args.synthetic:
         fetch_synthetic(args.out, args.mm_dim)
     else:
         fetch_real(args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -130,7 +130,11 @@ def run(config_path: str) -> None:
             )
 
 
-if __name__ == "__main__":
+def cli(argv=None):
+    """Console entry point: ``%(prog)s <config.json>``."""
+    import sys as _sys
+
+    argv = _sys.argv[1:] if argv is None else argv
     logging.basicConfig(
         level=logging.INFO,
         format="%(asctime)s - %(levelname)s - %(message)s",
@@ -139,4 +143,8 @@ if __name__ == "__main__":
     from dmi_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    run(osp.abspath(sys.argv[1]))
+    run(osp.abspath(argv[0]))
+
+
+if __name__ == "__main__":
+    cli()
