@@ -90,3 +90,29 @@ def test_tiled_mlp2_interpret_matches_xla():
     with pltpu.force_tpu_interpret_mode():
         out = pk._mlp2_pallas_tiled(x, w0, b0, w1, b1, tile_n=128)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_vmem_estimators_pin_hardware_point():
+    """The x2-double-buffering model must keep reproducing the scoped
+    allocation the chip reported (18.51M for the old 128x512 tiled f32
+    config) and keep routing the production shapes correctly."""
+    import jax.numpy as jnp
+
+    M = 2**20
+    # old failing tiled config, computed with the same x2 terms the
+    # estimator uses (TILE_B=128, tile_n=512, f32 1024->2048):
+    i, mm, lm, tb, tn = 4, 1024, 2048, 128, 512
+    est = (mm * lm + lm) * i + 2 * (lm * tn + tn) * i + 2 * tb * mm * i \
+        + tb * lm * 4 + 2 * tb * tn * i
+    assert abs(est / M - 18.51) < 0.01  # chip: "Scoped allocation ... 18.51M"
+
+    # production routing: bf16 training shape stays on the (hardware-
+    # validated) single block; f32 serving shape fits only the tiled path
+    xb = jnp.zeros((128, 1024), jnp.bfloat16)
+    w0b = jnp.zeros((1024, 2048), jnp.bfloat16)
+    w1b = jnp.zeros((2048, 2048), jnp.bfloat16)
+    assert pk._mlp2_vmem_bytes(xb, w0b, w1b) <= pk.VMEM_BUDGET
+
+    xf, w0f, w1f = (z.astype(jnp.float32) for z in (xb, w0b, w1b))
+    assert pk._mlp2_vmem_bytes(xf, w0f, w1f) > pk.VMEM_BUDGET
+    assert pk._mlp2_tiled_vmem_bytes(xf, w0f, w1f, 256) <= pk.VMEM_BUDGET
