@@ -177,6 +177,8 @@ def main() -> None:
     if os.environ.get("DMI_BENCH_MODE") == "train":
         r = bench_train(cfg, llm_params, pspec, pparams, batch)
         metric = "train_samples_per_sec_per_chip_1b" if not small else "train_samples_per_sec_small"
+        if os.environ.get("_DMI_BENCH_CPU_FALLBACK") == "1":
+            metric += "_cpu_fallback"
         value = r["samples_per_sec"]
         baseline = _load_or_record_baseline(metric, value)
         print(
