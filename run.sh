@@ -9,6 +9,10 @@
 #   ./run.sh configs/lora/v3:....json          # LoRA baseline
 set -euo pipefail
 
+if [[ $# -lt 1 ]]; then
+  echo "usage: $0 <config.json>  (see configs/smoke/ for runnable examples)" >&2
+  exit 2
+fi
 CONFIG="$1"
 if grep -q '"hn_arch"\|"finetune_generated_projector"' "$CONFIG"; then
   exec python -u -m dmi_tpu.train_hypernet "$CONFIG"
