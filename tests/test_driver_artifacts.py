@@ -49,6 +49,24 @@ def test_bench_relay_dead_fallback(tmp_path):
     assert out["value"] > 0
 
 
+def test_bench_mid_run_crash_recovery(tmp_path):
+    """An exception after relay registration (relay died mid-run) must
+    still end with one JSON line, via the pinned-CPU re-exec."""
+    shutil.copy(os.path.join(REPO, "bench.py"), tmp_path / "bench.py")
+    env = dict(
+        os.environ, PYTHONPATH=REPO,
+        _DMI_BENCH_CRASH_TEST="1", DMI_BENCH_SMALL="1",
+    )
+    r = subprocess.run(
+        [sys.executable, str(tmp_path / "bench.py")],
+        capture_output=True, text=True, env=env, timeout=600, cwd=tmp_path,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "simulated mid-run relay death" in r.stderr
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["value"] > 0
+
+
 def test_bench_small_train(tmp_path):
     out = _run_bench(tmp_path, {"DMI_BENCH_SMALL": "1", "DMI_BENCH_MODE": "train"})
     assert out["metric"] == "train_samples_per_sec_small"
