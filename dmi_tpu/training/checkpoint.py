@@ -33,8 +33,41 @@ def save_pytree(path: str, obj: Dict[str, Any]) -> None:
 
 
 def load_pytree(path: str) -> Dict[str, Any]:
+    """Load a dmi_tpu checkpoint — or, transparently, a reference torch
+    ``.pt`` checkpoint (zip-serialized torch.save output), converted into
+    the same envelope via dmi_tpu.models.torch_import.  Torch optimizer
+    moments cannot restore into optax state, so optimizer_state_dict is
+    None for imported files (raw moments stay reachable through
+    torch_import.load_torch_checkpoint)."""
+    import zipfile
+
+    if zipfile.is_zipfile(path):
+        return _load_torch_envelope(path)
     with open(path, "rb") as f:
-        return pickle.load(f)
+        try:
+            return pickle.load(f)
+        except Exception:
+            # legacy (pre-zip) torch serialization also lands here
+            return _load_torch_envelope(path)
+
+
+def _load_torch_envelope(path: str) -> Dict[str, Any]:
+    from dmi_tpu.models import torch_import as ti
+
+    out = ti.load_torch_checkpoint(path)
+    env: Dict[str, Any] = {
+        "step_idx": out.get("step_idx", 0),
+        "optimizer_state_dict": None,
+    }
+    if "metric" in out:
+        env["metric"] = out["metric"]
+    if "projector" in out:
+        env["projector_state_dict"] = out["projector"]
+    if "hypernet" in out:
+        env["hypernet_state_dict"] = out["hypernet"]
+    if "lora_adapters" in out:
+        env["lora_model_state_dict"] = out["lora_adapters"]
+    return env
 
 
 def save_pytree_orbax(path: str, obj: Dict[str, Any]) -> None:
