@@ -123,10 +123,9 @@ def _ensure_tpu_or_retry() -> str:
 
 
 def main() -> None:
-    # the projector is <0.1% of decode cost; don't let its Pallas kernel
-    # compile add relay risk to the headline measurement (the kernels are
-    # exercised by the serving path and their own hardware validation)
-    os.environ.setdefault("DMI_DISABLE_PALLAS", "1")
+    # Pallas is part of the headline path now: fused_decode_attention is the
+    # decode hot op (ops/pallas/decode_attn.py).  DMI_DISABLE_PALLAS=1 still
+    # opts out if the relay misbehaves on Mosaic compiles.
 
     if (
         os.environ.get("_DMI_BENCH_CRASH_TEST") == "1"
@@ -215,13 +214,17 @@ def main() -> None:
         return np.asarray(toks)
 
     run_once()  # compile
-    n_iters = 3
-    t0 = time.perf_counter()
+    run_once()  # warm
+    n_iters = int(os.environ.get("DMI_BENCH_ITERS", "10"))
+    iter_ms = []
     for _ in range(n_iters):
+        t0 = time.perf_counter()
         run_once()
-    dt = time.perf_counter() - t0
+        iter_ms.append((time.perf_counter() - t0) * 1e3)
+    iter_ms.sort()
+    median_ms = iter_ms[len(iter_ms) // 2]
 
-    captions_per_sec = batch * n_iters / dt
+    captions_per_sec = batch / (median_ms / 1e3)
     metric = "decode_captions_per_sec_per_chip_1b" if not small else "decode_captions_per_sec_small"
     if int8:
         metric += "_int8"
@@ -239,6 +242,12 @@ def main() -> None:
                 "value": round(captions_per_sec, 3),
                 "unit": "captions/s/chip",
                 "vs_baseline": round(captions_per_sec / baseline, 3),
+                # per-iteration spread so round-over-round deltas are
+                # distinguishable from relay noise (n >= 10, median-based)
+                "n_iters": n_iters,
+                "iter_ms_min": round(iter_ms[0], 2),
+                "iter_ms_median": round(median_ms, 2),
+                "iter_ms_max": round(iter_ms[-1], 2),
             }
         )
     )

@@ -18,7 +18,7 @@ from typing import Dict, List
 
 from dmi_tpu.evals.bleu import coco_bleu
 from dmi_tpu.evals.cider import cider_d
-from dmi_tpu.evals.meteor import corpus_meteor
+from dmi_tpu.evals.meteor15 import meteor15_corpus
 from dmi_tpu.evals.rouge import rouge_l
 from dmi_tpu.evals.tokenize import ptb_tokenize
 
@@ -59,7 +59,10 @@ def coco_caption_eval(
         bleus, _ = coco_bleu(cands, refs)
     nat = cider_d_native(cands, refs)
     cider_score = nat[0] if nat is not None else cider_d(cands, refs)[0]
-    meteor_score, _ = corpus_meteor(cands, refs)
+    # METEOR-1.5 semantics (the reference's Java jar inside COCOEvalCap,
+    # dmi/utils/eval_utils.py:195-198): corpus-aggregated statistics,
+    # content/function weighting — see dmi_tpu/evals/meteor15.py
+    meteor_score, _, _ = meteor15_corpus(cands, refs)
     rouge_score, _ = rouge_l(cands, refs)
     return {
         "Bleu_1": bleus[0],

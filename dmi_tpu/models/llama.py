@@ -39,6 +39,11 @@ class LlamaConfig:
     head_dim: int = 64
     rms_norm_eps: float = 1e-5
     rope_theta: float = 500000.0
+    # NOTE attention_impl (below): "xla" = additive-bias oracle,
+    # "flash" = Pallas TPU flash attention, "auto" = flash on TPU / oracle
+    # elsewhere.  Since the segment-id fix the flash path is pad-EXACT vs
+    # the oracle (values and grads pinned on ragged batches), so "auto" is
+    # the production default set by the model builders.
     # Llama-3 rope scaling (config.json rope_scaling{rope_type: llama3})
     rope_scaling_factor: Optional[float] = 32.0
     rope_low_freq_factor: float = 1.0
@@ -284,9 +289,78 @@ def _attention(q, k, v, bias):
     return out.reshape(B, nh, T, hd)
 
 
+def _decode_attention_blockdiag(q, k, v, bias):
+    """Single-query GQA attention as ONE well-shaped batched matmul pair.
+
+    The per-kv-head einsum runs B*nkv batched [g, hd] x [hd, S] matmuls
+    whose MXU tile padding dominates (profiled 0.38 ms/layer at B=256);
+    the multiply-reduce alternative materializes [B,nkv,g,S,hd] f32
+    intermediates in HBM (~0.18 ms/layer of bandwidth).  Here the cache is
+    flattened to [B, nkv*S, hd] and ALL heads' scores come from a single
+    batched [nh, hd] x [hd, nkv*S] matmul — nkv-fold redundant FLOPs (still
+    negligible) for a 30x smaller f32 intermediate and full MXU tiles.
+    Cross-block (query head h vs keys of a different kv head) scores are
+    masked to -inf before the softmax, so the value matmul over the full
+    flattened axis is exact: masked probabilities are zero.
+
+    q: [B, nh, 1, hd], k/v: [B, nkv, S, hd], bias: [B, 1, S] -> [B, nh, 1, hd]
+    """
+    B, nh, _, hd = q.shape
+    nkv, S = k.shape[1], k.shape[2]
+    g = nh // nkv
+    J = nkv * S
+    q2 = q[:, :, 0, :]
+    kf = k.reshape(B, J, hd)
+    vf = v.reshape(B, J, hd)
+    scores = jax.lax.dot_general(
+        q2, kf, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # [B, nh, J]
+    scores = scores / np.sqrt(hd)
+    # static block-diagonal head->kv mask + dynamic position-validity bias
+    allowed = (jnp.arange(J) // S)[None, :] == (jnp.arange(nh) // g)[:, None]
+    bias_j = jnp.broadcast_to(bias[:, 0, None, :], (B, nkv, S)).reshape(B, 1, J)
+    scores = jnp.where(allowed[None], scores + bias_j, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jax.lax.dot_general(
+        probs, vf, (((2,), (1,)), ((0,), (0,)))
+    )  # [B, nh, hd]
+    return out[:, :, None, :]
+
+
+def _decode_attention(q, k, v, bias):
+    """Single-query attention as elementwise multiply-reduce (VPU path).
+
+    The natural einsum lowers to B*nkv batched [group, hd] x [hd, S]
+    matmuls; at decode shapes (group=4, S a few dozen) the MXU pads each to
+    full tiles and the padding dominates — measured 6.2 ms/step of the 1B
+    decode at B=256, 45% of the whole loop.  Broadcasting + reductions keep
+    the same f32 math on the VPU where nothing is padded.
+
+    q: [B, nh, 1, hd], k/v: [B, nkv, S, hd], bias: [B, 1, S] -> [B, nh, 1, hd]
+    """
+    B, nh, _, hd = q.shape
+    nkv = k.shape[1]
+    group = nh // nkv
+    qf = q.reshape(B, nkv, group, hd).astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    # [B,nkv,g,1,hd] * [B,nkv,1,S,hd] -> reduce hd -> [B,nkv,g,S]
+    scores = jnp.sum(qf[:, :, :, None, :] * kf[:, :, None, :, :], axis=-1)
+    scores = scores / np.sqrt(hd) + bias[:, :, None, :]  # [B,1,1,S] bcast
+    probs = jax.nn.softmax(scores, axis=-1)
+    vf = v.astype(jnp.float32)
+    out = jnp.sum(probs[..., None] * vf[:, :, None, :, :], axis=3)
+    return out.reshape(B, nh, 1, hd).astype(v.dtype)
+
+
 def _flash_attention(cfg, q, k, v, seg_ids):
-    """Pallas TPU flash attention over the full sequence (training path):
-    causal + segment-id padding masks, kv heads repeated for GQA."""
+    """Pallas TPU flash attention over the full sequence (training path).
+
+    seg_ids is (q_seg, kv_seg).  Pad-exactness: HF's additive bias masks
+    KEYS only (pad queries still attend the real prefix under the causal
+    mask), so q_seg is all-ones and kv_seg is the attention mask — the
+    segment equality test q_seg[i] == kv_seg[j] then reproduces the bias
+    semantics bit-for-bit, including on ragged batches where the preserved
+    label-pad collator quirk makes pad-position logits part of the loss."""
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         SegmentIds,
         flash_attention,
@@ -296,7 +370,7 @@ def _flash_attention(cfg, q, k, v, seg_ids):
     if group > 1:
         k = jnp.repeat(k, group, axis=1)
         v = jnp.repeat(v, group, axis=1)
-    seg = SegmentIds(q=seg_ids, kv=seg_ids) if seg_ids is not None else None
+    seg = SegmentIds(q=seg_ids[0], kv=seg_ids[1]) if seg_ids is not None else None
     return flash_attention(
         q, k, v, segment_ids=seg, causal=True,
         sm_scale=1.0 / float(np.sqrt(cfg.head_dim)),
@@ -335,6 +409,10 @@ def _block(cfg: LlamaConfig, x, lw, cos, sin, bias, cache_kv=None, cache_index=N
         # seg_ids is only provided when forward() chose the flash path
         # (TPU backend); everywhere else the additive-bias oracle runs
         attn = _flash_attention(cfg, q, k, v, seg_ids)
+    elif cache_kv is not None and T == 1:
+        # KV-cache token step: block-diagonal batched-matmul formulation
+        # (fastest of the four profiled variants, scripts/profile_attn_kernel.py)
+        attn = _decode_attention_blockdiag(q, k, v, bias)
     else:
         attn = _attention(q, k, v, bias)
     attn = attn.transpose(0, 2, 1, 3).reshape(B, T, nh * hd)
@@ -375,24 +453,24 @@ def forward(
     seg_ids = None
     bias = None
     # flash needs a TPU (or interpret mode via DMI_FORCE_FLASH in tests);
-    # off-TPU the additive-bias oracle runs even when configured 'flash'
+    # off-TPU the additive-bias oracle runs even when configured 'flash'.
+    # 'auto' resolves to flash on TPU (pad-exact, no [B,T,S] f32 bias in
+    # HBM) and the oracle elsewhere.
     import os as _os
 
-    use_flash = cfg.attention_impl == "flash" and (
+    on_tpu = (
         jax.default_backend() == "tpu" or _os.environ.get("DMI_FORCE_FLASH") == "1"
     )
+    use_flash = cfg.attention_impl in ("flash", "auto") and on_tpu
     if use_flash:
-        # segment ids: real tokens = 1, pads = 0.  NOTE a documented
-        # divergence from the XLA oracle on ragged batches: pad-position
-        # QUERIES see only other pads here, whereas HF lets them attend the
-        # real prefix — and the preserved collator quirk counts
-        # pad-position labels in the loss, so flash mode optimizes a
-        # slightly cleaner objective than reference parity.  Keep the
-        # default 'xla' when bit-matching reference training.
-        if attention_mask is not None:
-            seg_ids = attention_mask.astype(jnp.int32)
-        else:
-            seg_ids = jnp.ones((B, T), jnp.int32)
+        # pad-exact masking: queries unmasked, keys masked (see
+        # _flash_attention) — identical objective to the additive-bias
+        # oracle on ragged batches, pad rows included
+        ones = jnp.ones((B, T), jnp.int32)
+        kv_seg = (
+            attention_mask.astype(jnp.int32) if attention_mask is not None else ones
+        )
+        seg_ids = (ones, kv_seg)
     else:
         causal = jnp.tril(jnp.ones((T, T), bool))
         valid = causal[None, :, :]

@@ -6,5 +6,6 @@ unaligned shapes.
 """
 
 from dmi_tpu.ops.pallas.projector import fused_mlp2, fused_lora_layer0
+from dmi_tpu.ops.pallas.decode_attn import fused_decode_attention
 
-__all__ = ["fused_mlp2", "fused_lora_layer0"]
+__all__ = ["fused_mlp2", "fused_lora_layer0", "fused_decode_attention"]

@@ -6,6 +6,11 @@ adds: jax.sharding.Mesh over ICI with data-parallel batches and
 tensor-parallel LLM weights; XLA inserts the psum/all-gather collectives.
 """
 
+from dmi_tpu.parallel.distributed import (
+    batch_axes,
+    init_distributed,
+    make_multihost_mesh,
+)
 from dmi_tpu.parallel.mesh import make_mesh
 from dmi_tpu.parallel.sharding import (
     batch_sharding,
@@ -17,6 +22,9 @@ from dmi_tpu.parallel.sharding import (
 
 __all__ = [
     "make_mesh",
+    "init_distributed",
+    "make_multihost_mesh",
+    "batch_axes",
     "batch_sharding",
     "replicate",
     "shard_batch",

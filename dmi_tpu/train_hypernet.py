@@ -152,6 +152,11 @@ def main(name, train_args, hn_args, projector_args, data_args, menc_args, lm_arg
 
 
 def run(config_path: str) -> None:
+    # multi-host entry: a no-op on single-process runs, initializes
+    # jax.distributed when a coordinator is configured (pod/multi-slice)
+    from dmi_tpu.parallel import init_distributed
+
+    init_distributed()
     (data_args, hn_args, lm_args, menc_args, projector_args, train_args, fewshot_args) = (
         parse_config(config_path, GROUPS)
     )

@@ -101,6 +101,11 @@ def main(name, data_args, lm_args, menc_args, projector_args, train_args):
 
 
 def run(config_path: str) -> None:
+    # multi-host entry: a no-op on single-process runs, initializes
+    # jax.distributed when a coordinator is configured (pod/multi-slice)
+    from dmi_tpu.parallel import init_distributed
+
+    init_distributed()
     data_args, lm_args, menc_args, projector_args, train_args = parse_config(
         config_path, GROUPS
     )

@@ -212,13 +212,16 @@ class HypernetTrainer:
             grads = jax.tree.map(lambda g: g / accum_steps, grads)
             accum = jax.tree.map(jnp.add, state.accum, grads)
             if not do_update:
-                return state._replace(accum=accum), loss
+                return state._replace(accum=accum), loss, None
+            from dmi_tpu.utils.grad_stats import grad_summary
+
+            gstats = grad_summary(accum)  # wandb.watch analogue (train.py:70)
             lr = self.lr_fn(state.sched_step)
             opt_state = set_lr(state.opt_state, lr)
             updates, opt_state = self.opt.update(accum, opt_state, state.params)
             params = jax.tree.map(jnp.add, state.params, updates)
             accum = jax.tree.map(jnp.zeros_like, accum)
-            return TrainState(params, opt_state, accum, jnp.asarray(step, jnp.int32)), loss
+            return TrainState(params, opt_state, accum, jnp.asarray(step, jnp.int32)), loss, gstats
 
         @jax.jit
         def eval_loss(params, llm_params, mm, subset, ids, mask, labels):
@@ -288,9 +291,13 @@ class HypernetTrainer:
     def train(self, start_step: int = 0):
         from dmi_tpu.data.prefetch import Prefetcher
 
+        from dmi_tpu.utils.logging import MetricLogger
+
         total = self.total_steps
         accumulated = 0.0
         cur_eval_loss = float("inf")
+        mlog = MetricLogger(self.name, f"dmi_{self.TRAINER_TYPE}")
+        grad_stats = None
         prefetcher = Prefetcher(self.fetch_batch, depth=2)
         for step, (idx, batch, subset_raw) in prefetcher.run(start_step, total):
             if step % self.train_args.gradient_accumulation_steps == 0:
@@ -302,17 +309,26 @@ class HypernetTrainer:
             rot_key = jax.random.fold_in(self._base_key, 2 * step)
             hn_rng = jax.random.fold_in(self._base_key, 2 * step + 1)
             do_update = self.cond.grad_acc(step, total)
-            self.state, loss = self._micro_step(
+            self.state, loss, gstats = self._micro_step(
                 self.state, self.llm_params, mm, subset, ids, mask, labels,
                 rot_key, hn_rng, step, do_update, can_rotate=True,
             )
+            if gstats is not None:
+                grad_stats = gstats
             accumulated = accumulated + loss  # device scalar; sync at log time
             if do_update:
                 if (step + 1) % self.train_args.logging_steps == 0 and step > 0:
                     log.info("Step: %d/%d Train Loss: %.3f", step, total, float(accumulated))
+                    rec = {"train_loss": float(accumulated)}
+                    if grad_stats is not None:
+                        from dmi_tpu.utils.grad_stats import host_grad_summary
+
+                        rec.update(host_grad_summary(grad_stats))
+                    mlog.log(rec, step)
                 if self.cond.evaluate(step, total):
                     cur_eval_loss = self.evaluate()
                     log.info("Step: %d Eval Loss: %.3f", step, cur_eval_loss)
+                    mlog.log({"eval_loss": cur_eval_loss}, step)
                 if self.cond.generate(step, total, include_final=False):
                     all_metrics, _, _, _ = self.generate(mode="eval")
                     log.info("Step: %d Metrics: %s", step, all_metrics)
@@ -342,10 +358,12 @@ class HypernetTrainer:
                     pad_emb_rows(batch["embs"], self.train_args.eval_batch_size)
                 )
                 ids, mask, labels = self._device_batch(batch_p)
+                # device scalars accumulated async; single host sync below
+                # (mirrors the train loop's no-per-step-float discipline)
                 losses.append(
-                    float(self._eval_loss(self.state.params, self.llm_params, mm, subset, ids, mask, labels))
+                    self._eval_loss(self.state.params, self.llm_params, mm, subset, ids, mask, labels)
                 )
-        return float(np.mean(losses))
+        return float(np.mean(np.asarray(jnp.stack(losses))))
 
     # ------------------------------------------------------------------
     # generate (shared by train eval + fewshot)
@@ -534,9 +552,12 @@ class HypernetTrainer:
             all_test["ids"][mgr_name] = ti[mgr_name]
             self.generated_projector = None  # (:294-295)
 
+        from dmi_tpu.evals.environment import eval_environment
+
         save_run_results(
             args.output_root, self.TRAINER_TYPE, self.name,
             all_test["metrics"], all_test["gts"], all_test["preds"], all_test["ids"],
+            eval_env=eval_environment(self.fewshot_loaders[0].dataset_name),
         )
         return all_test["metrics"]
 

@@ -88,14 +88,20 @@ def _hf_to_config(hf_cfg, dtype, tokenizer) -> llama.LlamaConfig:
 
 
 def _apply_attention_impl(cfg: llama.LlamaConfig) -> llama.LlamaConfig:
-    """DMI_FLASH_ATTENTION=1 switches the training forward to the Pallas
-    TPU flash-attention kernel (decode is unaffected)."""
+    """Production default 'auto': pad-exact Pallas flash attention on TPU
+    (kills the [B,T,S] f32 bias — ~1.1GB/step at sharegpt4video's 605-token
+    budget x batch 128), additive-bias oracle elsewhere.  Since the
+    segment-id fix the two are numerically interchangeable on ragged
+    batches (values+grads pinned, tests/test_llama.py), so this is a pure
+    memory/perf knob: DMI_FLASH_ATTENTION=0 pins the oracle, =1 pins flash
+    (decode is unaffected either way)."""
     import dataclasses
     import os
 
-    if os.environ.get("DMI_FLASH_ATTENTION") == "1":
-        return dataclasses.replace(cfg, attention_impl="flash")
-    return cfg
+    impl = {"0": "xla", "1": "flash"}.get(
+        os.environ.get("DMI_FLASH_ATTENTION", ""), "auto"
+    )
+    return dataclasses.replace(cfg, attention_impl=impl)
 
 
 def build_lm(lm_args, tokenizer, seed: int = 0) -> Tuple[llama.LlamaConfig, dict]:

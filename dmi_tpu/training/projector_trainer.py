@@ -149,7 +149,13 @@ class ProjectorTrainer:
             grads = jax.tree.map(lambda g: g / accum_steps, grads)
             accum = jax.tree.map(jnp.add, state.accum, grads)
             if not do_update:
-                return state._replace(accum=accum), loss
+                return state._replace(accum=accum), loss, None
+            # gradient summary of the full accumulated gradient the
+            # optimizer consumes (wandb.watch analogue, dmi/train.py:70) —
+            # device scalars, fetched only at logging cadence
+            from dmi_tpu.utils.grad_stats import grad_summary
+
+            gstats = grad_summary(accum)
             lr = self.lr_fn(state.sched_step)
             opt_state = set_lr(state.opt_state, lr)
             updates, opt_state = self.opt.update(accum, opt_state, state.params)
@@ -159,6 +165,7 @@ class ProjectorTrainer:
             return (
                 TrainState(params, opt_state, accum, jnp.asarray(step, jnp.int32)),
                 loss,
+                gstats,
             )
 
         @jax.jit
@@ -199,9 +206,11 @@ class ProjectorTrainer:
         ids, mask, labels = self._device_batch(batch)
         rng = jax.random.fold_in(self._base_key, step)
         do_update = self.cond.grad_acc(step, total_steps)
-        self.state, loss = self._micro_step(
+        self.state, loss, gstats = self._micro_step(
             self.state, self.llm_params, embs, ids, mask, labels, rng, step, do_update
         )
+        if gstats is not None:
+            self._last_grad_stats = gstats  # device dict; fetched at log time
         # loss stays a device scalar — forcing it every micro-step would
         # serialize host batch prep against device compute
         return loss, do_update
@@ -219,8 +228,11 @@ class ProjectorTrainer:
                 embs_np = pad_emb_rows(batch["embs"], self.train_args.eval_batch_size)
                 embs = self.emb_mgrs[emb_idx].get_embeddings(embs_np)
                 ids, mask, labels = self._device_batch(batch_p)
-                losses.append(float(self._eval_loss(self.state.params, self.llm_params, embs, ids, mask, labels)))
-        return float(np.mean(losses))
+                # keep losses as device scalars: a float() here would sync
+                # host<->device once per batch and serialize the whole pass
+                # (the train loop avoids exactly this) — one sync at the end
+                losses.append(self._eval_loss(self.state.params, self.llm_params, embs, ids, mask, labels))
+        return float(np.mean(np.asarray(jnp.stack(losses))))
 
     # ------------------------------------------------------------------
 
@@ -326,7 +338,12 @@ class ProjectorTrainer:
                         sps = (step - last_log_step) / max(now - last_log_t, 1e-9)
                         last_log_t, last_log_step = now, step
                         log.info("Step: %d/%d Train Loss: %.3f", step, total, acc)
-                        mlog.log({"train_loss": acc, "steps_per_s": sps}, step)
+                        rec = {"train_loss": acc, "steps_per_s": sps}
+                        if getattr(self, "_last_grad_stats", None) is not None:
+                            from dmi_tpu.utils.grad_stats import host_grad_summary
+
+                            rec.update(host_grad_summary(self._last_grad_stats))
+                        mlog.log(rec, step)
                     if self.cond.evaluate(step, total):
                         ev = self.evaluate()
                         log.info("Step: %d Eval Loss: %.3f", step, ev)
@@ -363,6 +380,8 @@ class ProjectorTrainer:
                 params=jax.tree.map(jnp.asarray, best[f"{self.SAVE_TYPE}_state_dict"])
             )
         test_metrics, test_gts, test_preds, test_ids = self.generate("test")
+        from dmi_tpu.evals.environment import eval_environment
+
         save_run_results(
             self.train_args.output_root,
             self.TRAINER_TYPE,
@@ -371,5 +390,6 @@ class ProjectorTrainer:
             test_gts,
             test_preds,
             test_ids,
+            eval_env=eval_environment(self.loaders[0].dataset_name),
         )
         return test_metrics

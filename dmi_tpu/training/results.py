@@ -32,9 +32,17 @@ def save_run_results(
     gts: Dict,
     preds: Dict,
     ids: Dict,
+    eval_env: Dict = None,
 ) -> str:
+    """eval_env (dmi_tpu.evals.environment) annotates which scorer
+    implementations/stages actually ran — stored top-level, OUTSIDE the
+    metrics dict, so seed averaging still sees only numbers."""
     os.makedirs(output_root, exist_ok=True)
-    results = dict(metrics=metrics, gts=gts, preds=preds, ids=ids)
+    if eval_env is None:
+        from dmi_tpu.evals.environment import eval_environment
+
+        eval_env = eval_environment()
+    results = dict(metrics=metrics, gts=gts, preds=preds, ids=ids, eval_env=eval_env)
     path = run_results_path(output_root, train_type, name)
     with open(path, "w") as f:
         json.dump(results, f, indent=2)

@@ -1,0 +1,241 @@
+"""Decode-step microprofiler by ablation.
+
+The axon relay exposes no usable jax.profiler trace, so the binding
+constraint of the KV-cache decode loop (dmi_tpu/models/decode.py) is
+located by timing ablated variants of the same while_loop on hardware:
+each variant removes one component of the step body (head matmul,
+attention math, MLP matmuls, QKV/O matmuls) while keeping the loop
+structure, cache threading, and shapes identical.
+
+Also measures the raw floors the step competes against:
+  * weight-stream floor: one pass that reads every weight byte (sum)
+  * head-matmul-alone cost at the decode batch
+
+Every dispatch is forced to completion with a host transfer
+(np.asarray) because block_until_ready returns early on the relay.
+
+Usage:  python scripts/profile_decode.py [--batch 256] [--steps 22]
+        [--small]   (tiny model, CPU smoke)
+Prints one JSON dict of median milliseconds per variant.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os.path as osp
+import statistics
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+
+def timeit(fn, n=7, warmup=2):
+    for _ in range(warmup):
+        fn()
+    times = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        times.append((time.perf_counter() - t0) * 1e3)
+    return statistics.median(times), times
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--steps", type=int, default=22)
+    ap.add_argument("--prefix", type=int, default=16)
+    ap.add_argument("--small", action="store_true")
+    ap.add_argument("--fused", type=int, default=1)
+    ap.add_argument("--iters", type=int, default=7)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    if args.small:
+        jax.config.update("jax_platforms", "cpu")
+
+    from dmi_tpu.models import decode, llama
+
+    if args.small:
+        cfg = llama.tiny_config(vocab_size=512, hidden_size=128, n_layers=4,
+                                n_heads=8, n_kv=4, intermediate=256)
+    else:
+        cfg = llama.llama32_1b()
+    cfg = dataclasses.replace(cfg, eos_token_ids=())
+
+    B, T, NEW = args.batch, args.prefix, args.steps
+    params = llama.init(jax.random.key(0), cfg)
+    if args.fused:
+        params = llama.fuse_projections(params)
+    if cfg.tie_word_embeddings:
+        params = {**params, "head": params["embed"].T}
+
+    rng = np.random.default_rng(0)
+    inputs = jnp.asarray(
+        rng.normal(size=(B, T, cfg.hidden_size)).astype(np.float32), cfg.dtype
+    )
+
+    results = {}
+
+    # --- full greedy decode (the bench path) --------------------------------
+    def full():
+        toks = decode.greedy_generate(cfg, params, inputs, NEW, 0)
+        return np.asarray(toks)
+
+    results["full_decode_ms"], _ = timeit(full, args.iters)
+
+    # --- prefill only -------------------------------------------------------
+    @partial(jax.jit, static_argnames=("cfg", "total"))
+    def _prefill(cfg, params, inputs, total):
+        caches = decode.init_cache(cfg, inputs.shape[0], total)
+        logits, _ = decode.prefill(cfg, params, inputs, caches)
+        return logits
+
+    def prefill_only():
+        return np.asarray(_prefill(cfg, params, inputs, T + NEW))
+
+    results["prefill_ms"], _ = timeit(prefill_only, args.iters)
+
+    # --- ablated step loops --------------------------------------------------
+    # Each variant runs NEW iterations of a while_loop whose body mirrors
+    # greedy_generate's, with one component disabled via the `ablate` flag.
+    def run_layers_ablated(ablate, cfg, params, x, cos, sin, bias, caches, idx):
+        k_cache, v_cache = caches
+        nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+
+        def body(carry, xs):
+            h_in = carry
+            lw, kc, vc = xs
+            B_, T_, H = h_in.shape
+            h = llama.rms_norm(h_in, lw["ln_attn"], cfg.rms_norm_eps)
+            if ablate == "no_qkvo":
+                x2 = h_in
+                kc2, vc2 = kc, vc
+            else:
+                if "w_qkv" in lw:
+                    qkv = h @ lw["w_qkv"]
+                    q, k, v = jnp.split(qkv, [nh * hd, nh * hd + nkv * hd], axis=-1)
+                else:
+                    q, k, v = h @ lw["wq"], h @ lw["wk"], h @ lw["wv"]
+                q = q.reshape(B_, T_, nh, hd).transpose(0, 2, 1, 3)
+                k = k.reshape(B_, T_, nkv, hd).transpose(0, 2, 1, 3)
+                v = v.reshape(B_, T_, nkv, hd).transpose(0, 2, 1, 3)
+                q = llama.apply_rope(q, cos, sin)
+                k = llama.apply_rope(k, cos, sin)
+                kc2 = jax.lax.dynamic_update_slice_in_dim(kc, k, idx, axis=2)
+                vc2 = jax.lax.dynamic_update_slice_in_dim(vc, v, idx, axis=2)
+                if ablate == "no_attn":
+                    # skip QK^T/softmax/PV: use v broadcast over head groups
+                    attn = jnp.repeat(v, nh // nkv, axis=1)
+                elif ablate == "mxu_attn":
+                    attn = llama._attention(q, kc2, vc2, bias)
+                else:
+                    attn = llama._decode_attention(q, kc2, vc2, bias)
+                attn = attn.transpose(0, 2, 1, 3).reshape(B_, T_, nh * hd)
+                x2 = h_in + attn @ lw["wo"]
+            if ablate == "no_mlp":
+                out = x2
+            else:
+                h2 = llama.rms_norm(x2, lw["ln_mlp"], cfg.rms_norm_eps)
+                if "w_gu" in lw:
+                    gu = h2 @ lw["w_gu"]
+                    gate, up = jnp.split(gu, 2, axis=-1)
+                    out = x2 + (jax.nn.silu(gate) * up) @ lw["w_down"]
+                else:
+                    gate = jax.nn.silu(h2 @ lw["w_gate"])
+                    out = x2 + (gate * (h2 @ lw["w_up"])) @ lw["w_down"]
+            return out, (kc2, vc2)
+
+        x, (k_cache, v_cache) = jax.lax.scan(body, x, (params["layers"], k_cache, v_cache))
+        x = llama.rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+        if ablate == "no_head":
+            # cheap stand-in logits with the right shape dependencies
+            logits = jnp.broadcast_to(
+                x.sum(-1, keepdims=True), (x.shape[0], x.shape[1], cfg.vocab_size)
+            )
+        else:
+            logits = llama._head_matmul(x, params, cfg)
+        return logits, (k_cache, v_cache)
+
+    @partial(jax.jit, static_argnames=("cfg", "new", "ablate"))
+    def ablated_loop(cfg, params, inputs, new, ablate):
+        Bq, Tq, _ = inputs.shape
+        total = Tq + new
+        caches = decode.init_cache(cfg, Bq, total)
+        logits, caches = decode.prefill(cfg, params, inputs, caches)
+        tokens0 = jnp.full((Bq, new), 0, jnp.int32)
+
+        def cond(state):
+            return state[0] < new
+
+        def body(state):
+            step, logits, caches, tokens = state
+            next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            tokens = jax.lax.dynamic_update_slice(tokens, next_tok[:, None], (0, step))
+            embeds = llama.embed_tokens(cfg, params, next_tok)[:, None, :]
+            S = caches[0].shape[3]
+            posx = Tq + step
+            cos, sin = llama.rope_tables(cfg, posx[None] if hasattr(posx, "shape") else jnp.asarray([posx]))
+            valid = (jnp.arange(S) <= posx)[None, None, :]
+            bias = jnp.where(valid, 0.0, jnp.finfo(jnp.float32).min)
+            bias = jnp.broadcast_to(bias, (Bq, 1, S))
+            logits3, caches = run_layers_ablated(
+                ablate, cfg, params, embeds.astype(cfg.dtype), cos, sin, bias, caches, posx
+            )
+            return step + 1, logits3[:, 0, :], caches, tokens
+
+        _, _, _, tokens = jax.lax.while_loop(cond, body, (0, logits, caches, tokens0))
+        return tokens
+
+    for ablate in ["none", "mxu_attn", "no_head", "no_attn", "no_mlp", "no_qkvo"]:
+        def run(ab=ablate):
+            return np.asarray(ablated_loop(cfg, params, inputs, NEW, ab))
+
+        results[f"loop_{ablate}_ms"], _ = timeit(run, args.iters)
+
+    # --- floors --------------------------------------------------------------
+    @partial(jax.jit, static_argnames=())
+    def weight_stream(params):
+        return sum(jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(params))
+
+    def stream():
+        return np.asarray(weight_stream(params))
+
+    results["weight_stream_ms"], _ = timeit(stream, args.iters)
+
+    x1 = jnp.asarray(rng.normal(size=(B, cfg.hidden_size)).astype(np.float32), cfg.dtype)
+
+    @jax.jit
+    def head_only(x, head):
+        return x @ head
+
+    def head():
+        return np.asarray(head_only(x1, params["head"])[:, :8])
+
+    results["head_matmul_ms"], _ = timeit(head, args.iters)
+
+    nbytes = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
+    results["weight_bytes_gb"] = round(nbytes / 1e9, 3)
+    results["derived"] = {
+        "decode_loop_ms": round(results["full_decode_ms"] - results["prefill_ms"], 2),
+        "per_step_ms": round((results["full_decode_ms"] - results["prefill_ms"]) / NEW, 3),
+        "weight_floor_per_step_ms": round(results["weight_stream_ms"], 3),
+        "head_share_ms": round(results["loop_none_ms"] - results["loop_no_head_ms"], 2),
+        "attn_share_ms": round(results["loop_none_ms"] - results["loop_no_attn_ms"], 2),
+        "mxu_attn_share_ms": round(results["loop_mxu_attn_ms"] - results["loop_no_attn_ms"], 2),
+        "mlp_share_ms": round(results["loop_none_ms"] - results["loop_no_mlp_ms"], 2),
+        "qkvo_share_ms": round(results["loop_none_ms"] - results["loop_no_qkvo_ms"], 2),
+    }
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()

