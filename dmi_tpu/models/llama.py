@@ -332,23 +332,30 @@ def _decode_attention(q, k, v, bias):
 
     The natural einsum lowers to B*nkv batched [group, hd] x [hd, S]
     matmuls; at decode shapes (group=4, S a few dozen) the MXU pads each to
-    full tiles and the padding dominates — measured 6.2 ms/step of the 1B
-    decode at B=256, 45% of the whole loop.  Broadcasting + reductions keep
-    the same f32 math on the VPU where nothing is padded.
+    full tiles and the padding dominates — in-process A/B on the v5e chip
+    (scripts/profile_decode.py): einsum 133.8 ms, block-diagonal batched
+    matmul 85.9 ms, this formulation 59.9 ms over a 22-step 1B decode at
+    B=256.  Broadcast-multiply + reduce runs on the VPU where nothing is
+    padded; the [B,nkv,g,S,hd] product intermediates stay in the INPUT
+    dtype (bf16 in production — halves their HBM traffic, which is the
+    entire cost of this op) with f32 reduction accumulators, matching the
+    einsum oracle's MXU semantics up to bf16 product rounding.
 
     q: [B, nh, 1, hd], k/v: [B, nkv, S, hd], bias: [B, 1, S] -> [B, nh, 1, hd]
     """
     B, nh, _, hd = q.shape
     nkv = k.shape[1]
     group = nh // nkv
-    qf = q.reshape(B, nkv, group, hd).astype(jnp.float32)
-    kf = k.astype(jnp.float32)
-    # [B,nkv,g,1,hd] * [B,nkv,1,S,hd] -> reduce hd -> [B,nkv,g,S]
-    scores = jnp.sum(qf[:, :, :, None, :] * kf[:, :, None, :, :], axis=-1)
+    q4 = q.reshape(B, nkv, group, hd)
+    # [B,nkv,g,1,hd] * [B,nkv,1,S,hd] -> reduce hd (f32 accum) -> [B,nkv,g,S]
+    scores = jnp.sum(
+        q4[:, :, :, None, :] * k[:, :, None, :, :], axis=-1, dtype=jnp.float32
+    )
     scores = scores / np.sqrt(hd) + bias[:, :, None, :]  # [B,1,1,S] bcast
-    probs = jax.nn.softmax(scores, axis=-1)
-    vf = v.astype(jnp.float32)
-    out = jnp.sum(probs[..., None] * vf[:, :, None, :, :], axis=3)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.sum(
+        probs[..., None] * v[:, :, None, :, :], axis=3, dtype=jnp.float32
+    )
     return out.reshape(B, nh, 1, hd).astype(v.dtype)
 
 
@@ -410,9 +417,9 @@ def _block(cfg: LlamaConfig, x, lw, cos, sin, bias, cache_kv=None, cache_index=N
         # (TPU backend); everywhere else the additive-bias oracle runs
         attn = _flash_attention(cfg, q, k, v, seg_ids)
     elif cache_kv is not None and T == 1:
-        # KV-cache token step: block-diagonal batched-matmul formulation
-        # (fastest of the four profiled variants, scripts/profile_attn_kernel.py)
-        attn = _decode_attention_blockdiag(q, k, v, bias)
+        # KV-cache token step: VPU multiply-reduce, the fastest of the four
+        # profiled formulations in-loop (scripts/profile_decode.py A/B)
+        attn = _decode_attention(q, k, v, bias)
     else:
         attn = _attention(q, k, v, bias)
     attn = attn.transpose(0, 2, 1, 3).reshape(B, T, nh * hd)

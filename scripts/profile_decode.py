@@ -137,8 +137,10 @@ def main():
                     attn = jnp.repeat(v, nh // nkv, axis=1)
                 elif ablate == "mxu_attn":
                     attn = llama._attention(q, kc2, vc2, bias)
-                else:
+                elif ablate == "vpu_attn":
                     attn = llama._decode_attention(q, kc2, vc2, bias)
+                else:
+                    attn = llama._decode_attention_blockdiag(q, kc2, vc2, bias)
                 attn = attn.transpose(0, 2, 1, 3).reshape(B_, T_, nh * hd)
                 x2 = h_in + attn @ lw["wo"]
             if ablate == "no_mlp":
@@ -195,7 +197,7 @@ def main():
         _, _, _, tokens = jax.lax.while_loop(cond, body, (0, logits, caches, tokens0))
         return tokens
 
-    for ablate in ["none", "mxu_attn", "no_head", "no_attn", "no_mlp", "no_qkvo"]:
+    for ablate in ["none", "vpu_attn", "mxu_attn", "no_head", "no_attn", "no_mlp", "no_qkvo"]:
         def run(ab=ablate):
             return np.asarray(ablated_loop(cfg, params, inputs, NEW, ab))
 
@@ -231,6 +233,8 @@ def main():
         "head_share_ms": round(results["loop_none_ms"] - results["loop_no_head_ms"], 2),
         "attn_share_ms": round(results["loop_none_ms"] - results["loop_no_attn_ms"], 2),
         "mxu_attn_share_ms": round(results["loop_mxu_attn_ms"] - results["loop_no_attn_ms"], 2),
+        "vpu_attn_share_ms": round(results["loop_vpu_attn_ms"] - results["loop_no_attn_ms"], 2),
+        "blockdiag_attn_share_ms": round(results["loop_none_ms"] - results["loop_no_attn_ms"], 2),
         "mlp_share_ms": round(results["loop_none_ms"] - results["loop_no_mlp_ms"], 2),
         "qkvo_share_ms": round(results["loop_none_ms"] - results["loop_no_qkvo_ms"], 2),
     }

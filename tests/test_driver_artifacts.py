@@ -99,4 +99,5 @@ def test_graft_dryrun_multichip(capsys):
 
     ge.dryrun_multichip(8)
     out = capsys.readouterr().out
-    assert out.count("dryrun_multichip OK") == 3  # projector, hypernet, decode
+    # projector, hypernet, decode, stage-3 fewshot, grad-accum, checkpoint
+    assert out.count("dryrun_multichip OK") == 6
