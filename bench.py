@@ -226,6 +226,8 @@ def main() -> None:
 
     captions_per_sec = batch / (median_ms / 1e3)
     metric = "decode_captions_per_sec_per_chip_1b" if not small else "decode_captions_per_sec_small"
+    if not small and batch != 256:
+        metric += f"_b{batch}"  # keep non-default batches off the headline baseline
     if int8:
         metric += "_int8"
     if not fused:

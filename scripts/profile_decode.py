@@ -139,6 +139,13 @@ def main():
                     attn = llama._attention(q, kc2, vc2, bias)
                 elif ablate == "vpu_attn":
                     attn = llama._decode_attention(q, kc2, vc2, bias)
+                elif ablate == "pallas_attn":
+                    from dmi_tpu.ops.pallas import decode_attn as _dk
+
+                    nb_ = _dk._pick_block(
+                        q.shape[0] * kc2.shape[1], nh // nkv, kc2.shape[2], hd
+                    )
+                    attn = _dk._decode_attn_pallas(q, kc2, vc2, bias, nb_)
                 else:
                     attn = llama._decode_attention_blockdiag(q, kc2, vc2, bias)
                 attn = attn.transpose(0, 2, 1, 3).reshape(B_, T_, nh * hd)
@@ -197,7 +204,12 @@ def main():
         _, _, _, tokens = jax.lax.while_loop(cond, body, (0, logits, caches, tokens0))
         return tokens
 
-    for ablate in ["none", "vpu_attn", "mxu_attn", "no_head", "no_attn", "no_mlp", "no_qkvo"]:
+    import os
+
+    variants = ["none", "vpu_attn", "mxu_attn", "no_head", "no_attn", "no_mlp", "no_qkvo"]
+    if os.environ.get("DMI_PROFILE_PALLAS_ATTN") == "1" and not args.small:
+        variants.insert(1, "pallas_attn")
+    for ablate in variants:
         def run(ab=ablate):
             return np.asarray(ablated_loop(cfg, params, inputs, NEW, ab))
 
