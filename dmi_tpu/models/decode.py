@@ -25,6 +25,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dmi_tpu.models import llama
 from dmi_tpu.models.llama import LlamaConfig
@@ -150,6 +151,208 @@ def sample_generate(
 
     _, _, _, _, tokens, _ = jax.lax.while_loop(
         cond, body, (0, logits, caches, done0, tokens0, rng)
+    )
+    return tokens
+
+
+# ---------------------------------------------------------------------------
+# Batch-last decode loop
+# ---------------------------------------------------------------------------
+#
+# The token-step loop is HBM-bandwidth bound, and profiling on the v5e chip
+# (scripts/profile_decode.py, BASELINE.md round-2 log) showed two structural
+# costs in the batch-first formulation above:
+#
+#   * attention multiply-reduce contracts head_dim, the LANE dimension of
+#     [B, nkv, g, S, hd] operands — cross-lane reductions serialize on the
+#     VPU and defeat clean loop fusion;
+#   * threading the stacked KV caches through lax.scan as xs/ys re-writes
+#     the FULL per-layer cache slice every token step (~320 MB/step of
+#     unchanged bytes at B=256) even though only one position changed.
+#
+# This path keeps the hidden state BATCH-LAST ([H, B]) through the loop:
+# every matmul becomes dot_general(w, h) with batch in the lane dimension,
+# attention reduces over sublane dims only (hd, then S), the position bias
+# is a single [S] vector (every live sequence sits at the same position),
+# and the caches are [L, nkv, S, hd, B] while_loop carry updated in place
+# with one [1, nkv, 1, hd, B] dynamic_update_slice per layer.  No transpose
+# of activations appears anywhere inside the loop; the tied head needs no
+# pre-transposed [H, V] copy (dot_general(embed, h) yields [V, B] directly).
+#
+# Prefill stays batch-first (it is MXU compute-bound and already efficient);
+# its caches are transposed once into the batch-last layout.
+
+
+def _rotate_half_rows(x):
+    """_rotate_half over a leading-of-last-two axis: x [..., hd, B]."""
+    half = x.shape[-2] // 2
+    return jnp.concatenate([-x[..., half:, :], x[..., :half, :]], axis=-2)
+
+
+def _rope_bl(x, cos, sin):
+    """Rope for batch-last single-position tensors.  x: [..., hd, B];
+    cos/sin: [hd] for the one absolute position being decoded."""
+    c = cos[:, None].astype(jnp.float32)
+    s = sin[:, None].astype(jnp.float32)
+    xf = x.astype(jnp.float32)
+    return (xf * c + _rotate_half_rows(xf) * s).astype(x.dtype)
+
+
+def _rms_norm_bl(x, scale, eps):
+    """rms_norm over the leading (feature) axis of a batch-last [H, B]."""
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=0, keepdims=True)
+    normed = xf * jax.lax.rsqrt(var + eps)
+    return (normed * scale.astype(jnp.float32)[:, None]).astype(x.dtype)
+
+
+def _mm_bl(w, h):
+    """Batch-last matmul: w [in, out] (optionally int8-quantized), h [in, B]
+    -> [out, B].  Equals (h^T @ w)^T without materializing a transpose."""
+    if isinstance(w, dict) and "q" in w:
+        out = jax.lax.dot_general(
+            w["q"].astype(h.dtype), h, (((0,), (0,)), ((), ()))
+        )
+        return out * w["s"].astype(h.dtype).reshape(-1, 1)
+    return jax.lax.dot_general(w, h, (((0,), (0,)), ((), ())))
+
+
+def _decode_attention_bl(q, kc, vc, bias):
+    """Single-position GQA attention, batch-last.
+
+    q: [nkv, g, hd, B], kc/vc: [nkv, S, hd, B], bias: [S] (position
+    validity, shared by the whole batch) -> [nkv, g, hd, B].
+
+    Products stay in the input dtype with f32 accumulation (same contract
+    as llama._decode_attention); both reductions (hd for scores, S for the
+    value average) run over sublane dimensions, so the VPU vectorizes over
+    the batch lane dimension with no cross-lane shuffles."""
+    scores = jnp.sum(
+        q[:, :, None, :, :] * kc[:, None, :, :, :], axis=3, dtype=jnp.float32
+    )  # [nkv, g, S, B]
+    scores = scores / np.sqrt(q.shape[2]) + bias[None, None, :, None]
+    probs = jax.nn.softmax(scores, axis=2).astype(vc.dtype)
+    out = jnp.sum(
+        probs[:, :, :, None, :] * vc[:, None, :, :, :], axis=2, dtype=jnp.float32
+    )  # [nkv, g, hd, B]
+    return out.astype(vc.dtype)
+
+
+def _decode_step_bl(cfg, params, h, caches, pos, bias):
+    """One batch-last token step.  h: [H, B]; caches: ([L,nkv,S,hd,B] x2);
+    pos: absolute position being written.  Returns (logits [V,B], caches)."""
+    k_cache, v_cache = caches
+    nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    g = nh // nkv
+    B = h.shape[1]
+    cos, sin = llama.rope_tables(cfg, pos)  # [hd] each
+
+    def body(carry, xs):
+        x, kcache, vcache = carry
+        lw, li = xs
+        hn = _rms_norm_bl(x, lw["ln_attn"], cfg.rms_norm_eps)
+        if "w_qkv" in lw:
+            qkv = _mm_bl(lw["w_qkv"], hn)
+            q, k, v = jnp.split(qkv, [nh * hd, nh * hd + nkv * hd], axis=0)
+        else:
+            q, k, v = _mm_bl(lw["wq"], hn), _mm_bl(lw["wk"], hn), _mm_bl(lw["wv"], hn)
+        q = _rope_bl(q.reshape(nkv, g, hd, B), cos, sin)
+        k = _rope_bl(k.reshape(nkv, hd, B), cos, sin)
+        v = v.reshape(nkv, hd, B)
+        kcache = jax.lax.dynamic_update_slice(
+            kcache, k[None, :, None, :, :], (li, 0, pos, 0, 0)
+        )
+        vcache = jax.lax.dynamic_update_slice(
+            vcache, v[None, :, None, :, :], (li, 0, pos, 0, 0)
+        )
+        kc = jax.lax.dynamic_slice(
+            kcache, (li, 0, 0, 0, 0), (1, nkv, kcache.shape[2], hd, B)
+        )[0]
+        vc = jax.lax.dynamic_slice(
+            vcache, (li, 0, 0, 0, 0), (1, nkv, vcache.shape[2], hd, B)
+        )[0]
+        attn = _decode_attention_bl(q, kc, vc, bias).reshape(nh * hd, B)
+        x = x + _mm_bl(lw["wo"], attn)
+        hn = _rms_norm_bl(x, lw["ln_mlp"], cfg.rms_norm_eps)
+        if "w_gu" in lw:
+            gu = _mm_bl(lw["w_gu"], hn)
+            gate, up = jnp.split(gu, 2, axis=0)
+            x = x + _mm_bl(lw["w_down"], jax.nn.silu(gate) * up)
+        else:
+            gate = jax.nn.silu(_mm_bl(lw["w_gate"], hn))
+            x = x + _mm_bl(lw["w_down"], gate * _mm_bl(lw["w_up"], hn))
+        return (x, kcache, vcache), None
+
+    L = k_cache.shape[0]
+    (h, k_cache, v_cache), _ = jax.lax.scan(
+        body, (h, k_cache, v_cache), (params["layers"], jnp.arange(L))
+    )
+    h = _rms_norm_bl(h, params["final_norm"], cfg.rms_norm_eps)
+    embed = params["embed"]
+    if cfg.tie_word_embeddings:
+        if isinstance(embed, dict) and "q" in embed:
+            logits = jax.lax.dot_general(
+                embed["q"].astype(h.dtype), h, (((1,), (0,)), ((), ()))
+            ) * embed["s"].astype(h.dtype)[:, 0][:, None]
+        else:
+            logits = jax.lax.dot_general(embed, h, (((1,), (0,)), ((), ())))
+    else:
+        logits = _mm_bl(params["lm_head"], h)
+    return logits, (k_cache, v_cache)
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "pad_token_id"))
+def greedy_generate_bl(
+    cfg: LlamaConfig,
+    params: dict,
+    inputs_embeds: jax.Array,
+    max_new_tokens: int,
+    pad_token_id: int,
+) -> jax.Array:
+    """Batch-last greedy decode — token-identical to greedy_generate (same
+    f32-accumulated attention contract, same EOS/pad semantics), rebuilt
+    around the memory system: see the layout commentary above.  Replaces
+    HF `llm.generate` (reference: dmi/model/mmmodel.py:149-169) as the
+    serving/bench default on TPU."""
+    B, T, _ = inputs_embeds.shape
+    total = T + max_new_tokens
+    caches = init_cache(cfg, B, total)
+    eos = jnp.asarray(cfg.eos_token_ids)
+
+    # no pre-transposed [H, V] head copy: prefill's single last-position
+    # head matmul folds the transpose into dot_general, and the loop's
+    # dot_general(embed, h) consumes [V, H] directly
+    logits0, caches = prefill(cfg, params, inputs_embeds, caches)
+
+    # one-time layout flips out of prefill: [L,B,nkv,S,hd] -> [L,nkv,S,hd,B]
+    k_cache = caches[0].transpose(0, 2, 3, 4, 1)
+    v_cache = caches[1].transpose(0, 2, 3, 4, 1)
+    logits = logits0.T  # [V, B]
+
+    tokens0 = jnp.full((B, max_new_tokens), pad_token_id, jnp.int32)
+    done0 = jnp.zeros((B,), bool)
+    key_pos = jnp.arange(total)
+
+    def cond(state):
+        step, _, _, _, done, _ = state
+        return (step < max_new_tokens) & ~jnp.all(done)
+
+    def body(state):
+        step, logits, k_cache, v_cache, done, tokens = state
+        next_tok = jnp.argmax(logits, axis=0).astype(jnp.int32)
+        next_tok = jnp.where(done, pad_token_id, next_tok)
+        tokens = jax.lax.dynamic_update_slice(tokens, next_tok[:, None], (0, step))
+        done = done | jnp.isin(next_tok, eos)
+        h = llama.embed_tokens(cfg, params, next_tok).T.astype(cfg.dtype)  # [H, B]
+        pos = T + step
+        bias = jnp.where(key_pos <= pos, 0.0, jnp.finfo(jnp.float32).min)  # [S]
+        logits, (k_cache, v_cache) = _decode_step_bl(
+            cfg, params, h, (k_cache, v_cache), pos, bias
+        )
+        return step + 1, logits, k_cache, v_cache, done, tokens
+
+    _, _, _, _, _, tokens = jax.lax.while_loop(
+        cond, body, (0, logits, k_cache, v_cache, done0, tokens0)
     )
     return tokens
 

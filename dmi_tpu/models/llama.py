@@ -367,7 +367,14 @@ def _flash_attention(cfg, q, k, v, seg_ids):
     mask), so q_seg is all-ones and kv_seg is the attention mask — the
     segment equality test q_seg[i] == kv_seg[j] then reproduces the bias
     semantics bit-for-bit, including on ragged batches where the preserved
-    label-pad collator quirk makes pad-position logits part of the loss."""
+    label-pad collator quirk makes pad-position logits part of the loss.
+
+    The kernel's default 128-wide blocks require seq % 128 == 0 (strictly,
+    for the backward pass); arbitrary training budgets (e.g. 605 for
+    sharegpt4video, tiny smoke configs) are handled by zero-padding the
+    sequence to the next 128 multiple with kv_seg=0 on the tail (padded
+    keys are unattendable; padded query rows are sliced off), so values
+    AND grads are unchanged."""
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         SegmentIds,
         flash_attention,
@@ -377,11 +384,23 @@ def _flash_attention(cfg, q, k, v, seg_ids):
     if group > 1:
         k = jnp.repeat(k, group, axis=1)
         v = jnp.repeat(v, group, axis=1)
-    seg = SegmentIds(q=seg_ids[0], kv=seg_ids[1]) if seg_ids is not None else None
-    return flash_attention(
-        q, k, v, segment_ids=seg, causal=True,
+    B, _, T, _ = q.shape
+    if seg_ids is not None:
+        q_seg, kv_seg = seg_ids
+    else:
+        q_seg = kv_seg = jnp.ones((B, T), jnp.int32)
+    BLK = 128
+    Tp = -(-T // BLK) * BLK
+    if Tp != T:
+        pad = ((0, 0), (0, 0), (0, Tp - T), (0, 0))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+        q_seg = jnp.pad(q_seg, ((0, 0), (0, Tp - T)), constant_values=1)
+        kv_seg = jnp.pad(kv_seg, ((0, 0), (0, Tp - T)), constant_values=0)
+    out = flash_attention(
+        q, k, v, segment_ids=SegmentIds(q=q_seg, kv=kv_seg), causal=True,
         sm_scale=1.0 / float(np.sqrt(cfg.head_dim)),
     )
+    return out[:, :, :T, :]
 
 
 def _block(cfg: LlamaConfig, x, lw, cos, sin, bias, cache_kv=None, cache_index=None,
@@ -412,9 +431,10 @@ def _block(cfg: LlamaConfig, x, lw, cos, sin, bias, cache_kv=None, cache_index=N
         k, v = k_cache, v_cache
         new_cache = (k_cache, v_cache)
 
-    if cfg.attention_impl == "flash" and cache_kv is None and seg_ids is not None:
+    if cache_kv is None and seg_ids is not None:
         # seg_ids is only provided when forward() chose the flash path
-        # (TPU backend); everywhere else the additive-bias oracle runs
+        # (attention_impl 'flash'/'auto' on a TPU backend); everywhere else
+        # the additive-bias oracle runs on `bias`
         attn = _flash_attention(cfg, q, k, v, seg_ids)
     elif cache_kv is not None and T == 1:
         # KV-cache token step: VPU multiply-reduce, the fastest of the four

@@ -201,6 +201,9 @@ def _load_embs(path: str):
 def main(argv=None) -> None:
     import argparse
 
+    from dmi_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     logging.basicConfig(level=logging.INFO)
     ap = argparse.ArgumentParser()
     ap.add_argument("--lm", required=True)

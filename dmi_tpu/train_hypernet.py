@@ -152,6 +152,11 @@ def main(name, train_args, hn_args, projector_args, data_args, menc_args, lm_arg
 
 
 def run(config_path: str) -> None:
+    # DMI_PLATFORM=cpu pins the backend before first device use (the
+    # image's sitecustomize ignores the JAX_PLATFORMS env var)
+    from dmi_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     # multi-host entry: a no-op on single-process runs, initializes
     # jax.distributed when a coordinator is configured (pod/multi-slice)
     from dmi_tpu.parallel import init_distributed

@@ -93,6 +93,11 @@ def main(name, data_args, lora_args, lm_args, menc_args, projector_args, train_a
 
 
 def run(config_path: str) -> None:
+    # DMI_PLATFORM=cpu pins the backend before first device use (the
+    # image's sitecustomize ignores the JAX_PLATFORMS env var)
+    from dmi_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     # multi-host entry: a no-op on single-process runs, initializes
     # jax.distributed when a coordinator is configured (pod/multi-slice)
     from dmi_tpu.parallel import init_distributed

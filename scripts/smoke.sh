@@ -12,8 +12,12 @@ cd "$WORK"
 echo "workdir: $WORK"
 
 export PYTHONPATH="$REPO${PYTHONPATH:+:$PYTHONPATH}"
+# tiny-model smoke: CPU by default (the TPU relay's per-dispatch latency and
+# wildly variable remote-compile times dwarf these runs); DMI_PLATFORM=axon,cpu
+# opts back into the chip
+export DMI_PLATFORM="${DMI_PLATFORM:-cpu}"
 python -c "
-import jax; jax.config.update('jax_platforms', jax.default_backend() if jax.default_backend()=='tpu' else 'cpu')
+from dmi_tpu.utils.platform import apply_platform_env; apply_platform_env()
 from dmi_tpu.data.fetch import fetch_synthetic
 fetch_synthetic('data', mm_dim=32)"
 

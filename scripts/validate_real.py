@@ -133,7 +133,10 @@ def check_logits_and_greedy_parity() -> dict:
     greedy_exact = bool((toks[:, :W] == hf_toks).all())
     return {
         "logits_max_abs_diff": max_abs,
-        "logits_ok": max_abs < (1e-2 if not fixture else 1e-3),
+        # fixture bound 3e-3: XLA-CPU vs oneDNN f32 accumulation-order noise
+        # measured up to ~1.6e-3 on the tiny model; real mask/rope/layout
+        # bugs produce O(1) differences
+        "logits_ok": max_abs < (1e-2 if not fixture else 3e-3),
         "greedy_token_exact": greedy_exact,
     }
 
@@ -242,6 +245,14 @@ def main():
     ap.add_argument("--data-root", default="data")
     ap.add_argument("--out", default=osp.join(REPO, "BASELINE.md"))
     args = ap.parse_args()
+
+    if os.environ.get("DMI_VALIDATE_REAL_FIXTURE") == "1":
+        # fixture mode is a CPU smoke; sitecustomize ignores JAX_PLATFORMS
+        # (it pins "axon,cpu" itself), so force CPU through jax.config —
+        # otherwise the tiny fixture run goes through the TPU relay
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     rows = {"timestamp": time.strftime("%Y-%m-%d %H:%M:%S")}
     ran_any = False

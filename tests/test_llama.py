@@ -309,3 +309,104 @@ def test_decode_attention_blockdiag_matches_oracle():
     oracle = np.asarray(llama._attention(q, k, v, bias))
     fast = np.asarray(llama._decode_attention_blockdiag(q, k, v, bias))
     np.testing.assert_allclose(fast, oracle, atol=2e-5)
+
+def test_greedy_generate_bl_matches_reference_path():
+    """Batch-last decode (dec.greedy_generate_bl) is token-identical to the
+    batch-first reference path across tie/untie, EOS finishing, and the
+    fused-projection layout."""
+    for seed, tie in ((11, True), (12, False)):
+        hf, cfg, params = make_pair(seed=seed, tie=tie)
+        if not tie:
+            cfg = llama.LlamaConfig(**{**cfg.__dict__, "tie_word_embeddings": False})
+            params = llama.from_hf_state_dict(hf.state_dict(), cfg)
+        rng = np.random.default_rng(seed)
+        embeds = jnp.asarray(rng.normal(size=(4, 6, 64)).astype(np.float32) * 0.1)
+        ref = np.asarray(dec.greedy_generate(cfg, params, embeds, 10, PAD))
+        bl = np.asarray(dec.greedy_generate_bl(cfg, params, embeds, 10, PAD))
+        np.testing.assert_array_equal(bl, ref)
+
+        fused = llama.fuse_projections(params)
+        blf = np.asarray(dec.greedy_generate_bl(cfg, fused, embeds, 10, PAD))
+        np.testing.assert_array_equal(blf, ref)
+
+
+def test_greedy_generate_bl_matches_hf():
+    hf, cfg, params = make_pair(seed=2)
+    rng = np.random.default_rng(2)
+    B, T = 3, 6
+    embeds = rng.normal(size=(B, T, 64)).astype(np.float32) * 0.1
+    max_new = 12
+    ours = np.asarray(
+        dec.greedy_generate_bl(cfg, params, jnp.asarray(embeds), max_new, PAD)
+    )
+    with torch.no_grad():
+        theirs = hf.generate(
+            inputs_embeds=torch.tensor(embeds),
+            max_new_tokens=max_new,
+            do_sample=False,
+            pad_token_id=PAD,
+            eos_token_id=list(EOS),
+        ).numpy()
+    W = theirs.shape[1]
+    np.testing.assert_array_equal(ours[:, :W], theirs)
+    assert (ours[:, W:] == PAD).all()
+
+
+def test_greedy_generate_bl_int8():
+    """Batch-last decode accepts int8-quantized pytrees (plain and fused)
+    and agrees with the batch-first decode on the same quantized weights."""
+    from dmi_tpu.models import quant
+
+    _, cfg, params = make_pair(seed=13)
+    rng = np.random.default_rng(13)
+    embeds = jnp.asarray(rng.normal(size=(2, 5, 64)).astype(np.float32) * 0.1)
+    q = quant.quantize_llama(params)
+    ref = np.asarray(dec.greedy_generate(cfg, q, embeds, 8, PAD))
+    bl = np.asarray(dec.greedy_generate_bl(cfg, q, embeds, 8, PAD))
+    np.testing.assert_array_equal(bl, ref)
+    qf = quant.quantize_llama(llama.fuse_projections(params))
+    blf = np.asarray(dec.greedy_generate_bl(cfg, qf, embeds, 8, PAD))
+    np.testing.assert_array_equal(blf, ref)
+
+def test_flash_attention_nonmultiple_seq(monkeypatch):
+    """Flash at seq lengths that are NOT 128 multiples (605-style budgets,
+    tiny smokes): the transparent pad-to-128 must keep values and grads
+    equal to the oracle."""
+    import dataclasses
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    monkeypatch.setenv("DMI_FORCE_FLASH", "1")
+
+    cfg = llama.tiny_config(
+        vocab_size=128, hidden_size=128, n_layers=1, n_heads=2, n_kv=1,
+        intermediate=128,
+    )
+    params = llama.init(jax.random.key(10), cfg)
+    cfg_f = dataclasses.replace(cfg, attention_impl="flash")
+
+    rng = np.random.default_rng(10)
+    B, T = 2, 57  # pads to 128 inside _flash_attention
+    x = jnp.asarray(rng.normal(size=(B, T, 128)).astype(np.float32) * 0.1)
+    mask = np.ones((B, T), np.int64)
+    mask[1, -9:] = 0
+    mask_j = jnp.asarray(mask)
+
+    y_ref = llama.forward(cfg, params, x, mask_j)
+    with pltpu.force_tpu_interpret_mode():
+        y_flash = llama.forward(cfg_f, params, x, mask_j)
+    np.testing.assert_allclose(
+        np.asarray(y_flash), np.asarray(y_ref), atol=2e-3, rtol=2e-3
+    )
+
+    labels = jnp.asarray(rng.integers(1, 128, size=(B, T)))
+
+    def loss(cfg_, x):
+        return llama.causal_lm_loss(llama.forward(cfg_, params, x, mask_j), labels)
+
+    g_ref = jax.grad(lambda x: loss(cfg, x))(x)
+    with pltpu.force_tpu_interpret_mode():
+        g_flash = jax.grad(lambda x: loss(cfg_f, x))(x)
+    np.testing.assert_allclose(
+        np.asarray(g_flash), np.asarray(g_ref), atol=2e-3, rtol=2e-2
+    )
