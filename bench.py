@@ -166,7 +166,12 @@ def main() -> None:
 
     key = jax.random.key(0)
     llm_params = llama.init(key, cfg)
-    int8 = os.environ.get("DMI_BENCH_INT8") == "1"
+    # "1" = int8 weights dequantized to bf16 (halves weight reads);
+    # "w8a8" = native int8 MXU matmuls (halves weight reads AND compute)
+    int8 = os.environ.get("DMI_BENCH_INT8", "")
+    if int8 not in ("", "0", "1", "w8a8"):
+        raise SystemExit(f"DMI_BENCH_INT8 must be '', 0, 1 or w8a8, got {int8!r}")
+    int8 = int8 in ("1", "w8a8") and int8 or ""
     # fused QKV/gate-up is the single-chip serving default (token-exact,
     # +3.4% measured); DMI_BENCH_FUSED=0 opts out
     fused = os.environ.get("DMI_BENCH_FUSED", "1") == "1"
@@ -175,7 +180,7 @@ def main() -> None:
     if int8:
         from dmi_tpu.models.quant import quantize_llama
 
-        llm_params = quantize_llama(llm_params)
+        llm_params = quantize_llama(llm_params, native=(int8 == "w8a8"))
     pspec = proj.ProjectorSpec(mm_dim=mm_dim, lm_dim=cfg.hidden_size, n_layers=2)
     pparams = proj.init(jax.random.key(1), pspec)
 
@@ -208,7 +213,14 @@ def main() -> None:
         inputs = jnp.concatenate(
             [soft[:, None, :].astype(prefix_embeds.dtype), prefix_embeds], axis=1
         )
-        toks = decode.greedy_generate(cfg, llm_params, inputs, max_new, 0)
+        # batch-last loop: token-identical, 1.14x on chip (profile_decode
+        # in-process A/B); DMI_DECODE_BATCH_FIRST=1 pins the original
+        gen = (
+            decode.greedy_generate
+            if os.environ.get("DMI_DECODE_BATCH_FIRST") == "1"
+            else decode.greedy_generate_bl
+        )
+        toks = gen(cfg, llm_params, inputs, max_new, 0)
         # force completion via a host transfer: on the axon relay platform,
         # block_until_ready returns before remote execution finishes
         return np.asarray(toks)
@@ -229,7 +241,7 @@ def main() -> None:
     if not small and batch != 256:
         metric += f"_b{batch}"  # keep non-default batches off the headline baseline
     if int8:
-        metric += "_int8"
+        metric += "_int8" if int8 == "1" else "_w8a8"
     if not fused:
         metric += "_unfused"  # fused is the headline configuration
     if os.environ.get("_DMI_BENCH_CPU_FALLBACK") == "1":

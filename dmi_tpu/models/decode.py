@@ -208,7 +208,17 @@ def _rms_norm_bl(x, scale, eps):
 
 def _mm_bl(w, h):
     """Batch-last matmul: w [in, out] (optionally int8-quantized), h [in, B]
-    -> [out, B].  Equals (h^T @ w)^T without materializing a transpose."""
+    -> [out, B].  Equals (h^T @ w)^T without materializing a transpose.
+    "q8" weights run W8A8 (per-token activation quantization, int8 MXU)."""
+    if isinstance(w, dict) and "q8" in w:
+        from dmi_tpu.models.quant import quantize_act
+
+        hq, a = quantize_act(h, axis=0)  # a: [1, B]
+        acc = jax.lax.dot_general(
+            w["q8"], hq, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return (acc * w["s"].reshape(-1, 1) * a).astype(h.dtype)
     if isinstance(w, dict) and "q" in w:
         out = jax.lax.dot_general(
             w["q"].astype(h.dtype), h, (((0,), (0,)), ((), ()))
@@ -290,7 +300,19 @@ def _decode_step_bl(cfg, params, h, caches, pos, bias):
     h = _rms_norm_bl(h, params["final_norm"], cfg.rms_norm_eps)
     embed = params["embed"]
     if cfg.tie_word_embeddings:
-        if isinstance(embed, dict) and "q" in embed:
+        if isinstance(embed, dict) and "q8" in embed:
+            from dmi_tpu.models.quant import quantize_act
+
+            hq, a = quantize_act(h, axis=0)
+            logits = (
+                jax.lax.dot_general(
+                    embed["q8"], hq, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                * embed["s"][:, 0][:, None]
+                * a
+            ).astype(h.dtype)
+        elif isinstance(embed, dict) and "q" in embed:
             logits = jax.lax.dot_general(
                 embed["q"].astype(h.dtype), h, (((1,), (0,)), ((), ()))
             ) * embed["s"].astype(h.dtype)[:, 0][:, None]

@@ -86,6 +86,17 @@ def caption_generate(
     pad_token_id: int,
 ) -> jax.Array:
     """Greedy decode from soft token (+ optional chat prefix)
-    (reference: dmi/model/mmmodel.py:149-169)."""
+    (reference: dmi/model/mmmodel.py:149-169).
+
+    Uses the batch-last loop (dec.greedy_generate_bl) — token-identical to
+    dec.greedy_generate and faster on both TPU (205 vs 235 ms/batch at
+    B=256 on v5e) and CPU; DMI_DECODE_BATCH_FIRST=1 pins the original."""
+    import os
+
     embeds = assemble_prompt(cfg, llm_params, soft_tokens, prefix_ids)
-    return dec.greedy_generate(cfg, llm_params, embeds, max_new_tokens, pad_token_id)
+    gen = (
+        dec.greedy_generate
+        if os.environ.get("DMI_DECODE_BATCH_FIRST") == "1"
+        else dec.greedy_generate_bl
+    )
+    return gen(cfg, llm_params, embeds, max_new_tokens, pad_token_id)

@@ -72,7 +72,9 @@ class Captioner:
         if int8:
             from dmi_tpu.models.quant import quantize_llama
 
-            llm_params = quantize_llama(llm_params)
+            # int8=True: weights dequantized to bf16 at the matmul;
+            # int8="w8a8": native int8 MXU matmuls (fastest serving mode)
+            llm_params = quantize_llama(llm_params, native=(int8 == "w8a8"))
         self.llm_cfg = llm_cfg
         self.llm_params = llm_params
         self.proj_spec = proj_spec
@@ -212,7 +214,10 @@ def main(argv=None) -> None:
     ap.add_argument("--embs", required=True, help=".npy array or reference-schema .pkl")
     ap.add_argument("--out", default="captions.json")
     ap.add_argument("--batch-size", type=int, default=256)
-    ap.add_argument("--int8", action="store_true")
+    ap.add_argument(
+        "--int8", nargs="?", const="1", default="", choices=["", "1", "w8a8"],
+        help="int8 weights (dequant matmuls); --int8 w8a8 for native int8 MXU",
+    )
     ap.add_argument("--temperature", type=float, default=None,
                     help="stochastic decoding (default: greedy)")
     ap.add_argument("--top-k", type=int, default=0)

@@ -92,6 +92,13 @@ def main():
 
     results["full_decode_ms"], _ = timeit(full, args.iters)
 
+    # --- batch-last decode (decode.greedy_generate_bl) -----------------------
+    def full_bl():
+        toks = decode.greedy_generate_bl(cfg, params, inputs, NEW, 0)
+        return np.asarray(toks)
+
+    results["full_decode_bl_ms"], _ = timeit(full_bl, args.iters)
+
     # --- prefill only -------------------------------------------------------
     @partial(jax.jit, static_argnames=("cfg", "total"))
     def _prefill(cfg, params, inputs, total):
@@ -100,7 +107,9 @@ def main():
         return logits
 
     def prefill_only():
-        return np.asarray(_prefill(cfg, params, inputs, T + NEW))
+        # fetch a tiny slice: np.asarray of the full [B, V] logits would move
+        # ~131 MB through the ~40 MB/s relay and dominate the measurement
+        return np.asarray(_prefill(cfg, params, inputs, T + NEW)[:, :8])
 
     results["prefill_ms"], _ = timeit(prefill_only, args.iters)
 
@@ -215,6 +224,127 @@ def main():
 
         results[f"loop_{ablate}_ms"], _ = timeit(run, args.iters)
 
+    # --- ablated BATCH-LAST step loops ---------------------------------------
+    # mirrors decode._decode_step_bl with one component disabled; shares
+    # decode.py's helpers so layout/fusion behavior matches production.
+    from dmi_tpu.models.decode import (
+        _decode_attention_bl,
+        _mm_bl,
+        _rms_norm_bl,
+        _rope_bl,
+    )
+
+    def bl_step_ablated(ablate, cfg, params, h, caches, pos, bias):
+        k_cache, v_cache = caches
+        nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+        g = nh // nkv
+        Bq = h.shape[1]
+        cos, sin = llama.rope_tables(cfg, pos)
+
+        def body(carry, xs):
+            x, kcache, vcache = carry
+            lw, li = xs
+            hn = _rms_norm_bl(x, lw["ln_attn"], cfg.rms_norm_eps)
+            if ablate == "no_qkvo":
+                x2, kcache2, vcache2 = x, kcache, vcache
+            else:
+                if "w_qkv" in lw:
+                    qkv = _mm_bl(lw["w_qkv"], hn)
+                    q, k, v = jnp.split(qkv, [nh * hd, nh * hd + nkv * hd], axis=0)
+                else:
+                    q = _mm_bl(lw["wq"], hn)
+                    k = _mm_bl(lw["wk"], hn)
+                    v = _mm_bl(lw["wv"], hn)
+                q = _rope_bl(q.reshape(nkv, g, hd, Bq), cos, sin)
+                k = _rope_bl(k.reshape(nkv, hd, Bq), cos, sin)
+                v = v.reshape(nkv, hd, Bq)
+                kcache2 = jax.lax.dynamic_update_slice(
+                    kcache, k[None, :, None, :, :], (li, 0, pos, 0, 0)
+                )
+                vcache2 = jax.lax.dynamic_update_slice(
+                    vcache, v[None, :, None, :, :], (li, 0, pos, 0, 0)
+                )
+                if ablate == "no_attn":
+                    attn = jnp.broadcast_to(v[:, None], (nkv, g, hd, Bq))
+                else:
+                    kc = jax.lax.dynamic_slice(
+                        kcache2, (li, 0, 0, 0, 0), (1, nkv, kcache2.shape[2], hd, Bq)
+                    )[0]
+                    vc = jax.lax.dynamic_slice(
+                        vcache2, (li, 0, 0, 0, 0), (1, nkv, vcache2.shape[2], hd, Bq)
+                    )[0]
+                    attn = _decode_attention_bl(q, kc, vc, bias)
+                x2 = x + _mm_bl(lw["wo"], attn.reshape(nh * hd, Bq))
+            if ablate == "no_mlp":
+                out = x2
+            else:
+                hn = _rms_norm_bl(x2, lw["ln_mlp"], cfg.rms_norm_eps)
+                if "w_gu" in lw:
+                    gu = _mm_bl(lw["w_gu"], hn)
+                    gate, up = jnp.split(gu, 2, axis=0)
+                    out = x2 + _mm_bl(lw["w_down"], jax.nn.silu(gate) * up)
+                else:
+                    gate = jax.nn.silu(_mm_bl(lw["w_gate"], hn))
+                    out = x2 + _mm_bl(lw["w_down"], gate * _mm_bl(lw["w_up"], hn))
+            return (out, kcache2, vcache2), None
+
+        L = k_cache.shape[0]
+        (h, k_cache, v_cache), _ = jax.lax.scan(
+            body, (h, k_cache, v_cache), (params["layers"], jnp.arange(L))
+        )
+        h = _rms_norm_bl(h, params["final_norm"], cfg.rms_norm_eps)
+        if ablate == "no_head":
+            logits = jnp.broadcast_to(
+                h.sum(0, keepdims=True), (cfg.vocab_size, h.shape[1])
+            )
+        else:
+            embed = params["embed"]
+            if cfg.tie_word_embeddings and not (
+                isinstance(embed, dict) and "q" in embed
+            ):
+                logits = jax.lax.dot_general(embed, h, (((1,), (0,)), ((), ())))
+            else:
+                logits = _mm_bl(params.get("lm_head", embed), h)
+        return logits, (k_cache, v_cache)
+
+    @partial(jax.jit, static_argnames=("cfg", "new", "ablate"))
+    def bl_ablated_loop(cfg, params, inputs, new, ablate):
+        Bq, Tq, _ = inputs.shape
+        total = Tq + new
+        caches = decode.init_cache(cfg, Bq, total)
+        logits0, caches = decode.prefill(cfg, params, inputs, caches)
+        k_cache = caches[0].transpose(0, 2, 3, 4, 1)
+        v_cache = caches[1].transpose(0, 2, 3, 4, 1)
+        logits = logits0.T
+        tokens0 = jnp.full((Bq, new), 0, jnp.int32)
+        key_pos = jnp.arange(total)
+
+        def cond(state):
+            return state[0] < new
+
+        def body(state):
+            step, logits, k_cache, v_cache, tokens = state
+            next_tok = jnp.argmax(logits, axis=0).astype(jnp.int32)
+            tokens = jax.lax.dynamic_update_slice(tokens, next_tok[:, None], (0, step))
+            h = llama.embed_tokens(cfg, params, next_tok).T.astype(cfg.dtype)
+            pos = Tq + step
+            bias = jnp.where(key_pos <= pos, 0.0, jnp.finfo(jnp.float32).min)
+            logits, (k_cache, v_cache) = bl_step_ablated(
+                ablate, cfg, params, h, (k_cache, v_cache), pos, bias
+            )
+            return step + 1, logits, k_cache, v_cache, tokens
+
+        _, _, _, _, tokens = jax.lax.while_loop(
+            cond, body, (0, logits, k_cache, v_cache, tokens0)
+        )
+        return tokens
+
+    for ablate in ["none", "no_head", "no_attn", "no_mlp", "no_qkvo"]:
+        def run_bl(ab=ablate):
+            return np.asarray(bl_ablated_loop(cfg, params, inputs, NEW, ab))
+
+        results[f"bl_loop_{ablate}_ms"], _ = timeit(run_bl, args.iters)
+
     # --- floors --------------------------------------------------------------
     @partial(jax.jit, static_argnames=())
     def weight_stream(params):
@@ -249,6 +379,18 @@ def main():
         "blockdiag_attn_share_ms": round(results["loop_none_ms"] - results["loop_no_attn_ms"], 2),
         "mlp_share_ms": round(results["loop_none_ms"] - results["loop_no_mlp_ms"], 2),
         "qkvo_share_ms": round(results["loop_none_ms"] - results["loop_no_qkvo_ms"], 2),
+        "bl_head_share_ms": round(
+            results["bl_loop_none_ms"] - results["bl_loop_no_head_ms"], 2
+        ),
+        "bl_attn_share_ms": round(
+            results["bl_loop_none_ms"] - results["bl_loop_no_attn_ms"], 2
+        ),
+        "bl_mlp_share_ms": round(
+            results["bl_loop_none_ms"] - results["bl_loop_no_mlp_ms"], 2
+        ),
+        "bl_qkvo_share_ms": round(
+            results["bl_loop_none_ms"] - results["bl_loop_no_qkvo_ms"], 2
+        ),
     }
     print(json.dumps(results, indent=2))
 
