@@ -54,6 +54,10 @@ def main():
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--fused", type=int, default=1)
     ap.add_argument("--iters", type=int, default=7)
+    ap.add_argument("--quant", type=int, default=0,
+                    help="also time q/w8a8 quantized batch-last full decode")
+    ap.add_argument("--bf", type=int, default=1,
+                    help="0 skips the batch-first ablation loops")
     args = ap.parse_args()
 
     import jax
@@ -98,6 +102,20 @@ def main():
         return np.asarray(toks)
 
     results["full_decode_bl_ms"], _ = timeit(full_bl, args.iters)
+
+    # --- batch-last decode, quantized weights (in-process A/B vs bf16) ------
+    if args.quant:
+        from dmi_tpu.models.quant import quantize_llama
+
+        params_noh = {k: v for k, v in params.items() if k != "head"}
+        for qname, native in [("q", False), ("w8a8", True)]:
+            qp = quantize_llama(params_noh, native=native)
+
+            def full_bl_q(qp=qp):
+                toks = decode.greedy_generate_bl(cfg, qp, inputs, NEW, 0)
+                return np.asarray(toks)
+
+            results[f"full_decode_bl_{qname}_ms"], _ = timeit(full_bl_q, args.iters)
 
     # --- prefill only -------------------------------------------------------
     @partial(jax.jit, static_argnames=("cfg", "total"))
@@ -218,6 +236,8 @@ def main():
     variants = ["none", "vpu_attn", "mxu_attn", "no_head", "no_attn", "no_mlp", "no_qkvo"]
     if os.environ.get("DMI_PROFILE_PALLAS_ATTN") == "1" and not args.small:
         variants.insert(1, "pallas_attn")
+    if not args.bf:
+        variants = []
     for ablate in variants:
         def run(ab=ablate):
             return np.asarray(ablated_loop(cfg, params, inputs, NEW, ab))
@@ -244,7 +264,8 @@ def main():
         def body(carry, xs):
             x, kcache, vcache = carry
             lw, li = xs
-            hn = _rms_norm_bl(x, lw["ln_attn"], cfg.rms_norm_eps)
+            hn = (x if ablate == "no_norm_rope"
+                  else _rms_norm_bl(x, lw["ln_attn"], cfg.rms_norm_eps))
             if ablate == "no_qkvo":
                 x2, kcache2, vcache2 = x, kcache, vcache
             else:
@@ -255,15 +276,22 @@ def main():
                     q = _mm_bl(lw["wq"], hn)
                     k = _mm_bl(lw["wk"], hn)
                     v = _mm_bl(lw["wv"], hn)
-                q = _rope_bl(q.reshape(nkv, g, hd, Bq), cos, sin)
-                k = _rope_bl(k.reshape(nkv, hd, Bq), cos, sin)
+                if ablate == "no_norm_rope":
+                    q = q.reshape(nkv, g, hd, Bq)
+                    k = k.reshape(nkv, hd, Bq)
+                else:
+                    q = _rope_bl(q.reshape(nkv, g, hd, Bq), cos, sin)
+                    k = _rope_bl(k.reshape(nkv, hd, Bq), cos, sin)
                 v = v.reshape(nkv, hd, Bq)
-                kcache2 = jax.lax.dynamic_update_slice(
-                    kcache, k[None, :, None, :, :], (li, 0, pos, 0, 0)
-                )
-                vcache2 = jax.lax.dynamic_update_slice(
-                    vcache, v[None, :, None, :, :], (li, 0, pos, 0, 0)
-                )
+                if ablate == "no_cache_update":
+                    kcache2, vcache2 = kcache, vcache
+                else:
+                    kcache2 = jax.lax.dynamic_update_slice(
+                        kcache, k[None, :, None, :, :], (li, 0, pos, 0, 0)
+                    )
+                    vcache2 = jax.lax.dynamic_update_slice(
+                        vcache, v[None, :, None, :, :], (li, 0, pos, 0, 0)
+                    )
                 if ablate == "no_attn":
                     attn = jnp.broadcast_to(v[:, None], (nkv, g, hd, Bq))
                 else:
@@ -278,7 +306,8 @@ def main():
             if ablate == "no_mlp":
                 out = x2
             else:
-                hn = _rms_norm_bl(x2, lw["ln_mlp"], cfg.rms_norm_eps)
+                hn = (x2 if ablate == "no_norm_rope"
+                      else _rms_norm_bl(x2, lw["ln_mlp"], cfg.rms_norm_eps))
                 if "w_gu" in lw:
                     gu = _mm_bl(lw["w_gu"], hn)
                     gate, up = jnp.split(gu, 2, axis=0)
@@ -324,7 +353,17 @@ def main():
 
         def body(state):
             step, logits, k_cache, v_cache, tokens = state
-            next_tok = jnp.argmax(logits, axis=0).astype(jnp.int32)
+            if ablate == "fixed_token":
+                # NOTE: tokens stop depending on logits, so XLA dead-code-
+                # eliminates the entire model computation — this variant
+                # measures the PURE while_loop + token-buffer machinery
+                # floor (~0.4 ms/step on chip), NOT the argmax cost.  The
+                # argmax itself is a full [V, B] read (~0.12 ms/step at
+                # measured bandwidth) and cannot be ablated independently:
+                # any replacement that keeps logits live reads them too.
+                next_tok = jnp.full((logits.shape[1],), 7, jnp.int32)
+            else:
+                next_tok = jnp.argmax(logits, axis=0).astype(jnp.int32)
             tokens = jax.lax.dynamic_update_slice(tokens, next_tok[:, None], (0, step))
             h = llama.embed_tokens(cfg, params, next_tok).T.astype(cfg.dtype)
             pos = Tq + step
@@ -339,7 +378,8 @@ def main():
         )
         return tokens
 
-    for ablate in ["none", "no_head", "no_attn", "no_mlp", "no_qkvo"]:
+    for ablate in ["none", "no_head", "no_attn", "no_mlp", "no_qkvo",
+                   "no_norm_rope", "no_cache_update", "fixed_token"]:
         def run_bl(ab=ablate):
             return np.asarray(bl_ablated_loop(cfg, params, inputs, NEW, ab))
 
@@ -372,13 +412,6 @@ def main():
         "decode_loop_ms": round(results["full_decode_ms"] - results["prefill_ms"], 2),
         "per_step_ms": round((results["full_decode_ms"] - results["prefill_ms"]) / NEW, 3),
         "weight_floor_per_step_ms": round(results["weight_stream_ms"], 3),
-        "head_share_ms": round(results["loop_none_ms"] - results["loop_no_head_ms"], 2),
-        "attn_share_ms": round(results["loop_none_ms"] - results["loop_no_attn_ms"], 2),
-        "mxu_attn_share_ms": round(results["loop_mxu_attn_ms"] - results["loop_no_attn_ms"], 2),
-        "vpu_attn_share_ms": round(results["loop_vpu_attn_ms"] - results["loop_no_attn_ms"], 2),
-        "blockdiag_attn_share_ms": round(results["loop_none_ms"] - results["loop_no_attn_ms"], 2),
-        "mlp_share_ms": round(results["loop_none_ms"] - results["loop_no_mlp_ms"], 2),
-        "qkvo_share_ms": round(results["loop_none_ms"] - results["loop_no_qkvo_ms"], 2),
         "bl_head_share_ms": round(
             results["bl_loop_none_ms"] - results["bl_loop_no_head_ms"], 2
         ),
@@ -388,10 +421,24 @@ def main():
         "bl_mlp_share_ms": round(
             results["bl_loop_none_ms"] - results["bl_loop_no_mlp_ms"], 2
         ),
+        "bl_norm_rope_share_ms": round(
+            results["bl_loop_none_ms"] - results["bl_loop_no_norm_rope_ms"], 2
+        ),
+        "bl_cache_update_share_ms": round(
+            results["bl_loop_none_ms"] - results["bl_loop_no_cache_update_ms"], 2
+        ),
+        "bl_loop_machinery_floor_ms": round(results["bl_loop_fixed_token_ms"], 2),
         "bl_qkvo_share_ms": round(
             results["bl_loop_none_ms"] - results["bl_loop_no_qkvo_ms"], 2
         ),
     }
+    if "loop_none_ms" in results:
+        results["derived"].update({
+            "head_share_ms": round(results["loop_none_ms"] - results["loop_no_head_ms"], 2),
+            "attn_share_ms": round(results["loop_none_ms"] - results["loop_no_attn_ms"], 2),
+            "mlp_share_ms": round(results["loop_none_ms"] - results["loop_no_mlp_ms"], 2),
+            "qkvo_share_ms": round(results["loop_none_ms"] - results["loop_no_qkvo_ms"], 2),
+        })
     print(json.dumps(results, indent=2))
 
 
