@@ -25,6 +25,7 @@ import json
 import os
 import os.path as osp
 import time
+from functools import partial
 
 import numpy as np
 
@@ -177,6 +178,7 @@ def main() -> None:
     fused = os.environ.get("DMI_BENCH_FUSED", "1") == "1"
     if fused:
         llm_params = llama.fuse_projections(llm_params)
+    llm_params_bf16 = llm_params
     if int8:
         from dmi_tpu.models.quant import quantize_llama
 
@@ -207,36 +209,76 @@ def main() -> None:
     embs = jnp.asarray(rng.normal(size=(batch, mm_dim)).astype(np.float32))
     prefix = jnp.asarray(rng.integers(1, cfg.vocab_size, size=(batch, prefix_len)), jnp.int32)
 
-    def run_once():
+    # ONE jitted program for the whole projector -> assemble -> decode
+    # pipeline: eager proj.apply/embed/concat cost several ~25 ms relay
+    # dispatch round-trips per batch (measured ~35-45 ms bench overhead vs
+    # the profiler's bare greedy_generate_bl)
+    @partial(jax.jit, static_argnames=("cfg", "pspec", "max_new", "bf"))
+    def _pipeline(cfg, pspec, pparams, llm_params, pre_params, embs, prefix,
+                  max_new, bf):
         soft = proj.apply(pspec, pparams, embs, train=False)
-        prefix_embeds = llama.embed_tokens(cfg, llm_params, prefix)
+        prefix_embeds = llama.embed_tokens(cfg, pre_params, prefix)
         inputs = jnp.concatenate(
             [soft[:, None, :].astype(prefix_embeds.dtype), prefix_embeds], axis=1
         )
         # batch-last loop: token-identical, 1.14x on chip (profile_decode
         # in-process A/B); DMI_DECODE_BATCH_FIRST=1 pins the original
-        gen = (
-            decode.greedy_generate
-            if os.environ.get("DMI_DECODE_BATCH_FIRST") == "1"
-            else decode.greedy_generate_bl
-        )
-        toks = gen(cfg, llm_params, inputs, max_new, 0)
-        # force completion via a host transfer: on the axon relay platform,
-        # block_until_ready returns before remote execution finishes
-        return np.asarray(toks)
+        if bf:
+            return decode.greedy_generate(cfg, llm_params, inputs, max_new, 0)
+        # quantized loop + bf16 prefill: int8 dots are no faster than bf16
+        # on this MXU stack, so compute-bound prefill runs the originals
+        pre = None if pre_params is llm_params else pre_params
+        return decode.greedy_generate_bl(cfg, llm_params, inputs, max_new, 0,
+                                         prefill_params=pre)
 
-    run_once()  # compile
-    run_once()  # warm
-    n_iters = int(os.environ.get("DMI_BENCH_ITERS", "10"))
-    iter_ms = []
-    for _ in range(n_iters):
-        t0 = time.perf_counter()
-        run_once()
-        iter_ms.append((time.perf_counter() - t0) * 1e3)
-    iter_ms.sort()
+    bf = os.environ.get("DMI_DECODE_BATCH_FIRST") == "1"
+
+    def measure(lp, pre):
+        def run_once():
+            toks = _pipeline(cfg, pspec, pparams, lp, pre, embs, prefix,
+                             max_new, bf)
+            # force completion via a host transfer: on the axon relay
+            # platform, block_until_ready returns before remote execution
+            # finishes
+            return np.asarray(toks)
+
+        run_once()  # compile
+        run_once()  # warm
+        n_iters = int(os.environ.get("DMI_BENCH_ITERS", "10"))
+        iter_ms = []
+        for _ in range(n_iters):
+            t0 = time.perf_counter()
+            run_once()
+            iter_ms.append((time.perf_counter() - t0) * 1e3)
+        iter_ms.sort()
+        return iter_ms
+
+    extra = {}
+    iter_ms = measure(llm_params, llm_params_bf16 if int8 else llm_params)
     median_ms = iter_ms[len(iter_ms) // 2]
 
     captions_per_sec = batch / (median_ms / 1e3)
+
+    # companion number for the other weight mode (serving ships W8A8, parity
+    # work runs bf16): measured in the same process so the pair is a valid
+    # A/B; best-effort — a relay failure here must not lose the headline
+    if not small and os.environ.get("DMI_BENCH_BOTH", "1") == "1" and not bf:
+        try:
+            from dmi_tpu.models.quant import quantize_llama as _ql
+
+            if int8:
+                alt_ms = measure(llm_params_bf16, llm_params_bf16)
+                extra["bf16_captions_per_sec"] = round(
+                    batch / (alt_ms[len(alt_ms) // 2] / 1e3), 3
+                )
+            else:
+                qp = _ql(llm_params_bf16, native=True)
+                alt_ms = measure(qp, llm_params_bf16)
+                extra["w8a8_captions_per_sec"] = round(
+                    batch / (alt_ms[len(alt_ms) // 2] / 1e3), 3
+                )
+        except Exception as e:  # pragma: no cover - relay-dependent
+            extra["companion_error"] = str(e)[:120]
     metric = "decode_captions_per_sec_per_chip_1b" if not small else "decode_captions_per_sec_small"
     if not small and batch != 256:
         metric += f"_b{batch}"  # keep non-default batches off the headline baseline
@@ -258,10 +300,11 @@ def main() -> None:
                 "vs_baseline": round(captions_per_sec / baseline, 3),
                 # per-iteration spread so round-over-round deltas are
                 # distinguishable from relay noise (n >= 10, median-based)
-                "n_iters": n_iters,
+                "n_iters": len(iter_ms),
                 "iter_ms_min": round(iter_ms[0], 2),
                 "iter_ms_median": round(median_ms, 2),
                 "iter_ms_max": round(iter_ms[-1], 2),
+                **extra,
             }
         )
     )

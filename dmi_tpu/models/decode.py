@@ -248,17 +248,32 @@ def _decode_attention_bl(q, kc, vc, bias):
     return out.astype(vc.dtype)
 
 
-def _decode_step_bl(cfg, params, h, caches, pos, bias):
+def _decode_step_bl(cfg, params, h, caches, pos, bias, s_window=None):
     """One batch-last token step.  h: [H, B]; caches: ([L,nkv,S,hd,B] x2);
-    pos: absolute position being written.  Returns (logits [V,B], caches)."""
-    k_cache, v_cache = caches
+    pos: absolute position being written.  Returns (logits [V,B], caches).
+
+    s_window (static) restricts the attention READ to cache positions
+    [0, s_window): token-exact whenever pos < s_window, because positions
+    > pos are masked by bias and unwritten tail positions contribute
+    softmax weight 0 either way.  Cache WRITES always go to the full
+    cache.  Early in the budget this trims the VPU attention work (the
+    decode loop's compute-bound component) by the unused tail.
+
+    caches here is ONE merged array [L, 2, nkv, S, hd, B] (k at index 0,
+    v at 1): one dynamic_update_slice + one dynamic_slice per layer
+    instead of two of each — halves the per-layer cache-op overhead
+    measured by the no_cache_update ablation."""
+    kv_cache = caches
     nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     g = nh // nkv
     B = h.shape[1]
+    if s_window is None:
+        s_window = kv_cache.shape[3]
+    bias = bias[:s_window]
     cos, sin = llama.rope_tables(cfg, pos)  # [hd] each
 
     def body(carry, xs):
-        x, kcache, vcache = carry
+        x, kvcache = carry
         lw, li = xs
         hn = _rms_norm_bl(x, lw["ln_attn"], cfg.rms_norm_eps)
         if "w_qkv" in lw:
@@ -269,19 +284,15 @@ def _decode_step_bl(cfg, params, h, caches, pos, bias):
         q = _rope_bl(q.reshape(nkv, g, hd, B), cos, sin)
         k = _rope_bl(k.reshape(nkv, hd, B), cos, sin)
         v = v.reshape(nkv, hd, B)
-        kcache = jax.lax.dynamic_update_slice(
-            kcache, k[None, :, None, :, :], (li, 0, pos, 0, 0)
+        kvcache = jax.lax.dynamic_update_slice(
+            kvcache,
+            jnp.stack([k, v])[None, :, :, None],  # [1, 2, nkv, 1, hd, B]
+            (li, 0, 0, pos, 0, 0),
         )
-        vcache = jax.lax.dynamic_update_slice(
-            vcache, v[None, :, None, :, :], (li, 0, pos, 0, 0)
-        )
-        kc = jax.lax.dynamic_slice(
-            kcache, (li, 0, 0, 0, 0), (1, nkv, kcache.shape[2], hd, B)
+        kvc = jax.lax.dynamic_slice(
+            kvcache, (li, 0, 0, 0, 0, 0), (1, 2, nkv, s_window, hd, B)
         )[0]
-        vc = jax.lax.dynamic_slice(
-            vcache, (li, 0, 0, 0, 0), (1, nkv, vcache.shape[2], hd, B)
-        )[0]
-        attn = _decode_attention_bl(q, kc, vc, bias).reshape(nh * hd, B)
+        attn = _decode_attention_bl(q, kvc[0], kvc[1], bias).reshape(nh * hd, B)
         x = x + _mm_bl(lw["wo"], attn)
         hn = _rms_norm_bl(x, lw["ln_mlp"], cfg.rms_norm_eps)
         if "w_gu" in lw:
@@ -291,11 +302,11 @@ def _decode_step_bl(cfg, params, h, caches, pos, bias):
         else:
             gate = jax.nn.silu(_mm_bl(lw["w_gate"], hn))
             x = x + _mm_bl(lw["w_down"], gate * _mm_bl(lw["w_up"], hn))
-        return (x, kcache, vcache), None
+        return (x, kvcache), None
 
-    L = k_cache.shape[0]
-    (h, k_cache, v_cache), _ = jax.lax.scan(
-        body, (h, k_cache, v_cache), (params["layers"], jnp.arange(L))
+    L = kv_cache.shape[0]
+    (h, kv_cache), _ = jax.lax.scan(
+        body, (h, kv_cache), (params["layers"], jnp.arange(L))
     )
     h = _rms_norm_bl(h, params["final_norm"], cfg.rms_norm_eps)
     embed = params["embed"]
@@ -320,7 +331,7 @@ def _decode_step_bl(cfg, params, h, caches, pos, bias):
             logits = jax.lax.dot_general(embed, h, (((1,), (0,)), ((), ())))
     else:
         logits = _mm_bl(params["lm_head"], h)
-    return logits, (k_cache, v_cache)
+    return logits, kv_cache
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "pad_token_id"))
@@ -330,12 +341,20 @@ def greedy_generate_bl(
     inputs_embeds: jax.Array,
     max_new_tokens: int,
     pad_token_id: int,
+    prefill_params: dict | None = None,
 ) -> jax.Array:
     """Batch-last greedy decode — token-identical to greedy_generate (same
     f32-accumulated attention contract, same EOS/pad semantics), rebuilt
     around the memory system: see the layout commentary above.  Replaces
     HF `llm.generate` (reference: dmi/model/mmmodel.py:149-169) as the
-    serving/bench default on TPU."""
+    serving/bench default on TPU.
+
+    prefill_params: optional separate weights for the prompt pass.  With
+    W8A8 loop weights the int8 dot runs no faster than bf16 on this MXU
+    stack (BASELINE.md round-2), so the compute-bound prefill only pays
+    the per-matmul activation-quantization VPU cost — passing the bf16
+    originals here keeps the loop's halved weight stream while prefill
+    runs plain bf16 (costs one extra weight copy in HBM)."""
     B, T, _ = inputs_embeds.shape
     total = T + max_new_tokens
     caches = init_cache(cfg, B, total)
@@ -344,23 +363,24 @@ def greedy_generate_bl(
     # no pre-transposed [H, V] head copy: prefill's single last-position
     # head matmul folds the transpose into dot_general, and the loop's
     # dot_general(embed, h) consumes [V, H] directly
-    logits0, caches = prefill(cfg, params, inputs_embeds, caches)
+    logits0, caches = prefill(
+        cfg, params if prefill_params is None else prefill_params,
+        inputs_embeds, caches,
+    )
 
-    # one-time layout flips out of prefill: [L,B,nkv,S,hd] -> [L,nkv,S,hd,B]
-    k_cache = caches[0].transpose(0, 2, 3, 4, 1)
-    v_cache = caches[1].transpose(0, 2, 3, 4, 1)
+    # one-time layout flip out of prefill into the merged batch-last
+    # cache: [L,B,nkv,S,hd] x2 -> [L,2,nkv,S,hd,B]
+    kv_cache = jnp.stack(
+        [caches[0].transpose(0, 2, 3, 4, 1), caches[1].transpose(0, 2, 3, 4, 1)],
+        axis=1,
+    )
     logits = logits0.T  # [V, B]
 
     tokens0 = jnp.full((B, max_new_tokens), pad_token_id, jnp.int32)
     done0 = jnp.zeros((B,), bool)
     key_pos = jnp.arange(total)
 
-    def cond(state):
-        step, _, _, _, done, _ = state
-        return (step < max_new_tokens) & ~jnp.all(done)
-
-    def body(state):
-        step, logits, k_cache, v_cache, done, tokens = state
+    def one_token(step, logits, kv_cache, done, tokens, s_window):
         next_tok = jnp.argmax(logits, axis=0).astype(jnp.int32)
         next_tok = jnp.where(done, pad_token_id, next_tok)
         tokens = jax.lax.dynamic_update_slice(tokens, next_tok[:, None], (0, step))
@@ -368,15 +388,50 @@ def greedy_generate_bl(
         h = llama.embed_tokens(cfg, params, next_tok).T.astype(cfg.dtype)  # [H, B]
         pos = T + step
         bias = jnp.where(key_pos <= pos, 0.0, jnp.finfo(jnp.float32).min)  # [S]
-        logits, (k_cache, v_cache) = _decode_step_bl(
-            cfg, params, h, (k_cache, v_cache), pos, bias
+        logits, kv_cache = _decode_step_bl(
+            cfg, params, h, kv_cache, pos, bias, s_window
         )
-        return step + 1, logits, k_cache, v_cache, done, tokens
+        return step + 1, logits, kv_cache, done, tokens
 
-    _, _, _, _, _, tokens = jax.lax.while_loop(
-        cond, body, (0, logits, k_cache, v_cache, done0, tokens0)
-    )
-    return tokens
+    def make_body(s_window, unroll):
+        def body(state):
+            step, logits, kv_cache, done, tokens = state
+            for _ in range(unroll):
+                step, logits, kv_cache, done, tokens = one_token(
+                    step, logits, kv_cache, done, tokens, s_window
+                )
+            return step, logits, kv_cache, done, tokens
+
+        return body
+
+    # Windowed phase schedule: step s writes position T+s and attends to
+    # positions [0, T+s] — round the read window up to a multiple of 8 and
+    # group consecutive steps sharing a window into one while_loop.  Early
+    # steps then skip the masked cache tail (token-exact; see
+    # _decode_step_bl).  At T=16/new=22 this trims ~20% of the VPU
+    # attention work for three compiled step bodies instead of one.
+    # Even-length phases run TWO tokens per while iteration (token-exact —
+    # the pair is the same two sequential steps; early-exit granularity
+    # coarsens to the pair, which only ever costs masked pad work).
+    phases = []  # (end_step, s_window)
+    s = 0
+    while s < max_new_tokens:
+        w = min(total, -(-(T + s + 1) // 8) * 8)
+        e = min(max_new_tokens, w - T)  # steps s.. with T+step < w
+        phases.append((e, w))
+        s = e
+
+    state = (0, logits, kv_cache, done0, tokens0)
+    start = 0
+    for end_step, w in phases:
+        def cond(state, end_step=end_step):
+            step, _, _, done, _ = state
+            return (step < end_step) & ~jnp.all(done)
+
+        unroll = 2 if (end_step - start) % 2 == 0 else 1
+        state = jax.lax.while_loop(cond, make_body(w, unroll), state)
+        start = end_step
+    return state[4]
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "pad_token_id"))
