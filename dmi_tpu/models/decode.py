@@ -136,7 +136,7 @@ def sample_generate(
 
     def cond(state):
         step, _, _, done, _, _ = state
-        return (step < max_new_tokens) & ~jnp.all(done)
+        return (step < max_new_tokens - 1) & ~jnp.all(done)
 
     def body(state):
         step, logits, caches, done, tokens, key = state
@@ -149,9 +149,13 @@ def sample_generate(
         logits, caches = decode_step(cfg, params, embeds, caches, T + step)
         return step + 1, logits, caches, done, tokens, key
 
-    _, _, _, _, tokens, _ = jax.lax.while_loop(
+    step, logits, _, done, tokens, key = jax.lax.while_loop(
         cond, body, (0, logits, caches, done0, tokens0, rng)
     )
+    # final token needs no decode_step (see greedy_generate_bl)
+    _, sub = jax.random.split(key)
+    last = jnp.where(done, pad_token_id, pick(logits, sub))
+    tokens = jax.lax.dynamic_update_slice(tokens, last[:, None], (0, step))
     return tokens
 
 
@@ -248,7 +252,7 @@ def _decode_attention_bl(q, kc, vc, bias):
     return out.astype(vc.dtype)
 
 
-def _decode_step_bl(cfg, params, h, caches, pos, bias, s_window=None):
+def _decode_step_bl(cfg, params, h, caches, pos, bias, s_window=None, head=True):
     """One batch-last token step.  h: [H, B]; caches: ([L,nkv,S,hd,B] x2);
     pos: absolute position being written.  Returns (logits [V,B], caches).
 
@@ -309,6 +313,9 @@ def _decode_step_bl(cfg, params, h, caches, pos, bias, s_window=None):
         body, (h, kv_cache), (params["layers"], jnp.arange(L))
     )
     h = _rms_norm_bl(h, params["final_norm"], cfg.rms_norm_eps)
+    if not head:
+        # caller runs the fused head+argmax kernel on the normed state
+        return h, kv_cache
     embed = params["embed"]
     if cfg.tie_word_embeddings:
         if isinstance(embed, dict) and "q8" in embed:
@@ -380,27 +387,40 @@ def greedy_generate_bl(
     done0 = jnp.zeros((B,), bool)
     key_pos = jnp.arange(total)
 
-    def one_token(step, logits, kv_cache, done, tokens, s_window):
-        next_tok = jnp.argmax(logits, axis=0).astype(jnp.int32)
+    # With the fused head+argmax Pallas kernel the loop never materializes
+    # [V, B] logits: the carry holds the RAW argmax ids instead (the
+    # done/pad masking stays in the consuming iteration, unchanged).
+    from dmi_tpu.ops.pallas.head_argmax import head_argmax, head_argmax_available
+
+    fused_head = head_argmax_available(params) and cfg.tie_word_embeddings
+
+    def one_token(step, sel, kv_cache, done, tokens, s_window):
+        next_tok = sel if fused_head else jnp.argmax(sel, axis=0).astype(jnp.int32)
         next_tok = jnp.where(done, pad_token_id, next_tok)
         tokens = jax.lax.dynamic_update_slice(tokens, next_tok[:, None], (0, step))
         done = done | jnp.isin(next_tok, eos)
         h = llama.embed_tokens(cfg, params, next_tok).T.astype(cfg.dtype)  # [H, B]
         pos = T + step
         bias = jnp.where(key_pos <= pos, 0.0, jnp.finfo(jnp.float32).min)  # [S]
-        logits, kv_cache = _decode_step_bl(
-            cfg, params, h, kv_cache, pos, bias, s_window
-        )
-        return step + 1, logits, kv_cache, done, tokens
+        if fused_head:
+            h_fin, kv_cache = _decode_step_bl(
+                cfg, params, h, kv_cache, pos, bias, s_window, head=False
+            )
+            sel = head_argmax(params, h_fin)
+        else:
+            sel, kv_cache = _decode_step_bl(
+                cfg, params, h, kv_cache, pos, bias, s_window
+            )
+        return step + 1, sel, kv_cache, done, tokens
 
     def make_body(s_window, unroll):
         def body(state):
-            step, logits, kv_cache, done, tokens = state
+            step, sel, kv_cache, done, tokens = state
             for _ in range(unroll):
-                step, logits, kv_cache, done, tokens = one_token(
-                    step, logits, kv_cache, done, tokens, s_window
+                step, sel, kv_cache, done, tokens = one_token(
+                    step, sel, kv_cache, done, tokens, s_window
                 )
-            return step, logits, kv_cache, done, tokens
+            return step, sel, kv_cache, done, tokens
 
         return body
 
@@ -413,15 +433,23 @@ def greedy_generate_bl(
     # Even-length phases run TWO tokens per while iteration (token-exact —
     # the pair is the same two sequential steps; early-exit granularity
     # coarsens to the pair, which only ever costs masked pad work).
+    # Only max_new-1 layer-stack steps are needed: iteration k consumes the
+    # PREVIOUS logits and computes logits for token k+1, so a final full
+    # decode_step would produce logits nothing reads (and cache writes
+    # nothing reads) — the last token is just an argmax of the last logits.
+    n_steps = max_new_tokens - 1
     phases = []  # (end_step, s_window)
     s = 0
-    while s < max_new_tokens:
+    while s < n_steps:
         w = min(total, -(-(T + s + 1) // 8) * 8)
-        e = min(max_new_tokens, w - T)  # steps s.. with T+step < w
+        e = min(n_steps, w - T)  # steps s.. with T+step < w
         phases.append((e, w))
         s = e
 
-    state = (0, logits, kv_cache, done0, tokens0)
+    sel0 = (
+        jnp.argmax(logits0, axis=-1).astype(jnp.int32) if fused_head else logits
+    )
+    state = (0, sel0, kv_cache, done0, tokens0)
     start = 0
     for end_step, w in phases:
         def cond(state, end_step=end_step):
@@ -431,7 +459,14 @@ def greedy_generate_bl(
         unroll = 2 if (end_step - start) % 2 == 0 else 1
         state = jax.lax.while_loop(cond, make_body(w, unroll), state)
         start = end_step
-    return state[4]
+
+    step, sel, _, done, tokens = state
+    last = sel if fused_head else jnp.argmax(sel, axis=0).astype(jnp.int32)
+    last = jnp.where(done, pad_token_id, last)
+    # step == n_steps unless every sequence finished early, in which case
+    # the write lands on an already-padded column with a pad value
+    tokens = jax.lax.dynamic_update_slice(tokens, last[:, None], (0, step))
+    return tokens
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "pad_token_id"))
@@ -460,7 +495,7 @@ def greedy_generate(
 
     def cond(state):
         step, _, _, done, _ = state
-        return (step < max_new_tokens) & ~jnp.all(done)
+        return (step < max_new_tokens - 1) & ~jnp.all(done)
 
     def body(state):
         step, logits, caches, done, tokens = state
@@ -472,7 +507,11 @@ def greedy_generate(
         logits, caches = decode_step(cfg, params, embeds, caches, T + step)
         return step + 1, logits, caches, done, tokens
 
-    _, _, _, _, tokens = jax.lax.while_loop(
+    step, logits, _, done, tokens = jax.lax.while_loop(
         cond, body, (0, logits, caches, done0, tokens0)
     )
+    # final token needs no decode_step (see greedy_generate_bl)
+    last = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    last = jnp.where(done, pad_token_id, last)
+    tokens = jax.lax.dynamic_update_slice(tokens, last[:, None], (0, step))
     return tokens
