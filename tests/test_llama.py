@@ -410,3 +410,20 @@ def test_flash_attention_nonmultiple_seq(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(g_flash), np.asarray(g_ref), atol=2e-3, rtol=2e-2
     )
+
+
+def test_greedy_generate_bl_phase_schedule_sweep():
+    """The windowed-phase/pair-unroll/final-step-elision loop must stay
+    token-identical to the batch-first path across prompt lengths and
+    budgets that produce different phase structures: single phase,
+    multi-phase, odd/even phase lengths, max_new=1, and EOS firing
+    mid-phase (make_pair's EOS ids do occur in these random decodes)."""
+    hf, cfg, params = make_pair(seed=7)
+    rng = np.random.default_rng(7)
+    for T, max_new in [(1, 1), (2, 3), (5, 9), (7, 16), (16, 22), (3, 24)]:
+        embeds = jnp.asarray(
+            rng.normal(size=(4, T, 64)).astype(np.float32) * 0.1
+        )
+        ref = np.asarray(dec.greedy_generate(cfg, params, embeds, max_new, PAD))
+        bl = np.asarray(dec.greedy_generate_bl(cfg, params, embeds, max_new, PAD))
+        np.testing.assert_array_equal(bl, ref, err_msg=f"T={T} new={max_new}")
