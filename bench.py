@@ -187,6 +187,10 @@ def main() -> None:
     pparams = proj.init(jax.random.key(1), pspec)
 
     if os.environ.get("DMI_BENCH_MODE") == "train":
+        if "DMI_BENCH_BATCH" not in os.environ and not small:
+            # the recorded train baseline is batch 64 (B=256 fwd+bwd
+            # activations through the 1B body exceed the 16G HBM)
+            batch = 64
         r = bench_train(cfg, llm_params, pspec, pparams, batch)
         metric = "train_samples_per_sec_per_chip_1b" if not small else "train_samples_per_sec_small"
         if os.environ.get("_DMI_BENCH_CPU_FALLBACK") == "1":
