@@ -84,19 +84,24 @@ def caption_generate(
     prefix_ids: Optional[jax.Array],  # [B, P] chat-template prompt, or None
     max_new_tokens: int,
     pad_token_id: int,
+    prefill_params: Optional[dict] = None,
 ) -> jax.Array:
     """Greedy decode from soft token (+ optional chat prefix)
     (reference: dmi/model/mmmodel.py:149-169).
 
     Uses the batch-last loop (dec.greedy_generate_bl) — token-identical to
     dec.greedy_generate and faster on both TPU (205 vs 235 ms/batch at
-    B=256 on v5e) and CPU; DMI_DECODE_BATCH_FIRST=1 pins the original."""
+    B=256 on v5e) and CPU; DMI_DECODE_BATCH_FIRST=1 pins the original.
+    prefill_params: optional bf16 weights for the prompt pass when
+    llm_params are W8A8-quantized (see dec.greedy_generate_bl)."""
     import os
 
-    embeds = assemble_prompt(cfg, llm_params, soft_tokens, prefix_ids)
-    gen = (
-        dec.greedy_generate
-        if os.environ.get("DMI_DECODE_BATCH_FIRST") == "1"
-        else dec.greedy_generate_bl
+    embeds = assemble_prompt(
+        cfg, llm_params if prefill_params is None else prefill_params,
+        soft_tokens, prefix_ids,
     )
-    return gen(cfg, llm_params, embeds, max_new_tokens, pad_token_id)
+    if os.environ.get("DMI_DECODE_BATCH_FIRST") == "1":
+        return dec.greedy_generate(cfg, llm_params, embeds, max_new_tokens,
+                                   pad_token_id)
+    return dec.greedy_generate_bl(cfg, llm_params, embeds, max_new_tokens,
+                                  pad_token_id, prefill_params=prefill_params)

@@ -29,6 +29,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from functools import partial
+
 from dmi_tpu.config import LMArgs
 from dmi_tpu.models import mmmodel
 from dmi_tpu.models import projector as proj
@@ -38,6 +40,19 @@ from dmi_tpu.training.checkpoint import load_pytree
 from dmi_tpu.training.model_utils import build_lm, build_tokenizer
 
 log = logging.getLogger("dmi_tpu")
+
+
+@partial(jax.jit, static_argnames=("cfg", "pspec", "max_new", "pad_id"))
+def _caption_pipeline(cfg, pspec, pparams, llm_params, prefill_params, embs,
+                      prefix_ids, max_new, pad_id):
+    """Projector -> prompt assembly -> greedy decode as ONE program (the
+    eager version costs several ~25 ms dispatch round-trips per batch on
+    the TPU relay; measured +40% serving throughput in bench.py)."""
+    soft = proj.apply(pspec, pparams, embs, train=False)
+    return mmmodel.caption_generate(
+        cfg, llm_params, soft, prefix_ids, max_new, pad_id,
+        prefill_params=prefill_params,
+    )
 
 
 class Captioner:
@@ -69,11 +84,16 @@ class Captioner:
 
             self.mesh = make_mesh(tuple(mesh_shape))
             llm_params = shard_llm_params(self.mesh, llm_params)
+        self.llm_params_prefill = None
         if int8:
             from dmi_tpu.models.quant import quantize_llama
 
             # int8=True: weights dequantized to bf16 at the matmul;
-            # int8="w8a8": native int8 MXU matmuls (fastest serving mode)
+            # int8="w8a8": native int8 MXU matmuls for the token loop, with
+            # the bf16 originals kept for the compute-bound prefill (int8
+            # dots are no faster than bf16 on this MXU stack - BASELINE.md)
+            if int8 == "w8a8":
+                self.llm_params_prefill = llm_params
             llm_params = quantize_llama(llm_params, native=(int8 == "w8a8"))
         self.llm_cfg = llm_cfg
         self.llm_params = llm_params
@@ -156,13 +176,18 @@ class Captioner:
                 from dmi_tpu.parallel import batch_sharding
 
                 embs = jax.device_put(embs, batch_sharding(self.mesh, embs.ndim))
-            soft = proj.apply(self.proj_spec, self.proj_params, embs, train=False)
             if temperature is None:
-                tokens = mmmodel.caption_generate(
-                    self.llm_cfg, self.llm_params, soft, self._prefix,
-                    self.max_new_tokens, self.tokenizer.pad_token_id,
+                # one jitted program for projector -> assemble -> decode:
+                # eager assembly costs ~25 ms/dispatch through the relay
+                tokens = _caption_pipeline(
+                    self.llm_cfg, self.proj_spec, self.proj_params,
+                    self.llm_params, self.llm_params_prefill, embs,
+                    self._prefix, self.max_new_tokens,
+                    self.tokenizer.pad_token_id,
                 )
             else:
+                soft = proj.apply(self.proj_spec, self.proj_params, embs,
+                                  train=False)
                 inputs = mmmodel.assemble_prompt(
                     self.llm_cfg, self.llm_params, soft, self._prefix
                 )

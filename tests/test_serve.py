@@ -45,6 +45,21 @@ def test_captioner_int8(trained):
     assert len(captions) == 3
 
 
+def test_captioner_w8a8_prefill_shadow(trained):
+    """w8a8 serving keeps the bf16 originals for the prompt pass and runs
+    the int8 stream in the token loop (BASELINE.md round-2)."""
+    _, ckpt = trained
+    cap = Captioner.from_checkpoint(
+        "test:tiny", ckpt, "sydney", lm_dtype="float32", batch_size=4,
+        int8="w8a8",
+    )
+    assert cap.llm_params_prefill is not None
+    assert not isinstance(cap.llm_params_prefill["embed"], dict)
+    assert "q8" in cap.llm_params["embed"]
+    captions = cap.caption(np.ones((3, 32), np.float32))
+    assert len(captions) == 3
+
+
 def test_serve_cli(trained):
     workdir, ckpt = trained
     embs = np.random.default_rng(1).normal(size=(5, 32)).astype(np.float32)
