@@ -70,7 +70,11 @@ def bench_train(cfg, llm_params, pspec, pparams, batch, seq_len=48) -> dict:
     t0 = time.perf_counter()
     for _ in range(n):
         pparams, opt_state, loss = step(pparams, opt_state, llm_params, embs, ids, mask, labels)
-        _ = float(loss)
+    # ONE host sync at the end: the steps serialize on the pparams
+    # dependency anyway, and a float() per step would add the ~25 ms relay
+    # dispatch overhead to every step (the production trainers keep losses
+    # as device scalars exactly like this)
+    _ = float(loss)
     dt = time.perf_counter() - t0
     return {"steps_per_sec": n / dt, "samples_per_sec": batch * n / dt}
 
