@@ -221,30 +221,29 @@ def main() -> None:
     # pipeline: eager proj.apply/embed/concat cost several ~25 ms relay
     # dispatch round-trips per batch (measured ~35-45 ms bench overhead vs
     # the profiler's bare greedy_generate_bl)
-    @partial(jax.jit, static_argnames=("cfg", "pspec", "max_new", "bf"))
-    def _pipeline(cfg, pspec, pparams, llm_params, pre_params, embs, prefix,
-                  max_new, bf):
-        soft = proj.apply(pspec, pparams, embs, train=False)
-        prefix_embeds = llama.embed_tokens(cfg, pre_params, prefix)
-        inputs = jnp.concatenate(
-            [soft[:, None, :].astype(prefix_embeds.dtype), prefix_embeds], axis=1
-        )
-        # batch-last loop: token-identical, 1.14x on chip (profile_decode
-        # in-process A/B); DMI_DECODE_BATCH_FIRST=1 pins the original
-        if bf:
-            return decode.greedy_generate(cfg, llm_params, inputs, max_new, 0)
-        # quantized loop + bf16 prefill: int8 dots are no faster than bf16
-        # on this MXU stack, so compute-bound prefill runs the originals
-        pre = None if pre_params is llm_params else pre_params
-        return decode.greedy_generate_bl(cfg, llm_params, inputs, max_new, 0,
-                                         prefill_params=pre)
+    from dmi_tpu.models import mmmodel
 
-    bf = os.environ.get("DMI_DECODE_BATCH_FIRST") == "1"
+    # ONE jitted program reusing the PRODUCTION serving pipeline
+    # (mmmodel.caption_generate — the same path serve.py ships), so the
+    # bench cannot drift from what serving actually runs.  Quantized loop
+    # + bf16 prefill split and the DMI_DECODE_BATCH_FIRST pin both live
+    # inside caption_generate.
+    @partial(jax.jit, static_argnames=("cfg", "pspec", "max_new"))
+    def _pipeline(cfg, pspec, pparams, llm_params, pre_params, embs, prefix,
+                  max_new):
+        soft = proj.apply(pspec, pparams, embs, train=False)
+        return mmmodel.caption_generate(
+            cfg, llm_params, soft, prefix, max_new, 0,
+            prefill_params=pre_params,
+        )
 
     def measure(lp, pre):
+        # pre=None must be decided HERE: inside jit every pytree argument
+        # is rebuilt with fresh tracers, so an `is` identity check there
+        # can never detect "same weights"
         def run_once():
             toks = _pipeline(cfg, pspec, pparams, lp, pre, embs, prefix,
-                             max_new, bf)
+                             max_new)
             # force completion via a host transfer: on the axon relay
             # platform, block_until_ready returns before remote execution
             # finishes
@@ -262,7 +261,7 @@ def main() -> None:
         return iter_ms
 
     extra = {}
-    iter_ms = measure(llm_params, llm_params_bf16 if int8 else llm_params)
+    iter_ms = measure(llm_params, llm_params_bf16 if int8 else None)
     median_ms = iter_ms[len(iter_ms) // 2]
 
     captions_per_sec = batch / (median_ms / 1e3)
@@ -275,7 +274,7 @@ def main() -> None:
             from dmi_tpu.models.quant import quantize_llama as _ql
 
             if int8:
-                alt_ms = measure(llm_params_bf16, llm_params_bf16)
+                alt_ms = measure(llm_params_bf16, None)
                 extra["bf16_captions_per_sec"] = round(
                     batch / (alt_ms[len(alt_ms) // 2] / 1e3), 3
                 )

@@ -110,12 +110,16 @@ def sample_generate(
     rng: jax.Array,
     temperature: float = 1.0,
     top_k: int = 0,
+    prefill_params: dict | None = None,
 ) -> jax.Array:
     """Stochastic decode (temperature / top-k) with the same cache/early-exit
     machinery as greedy_generate.  The reference only ever decodes greedily
     (no sampling args passed to HF generate, dmi/model/mmmodel.py:72) — this
-    is serving surface the framework adds."""
+    is serving surface the framework adds.  prefill_params: as in
+    greedy_generate_bl (bf16 prompt pass for quantized loop weights)."""
     B, T, _ = inputs_embeds.shape
+    if max_new_tokens == 0:
+        return jnp.zeros((B, 0), jnp.int32)
     total = T + max_new_tokens
     caches = init_cache(cfg, B, total)
     eos = jnp.asarray(cfg.eos_token_ids)
@@ -123,7 +127,10 @@ def sample_generate(
     if cfg.tie_word_embeddings and not isinstance(params["embed"], dict):
         params = {**params, "head": params["embed"].T}
 
-    logits, caches = prefill(cfg, params, inputs_embeds, caches)
+    logits, caches = prefill(
+        cfg, params if prefill_params is None else prefill_params,
+        inputs_embeds, caches,
+    )
     tokens0 = jnp.full((B, max_new_tokens), pad_token_id, jnp.int32)
     done0 = jnp.zeros((B,), bool)
 
@@ -341,7 +348,8 @@ def _decode_step_bl(cfg, params, h, caches, pos, bias, s_window=None, head=True)
     return logits, kv_cache
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "pad_token_id"))
+@partial(jax.jit,
+         static_argnames=("cfg", "max_new_tokens", "pad_token_id", "fused_head"))
 def greedy_generate_bl(
     cfg: LlamaConfig,
     params: dict,
@@ -349,6 +357,7 @@ def greedy_generate_bl(
     max_new_tokens: int,
     pad_token_id: int,
     prefill_params: dict | None = None,
+    fused_head: bool | None = None,
 ) -> jax.Array:
     """Batch-last greedy decode — token-identical to greedy_generate (same
     f32-accumulated attention contract, same EOS/pad semantics), rebuilt
@@ -361,8 +370,15 @@ def greedy_generate_bl(
     stack (BASELINE.md round-2), so the compute-bound prefill only pays
     the per-matmul activation-quantization VPU cost — passing the bf16
     originals here keeps the loop's halved weight stream while prefill
-    runs plain bf16 (costs one extra weight copy in HBM)."""
+    runs plain bf16 (costs one extra weight copy in HBM).
+
+    fused_head: force the fused head+argmax Pallas kernel on/off; None
+    resolves via head_argmax_available() (env + backend + weight layout).
+    It is a STATIC jit argument precisely so same-process A/Bs retrace —
+    an env-var flip alone would be ignored by the jit cache."""
     B, T, _ = inputs_embeds.shape
+    if max_new_tokens == 0:
+        return jnp.zeros((B, 0), jnp.int32)
     total = T + max_new_tokens
     caches = init_cache(cfg, B, total)
     eos = jnp.asarray(cfg.eos_token_ids)
@@ -392,7 +408,14 @@ def greedy_generate_bl(
     # done/pad masking stays in the consuming iteration, unchanged).
     from dmi_tpu.ops.pallas.head_argmax import head_argmax, head_argmax_available
 
-    fused_head = head_argmax_available(params) and cfg.tie_word_embeddings
+    if fused_head is None:
+        # bf16-only: the kernel bakes in bf16 score rounding to match the
+        # XLA logits path; f32 models would silently diverge
+        fused_head = (
+            head_argmax_available(params)
+            and cfg.tie_word_embeddings
+            and cfg.dtype == jnp.bfloat16
+        )
 
     def one_token(step, sel, kv_cache, done, tokens, s_window):
         next_tok = sel if fused_head else jnp.argmax(sel, axis=0).astype(jnp.int32)
@@ -481,6 +504,8 @@ def greedy_generate(
 
     Returns [B, max_new_tokens] generated ids (pad-filled after finish)."""
     B, T, _ = inputs_embeds.shape
+    if max_new_tokens == 0:
+        return jnp.zeros((B, 0), jnp.int32)
     total = T + max_new_tokens
     caches = init_cache(cfg, B, total)
     eos = jnp.asarray(cfg.eos_token_ids)

@@ -96,12 +96,15 @@ def caption_generate(
     llm_params are W8A8-quantized (see dec.greedy_generate_bl)."""
     import os
 
+    if os.environ.get("DMI_DECODE_BATCH_FIRST") == "1":
+        # the batch-first reference path has no prefill/loop weight split:
+        # run it fully on llm_params so it stays a coherent parity oracle
+        embeds = assemble_prompt(cfg, llm_params, soft_tokens, prefix_ids)
+        return dec.greedy_generate(cfg, llm_params, embeds, max_new_tokens,
+                                   pad_token_id)
     embeds = assemble_prompt(
         cfg, llm_params if prefill_params is None else prefill_params,
         soft_tokens, prefix_ids,
     )
-    if os.environ.get("DMI_DECODE_BATCH_FIRST") == "1":
-        return dec.greedy_generate(cfg, llm_params, embeds, max_new_tokens,
-                                   pad_token_id)
     return dec.greedy_generate_bl(cfg, llm_params, embeds, max_new_tokens,
                                   pad_token_id, prefill_params=prefill_params)

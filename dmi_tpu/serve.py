@@ -188,14 +188,17 @@ class Captioner:
             else:
                 soft = proj.apply(self.proj_spec, self.proj_params, embs,
                                   train=False)
+                # same bf16-prompt / quantized-loop split as the greedy path
                 inputs = mmmodel.assemble_prompt(
-                    self.llm_cfg, self.llm_params, soft, self._prefix
+                    self.llm_cfg, self.llm_params_prefill or self.llm_params,
+                    soft, self._prefix,
                 )
                 tokens = dec.sample_generate(
                     self.llm_cfg, self.llm_params, inputs, self.max_new_tokens,
                     self.tokenizer.pad_token_id,
                     jax.random.fold_in(jax.random.key(seed), bi),
                     temperature=temperature, top_k=top_k,
+                    prefill_params=self.llm_params_prefill,
                 )
             pending.append((tokens, real))
 

@@ -427,3 +427,17 @@ def test_greedy_generate_bl_phase_schedule_sweep():
         ref = np.asarray(dec.greedy_generate(cfg, params, embeds, max_new, PAD))
         bl = np.asarray(dec.greedy_generate_bl(cfg, params, embeds, max_new, PAD))
         np.testing.assert_array_equal(bl, ref, err_msg=f"T={T} new={max_new}")
+
+
+def test_generate_zero_budget_returns_empty():
+    """max_new_tokens=0 must return [B, 0] (review fix: the final-token
+    write used to be unconditional and errored at trace time)."""
+    _, cfg, params = make_pair(seed=3)
+    embeds = jnp.asarray(
+        np.random.default_rng(3).normal(size=(2, 4, 64)).astype(np.float32)
+    )
+    assert dec.greedy_generate(cfg, params, embeds, 0, PAD).shape == (2, 0)
+    assert dec.greedy_generate_bl(cfg, params, embeds, 0, PAD).shape == (2, 0)
+    assert dec.sample_generate(
+        cfg, params, embeds, 0, PAD, jax.random.key(0)
+    ).shape == (2, 0)
