@@ -269,6 +269,7 @@ def main() -> None:
     # companion number for the other weight mode (serving ships W8A8, parity
     # work runs bf16): measured in the same process so the pair is a valid
     # A/B; best-effort — a relay failure here must not lose the headline
+    bf = os.environ.get("DMI_DECODE_BATCH_FIRST") == "1"
     if not small and os.environ.get("DMI_BENCH_BOTH", "1") == "1" and not bf:
         try:
             from dmi_tpu.models.quant import quantize_llama as _ql
