@@ -290,6 +290,8 @@ def main() -> None:
     metric = "decode_captions_per_sec_per_chip_1b" if not small else "decode_captions_per_sec_small"
     if not small and batch != 256:
         metric += f"_b{batch}"  # keep non-default batches off the headline baseline
+    if not small and max_new != 22:
+        metric += f"_n{max_new}"  # likewise non-default decode budgets
     if int8:
         metric += "_int8" if int8 == "1" else "_w8a8"
     if not fused:
