@@ -327,6 +327,10 @@ def _main_with_last_resort():
     CPU run itself fails, that's a real bug — crash loudly."""
     try:
         main()
+    except (NameError, AttributeError, TypeError, ImportError, KeyError):
+        # programming errors are NOT relay deaths: a CPU fallback here
+        # would mask a real bug behind a quiet _cpu_fallback metric
+        raise
     except Exception:
         if os.environ.get("_DMI_BENCH_FORCE_CPU") == "1":
             raise
