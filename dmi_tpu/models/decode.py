@@ -251,7 +251,10 @@ def _decode_attention_bl(q, kc, vc, bias):
     scores = jnp.sum(
         q[:, :, None, :, :] * kc[:, None, :, :, :], axis=3, dtype=jnp.float32
     )  # [nkv, g, S, B]
-    scores = scores / np.sqrt(q.shape[2]) + bias[None, None, :, None]
+    # bias [S] (batch-uniform position, the batch decode) or [S, B]
+    # (per-slot positions, the continuous-batching engine)
+    b = bias[None, None, :, None] if bias.ndim == 1 else bias[None, None]
+    scores = scores / np.sqrt(q.shape[2]) + b
     probs = jax.nn.softmax(scores, axis=2).astype(vc.dtype)
     out = jnp.sum(
         probs[:, :, :, None, :] * vc[:, None, :, :, :], axis=2, dtype=jnp.float32

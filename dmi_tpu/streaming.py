@@ -1,0 +1,447 @@
+"""Continuous-batching (slot-based) caption serving engine.
+
+The batch captioner (serve.Captioner) decodes fixed batches: a sequence
+that emits EOS at token 3 still occupies its lane until the whole batch
+exhausts the budget.  Under real workloads (caption lengths well below
+the per-dataset budget) that idles a large fraction of the chip.  This
+engine keeps a fixed pool of B slots and REFILLS finished slots with new
+requests while the others keep decoding — vLLM-style continuous
+batching, shaped for XLA:
+
+  * all shapes static: slot pool [B], admission chunks of fixed size M,
+    K decode steps per dispatch (host harvest/admit between dispatches —
+    K amortizes the ~25 ms relay dispatch overhead; on directly-attached
+    TPU K can be 1)
+  * every prompt is the same length T (soft token + chat prefix), so
+    slots differ only in decode AGE: per-slot positions enter as a
+    gathered rope table [hd, B] and a [S, B] validity bias
+  * cache writes are RING-UNIFORM: attention is permutation-invariant
+    over keys (rope bakes the absolute position into K before caching),
+    so every slot writes its step's K/V at the SAME shared cursor row
+    T + (global_step mod budget) — one cheap dynamic_update_slice per
+    layer exactly like the batch loop, no scatter.  A per-slot [S, B]
+    validity mask (rows written during this slot's tenure) doubles as
+    the causal mask; a slot lives at most `budget` steps, so the cursor
+    never wraps onto a tenant's own rows.  (A first implementation
+    scattered at per-slot positions; on chip the layer slice/set around
+    the scatter copied ~1.3 GB/step of cache and ran 2.8x slower than
+    the batch loop.)
+  * per-slot early-exit: a slot is live until EOS or budget; dead slots
+    compute masked pad work until harvested (lanes are not resized)
+
+Decode math is shared with dmi_tpu/models/decode.py (same _mm_bl /
+_rms_norm_bl / _decode_attention_bl contract, f32-accumulated attention)
+— greedy tokens are IDENTICAL to serve.Captioner's for the same weights,
+pinned by tests/test_streaming.py.
+
+Reference replaced: the reference has no serving engine at all (captions
+are produced by fixed eval batches, dmi/model/mmmodel.py:149-169); this
+is framework surface for production deployment.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, NamedTuple, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from dmi_tpu.models import decode as dec
+from dmi_tpu.models import llama
+from dmi_tpu.models import projector as proj
+from dmi_tpu.models.llama import LlamaConfig
+
+
+def _rope_vec(x, cos, sin):
+    """Rope with PER-SLOT positions: x [..., hd, B], cos/sin [hd, B]
+    (dec._rope_bl handles the batch-uniform [hd] case)."""
+    xf = x.astype(jnp.float32)
+    return (xf * cos + dec._rotate_half_rows(xf) * sin).astype(x.dtype)
+
+
+class SlotState(NamedTuple):
+    """Device-resident slot pool (all arrays fixed-shape)."""
+
+    kv: jax.Array        # [L, 2, nkv, S, hd, B]; S = T + budget ring rows
+    valid: jax.Array     # [S, B] bool: rows holding THIS tenant's entries
+    cursor: jax.Array    # [] i32: next generated-region ring row offset
+    last: jax.Array      # [B] i32: most recent token (KV not yet written)
+    n: jax.Array         # [B] i32: tokens generated so far
+    live: jax.Array      # [B] bool
+    tokens: jax.Array    # [B, budget] i32 output buffer (pad-filled)
+
+
+def init_state(cfg: LlamaConfig, pool: int, prompt_len: int, budget: int,
+               pad_token_id: int) -> SlotState:
+    total = prompt_len + budget
+    kv = jnp.zeros(
+        (cfg.num_hidden_layers, 2, cfg.num_key_value_heads, total,
+         cfg.head_dim, pool),
+        cfg.dtype,
+    )
+    return SlotState(
+        kv=kv,
+        valid=jnp.zeros((total, pool), bool),
+        cursor=jnp.asarray(0, jnp.int32),
+        last=jnp.zeros((pool,), jnp.int32),
+        n=jnp.zeros((pool,), jnp.int32),
+        live=jnp.zeros((pool,), bool),
+        tokens=jnp.full((pool, budget), pad_token_id, jnp.int32),
+    )
+
+
+def _stream_one_step(cfg, params, state: SlotState, T: int, budget: int,
+                     pad_token_id: int, eos: jax.Array) -> SlotState:
+    """One decode step for every live slot (dead slots do masked pad work).
+
+    Mirrors the batch loop's semantics: the step writes the KV of token
+    n-1 (rope'd with its ABSOLUTE position T+n-1) at the shared ring row
+    T+cursor, computes token n, appends it (EOS itself is written before
+    the slot goes dead — HF semantics)."""
+    kv = state.kv
+    nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    g = nh // nkv
+    B = state.last.shape[0]
+    S = kv.shape[3]
+
+    h = llama.embed_tokens(cfg, params, state.last).T.astype(cfg.dtype)  # [H, B]
+    # per-slot absolute position (rope only; storage row is the ring row)
+    pos = T + jnp.clip(state.n - 1, 0, budget - 1)  # [B]
+    cos, sin = llama.rope_tables(cfg, pos)  # [B, hd]
+    cos_bl, sin_bl = cos.T, sin.T           # [hd, B]
+    row = T + state.cursor  # shared write row
+    # the row written this step is attendable by its own (live) slot
+    valid = jax.lax.dynamic_update_slice(
+        state.valid, state.live[None, :], (row, 0)
+    )
+    bias = jnp.where(valid, 0.0, jnp.finfo(jnp.float32).min)  # [S, B]
+    batch_iota = jnp.arange(B)
+
+    def body(carry, xs):
+        x, kvcache = carry
+        lw, li = xs
+        hn = dec._rms_norm_bl(x, lw["ln_attn"], cfg.rms_norm_eps)
+        if "w_qkv" in lw:
+            qkv = dec._mm_bl(lw["w_qkv"], hn)
+            q, k, v = jnp.split(qkv, [nh * hd, nh * hd + nkv * hd], axis=0)
+        else:
+            q = dec._mm_bl(lw["wq"], hn)
+            k = dec._mm_bl(lw["wk"], hn)
+            v = dec._mm_bl(lw["wv"], hn)
+        q = _rope_vec(q.reshape(nkv, g, hd, B), cos_bl, sin_bl)
+        k = _rope_vec(k.reshape(nkv, hd, B), cos_bl, sin_bl)
+        v = v.reshape(nkv, hd, B)
+        # ring-uniform write at the shared row (same op as the batch loop)
+        kvcache = jax.lax.dynamic_update_slice(
+            kvcache,
+            jnp.stack([k, v])[None, :, :, None],  # [1, 2, nkv, 1, hd, B]
+            (li, 0, 0, row, 0, 0),
+        )
+        kvc = jax.lax.dynamic_slice(
+            kvcache, (li, 0, 0, 0, 0, 0), (1, 2, nkv, S, hd, B)
+        )[0]
+        attn = dec._decode_attention_bl(q, kvc[0], kvc[1], bias).reshape(nh * hd, B)
+        x = x + dec._mm_bl(lw["wo"], attn)
+        hn = dec._rms_norm_bl(x, lw["ln_mlp"], cfg.rms_norm_eps)
+        if "w_gu" in lw:
+            gu = dec._mm_bl(lw["w_gu"], hn)
+            gate, up = jnp.split(gu, 2, axis=0)
+            x = x + dec._mm_bl(lw["w_down"], jax.nn.silu(gate) * up)
+        else:
+            gate = jax.nn.silu(dec._mm_bl(lw["w_gate"], hn))
+            x = x + dec._mm_bl(lw["w_down"], gate * dec._mm_bl(lw["w_up"], hn))
+        return (x, kvcache), None
+
+    L = kv.shape[0]
+    (h, kv), _ = jax.lax.scan(body, (h, kv), (params["layers"], jnp.arange(L)))
+    h = dec._rms_norm_bl(h, params["final_norm"], cfg.rms_norm_eps)
+    embed = params["embed"]
+    if isinstance(embed, dict) and "q8" in embed:
+        from dmi_tpu.models.quant import quantize_act
+
+        hq, a = quantize_act(h, axis=0)
+        logits = (
+            jax.lax.dot_general(
+                embed["q8"], hq, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ) * embed["s"][:, 0][:, None] * a
+        ).astype(h.dtype)
+    elif isinstance(embed, dict) and "q" in embed:
+        logits = jax.lax.dot_general(
+            embed["q"].astype(h.dtype), h, (((1,), (0,)), ((), ()))
+        ) * embed["s"].astype(h.dtype)[:, 0][:, None]
+    elif cfg.tie_word_embeddings:
+        logits = jax.lax.dot_general(embed, h, (((1,), (0,)), ((), ())))
+    else:
+        logits = dec._mm_bl(params["lm_head"], h)
+
+    tok = jnp.argmax(logits, axis=0).astype(jnp.int32)
+    tok = jnp.where(state.live, tok, pad_token_id)
+    idx = jnp.clip(state.n, 0, budget - 1)
+    # fully-decoded (n == budget) slots must not overwrite their last real
+    # token with pad: rewrite the current value instead
+    cur = state.tokens[batch_iota, idx]
+    val = jnp.where(state.n < budget, tok, cur)
+    tokens = state.tokens.at[batch_iota, idx].set(val)
+    n = jnp.where(state.live, state.n + 1, state.n)
+    live = state.live & ~jnp.isin(tok, eos) & (n < budget)
+    last = jnp.where(state.live, tok, state.last)
+    cursor = jnp.asarray((state.cursor + 1) % budget, jnp.int32)
+    return SlotState(kv=kv, valid=valid, cursor=cursor, last=last, n=n,
+                     live=live, tokens=tokens)
+
+
+@partial(jax.jit, static_argnames=("cfg", "T", "budget", "pad_token_id", "k_steps"))
+def stream_steps(cfg: LlamaConfig, params: dict, state: SlotState, T: int,
+                 budget: int, pad_token_id: int, k_steps: int) -> SlotState:
+    """K decode steps for the whole pool in one dispatch."""
+    eos = jnp.asarray(cfg.eos_token_ids)
+
+    def body(i, st):
+        return _stream_one_step(cfg, params, st, T, budget, pad_token_id, eos)
+
+    return jax.lax.fori_loop(0, k_steps, body, state)
+
+
+def _admit_core(cfg, params, prefill_params, pspec, pparams, state, embs,
+                prefix_ids, slots, valid, T, budget, pad_token_id):
+    """Prefill a fixed-size chunk of new prompts and install them into
+    `slots` (invalid rows — final-chunk padding — install dead slots).
+
+    embs [M, mm_dim]; prefix_ids [M, T-1]; slots [M] i32; valid [M] bool.
+    """
+    from dmi_tpu.models import mmmodel
+
+    pp = params if prefill_params is None else prefill_params
+    eos = jnp.asarray(cfg.eos_token_ids)
+    soft = proj.apply(pspec, pparams, embs, train=False)
+    inputs = mmmodel.assemble_prompt(cfg, pp, soft, prefix_ids)  # [M, T, H]
+    M = inputs.shape[0]
+    caches = dec.init_cache(cfg, M, T)
+    logits0, caches = dec.prefill(cfg, pp, inputs, caches)
+    tok0 = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
+
+    # [L, M, nkv, T, hd] x2 -> [L, 2, nkv, T, hd, M]
+    chunk_kv = jnp.stack(
+        [caches[0].transpose(0, 2, 3, 4, 1), caches[1].transpose(0, 2, 3, 4, 1)],
+        axis=1,
+    )
+    kv = state.kv.at[:, :, :, :T, :, slots].set(chunk_kv)
+    pool, budget_ = state.tokens.shape
+    fresh_row = jnp.full((M, budget_), pad_token_id, jnp.int32)
+    tokens = state.tokens.at[slots].set(
+        jnp.where(valid[:, None], fresh_row.at[:, 0].set(tok0), state.tokens[slots])
+    )
+    live0 = valid & ~jnp.isin(tok0, eos) & (budget > 1)
+    # new tenants: prompt rows valid, generated ring region invalidated
+    # (clears the previous occupant's entries)
+    S_total = state.valid.shape[0]
+    col = jnp.concatenate(
+        [jnp.ones((T, M), bool), jnp.zeros((S_total - T, M), bool)], axis=0
+    )
+    vcols = jnp.where(valid[None, :], col, state.valid[:, slots])
+    new_valid = state.valid.at[:, slots].set(vcols)
+    return SlotState(
+        kv=kv,
+        valid=new_valid,
+        cursor=state.cursor,
+        last=state.last.at[slots].set(jnp.where(valid, tok0, state.last[slots])),
+        n=state.n.at[slots].set(jnp.where(valid, 1, state.n[slots])),
+        live=state.live.at[slots].set(live0),
+        tokens=tokens,
+    )
+
+
+@partial(jax.jit,
+         static_argnames=("cfg", "pspec", "T", "budget", "pad_token_id"))
+def admit_chunk(cfg, params, prefill_params, pspec, pparams, state, embs,
+                prefix_ids, slots, valid, T, budget, pad_token_id):
+    """Host-loop entry for _admit_core (see StreamingCaptioner.run)."""
+    return _admit_core(cfg, params, prefill_params, pspec, pparams, state,
+                       embs, prefix_ids, slots, valid, T, budget, pad_token_id)
+
+
+@partial(jax.jit, static_argnames=("cfg", "pspec", "T", "budget",
+                                   "pad_token_id", "chunk", "pool"))
+def bulk_caption(cfg, params, prefill_params, pspec, pparams, queue,
+                 prefix_ids, n_real, T, budget, pad_token_id, chunk, pool):
+    """FULLY ON-DEVICE continuous batching for offline bulk captioning —
+    the reference's actual serving shape (caption a whole eval split).
+
+    One dispatch processes the entire queue: a lax.while_loop steps every
+    slot; whenever >= `chunk` slots are free and requests remain, a
+    lax.cond branch flushes the outgoing tenants' tokens to the output
+    buffer, prefills the next chunk, and installs it — no host round-trip
+    anywhere.  On the TPU relay (~25 ms per dispatch/fetch) the host-loop
+    engine pays hundreds of round-trips per workload; this pays ONE.
+
+    queue [Nq, mm_dim] (Nq a multiple of `chunk`; pad rows arbitrary),
+    n_real: actual request count; prefix_ids [chunk, T-1].
+    Returns [Nq + 1, budget] tokens — row Nq is a trash row for padding
+    tenants; callers slice [:n_real].
+    """
+    Nq, mm_dim = queue.shape
+    eos = jnp.asarray(cfg.eos_token_ids)
+    state = init_state(cfg, pool, T, budget, pad_token_id)
+    out = jnp.full((Nq + 1, budget), pad_token_id, jnp.int32)
+    slot_req = jnp.full((pool,), Nq, jnp.int32)  # trash row until assigned
+
+    def admit(carry):
+        state, out, slot_req, qptr = carry
+        order = jnp.argsort(state.live)  # stable: dead slots first
+        slots = order[:chunk]
+        # flush outgoing tenants (never-used slots flush garbage to trash)
+        out2 = out.at[slot_req[slots]].set(state.tokens[slots])
+        embs = jax.lax.dynamic_slice(queue, (qptr, 0), (chunk, mm_dim))
+        valid = (qptr + jnp.arange(chunk)) < n_real
+        st2 = _admit_core(cfg, params, prefill_params, pspec, pparams, state,
+                          embs, prefix_ids, slots, valid, T, budget,
+                          pad_token_id)
+        req = jnp.where(valid, qptr + jnp.arange(chunk), Nq)
+        slot_req2 = slot_req.at[slots].set(req)
+        return st2, out2, slot_req2, qptr + chunk
+
+    def cond(carry):
+        state, _, _, qptr = carry
+        return jnp.any(state.live) | (qptr < n_real)
+
+    def body(carry):
+        state, out, slot_req, qptr = carry
+        free = jnp.sum(~state.live)
+        do_admit = (free >= chunk) & (qptr < n_real)
+        state, out, slot_req, qptr = jax.lax.cond(
+            do_admit, admit, lambda c: c, (state, out, slot_req, qptr)
+        )
+        state = _stream_one_step(cfg, params, state, T, budget,
+                                 pad_token_id, eos)
+        return state, out, slot_req, qptr
+
+    state, out, slot_req, qptr = jax.lax.while_loop(
+        cond, body, (state, out, slot_req, 0)
+    )
+    # final flush of every remaining tenant
+    out = out.at[slot_req].set(state.tokens)
+    return out
+
+
+class StreamingCaptioner:
+    """Continuous-batching greedy captioner over a fixed slot pool.
+
+    Produces tokens identical to serve.Captioner's batch path for the
+    same weights (greedy decode is deterministic; the slot engine runs
+    the same math with per-slot positions)."""
+
+    def __init__(self, cfg: LlamaConfig, llm_params: dict, pspec, pparams,
+                 prefix_ids: np.ndarray, budget: int, pad_token_id: int,
+                 pool: int = 256, admit: int = 64, k_steps: int = 8,
+                 prefill_params: Optional[dict] = None):
+        self.cfg = cfg
+        self.params = llm_params
+        self.prefill_params = prefill_params
+        self.pspec, self.pparams = pspec, pparams
+        self.prefix = jnp.asarray(prefix_ids, jnp.int32)  # [P]
+        self.T = 1 + int(self.prefix.shape[0])
+        self.budget = int(budget)
+        self.pad = int(pad_token_id)
+        self.pool, self.admit, self.k = int(pool), int(admit), int(k_steps)
+        # the LAST slot is a reserved scratch target: a final admission
+        # chunk with fewer requests than `admit` pads its slot vector, and
+        # duplicate scatter indices have undefined write order — padding
+        # rows must never alias a REAL slot, so they all point at the
+        # scratch slot (its garbage is never live, never harvested)
+        self.scratch = self.pool - 1
+        self.state = init_state(cfg, self.pool, self.T, self.budget, self.pad)
+        self._occupied = np.zeros(self.pool, bool)
+        self._slot_req = np.full(self.pool, -1, np.int64)
+        self.dispatches = 0
+
+    def run(self, embeddings: np.ndarray) -> np.ndarray:
+        """Caption every row; returns [N, budget] int32 token ids (the
+        same rows serve.Captioner.caption would detokenize).
+
+        Host loop discipline for the TPU relay (~25 ms per dispatch/fetch
+        round-trip): ONE packed [live, n] fetch per iteration, the token
+        buffer fetched only when some slot actually finished, admissions
+        driven off host-tracked occupancy."""
+        N = embeddings.shape[0]
+        out = np.full((N, self.budget), self.pad, np.int32)
+        next_req = 0
+        prefix_chunk = jnp.tile(self.prefix[None, :], (self.admit, 1))
+
+        def fetch_and_harvest():
+            nonlocal out
+            packed = np.asarray(
+                jnp.concatenate(
+                    [self.state.live.astype(jnp.int32), self.state.n]
+                )
+            )  # one transfer
+            live = packed[: self.pool].astype(bool)
+            n = packed[self.pool :]
+            done = self._occupied & ~live & (n > 0)
+            done[self.scratch] = False
+            if done.any():
+                toks = np.asarray(self.state.tokens)
+                for b in np.nonzero(done)[0]:
+                    out[self._slot_req[b]] = toks[b]
+                    self._occupied[b] = False
+                    self._slot_req[b] = -1
+            return live
+
+        live = np.zeros(self.pool, bool)
+        while next_req < N or self._occupied[: self.scratch].any():
+            # admit in fixed-size chunks while there's room and demand
+            admitted = False
+            while next_req < N:
+                free = np.nonzero(~self._occupied[: self.scratch])[0][: self.admit]
+                take = min(len(free), N - next_req)
+                if take == 0:
+                    break
+                slots = np.full(self.admit, self.scratch, np.int32)
+                slots[:take] = free[:take]
+                valid = np.zeros(self.admit, bool)
+                valid[:take] = True
+                chunk = np.zeros((self.admit, embeddings.shape[1]), np.float32)
+                chunk[:take] = embeddings[next_req : next_req + take]
+                self.state = admit_chunk(
+                    self.cfg, self.params, self.prefill_params, self.pspec,
+                    self.pparams, self.state, jnp.asarray(chunk), prefix_chunk,
+                    jnp.asarray(slots), jnp.asarray(valid),
+                    self.T, self.budget, self.pad,
+                )
+                self.dispatches += 1
+                self._occupied[free[:take]] = True
+                self._slot_req[free[:take]] = np.arange(next_req, next_req + take)
+                next_req += take
+                admitted = True
+            if self._occupied[: self.scratch].any() and (admitted or live.any()):
+                self.state = stream_steps(
+                    self.cfg, self.params, self.state, self.T, self.budget,
+                    self.pad, self.k,
+                )
+                self.dispatches += 1
+            live = fetch_and_harvest()
+        return out
+
+    def run_bulk(self, embeddings: np.ndarray) -> np.ndarray:
+        """Offline bulk captioning: the ENTIRE workload in one device
+        dispatch (on-device admission; see bulk_caption).  Prefer this
+        over run() whenever all inputs are known upfront."""
+        N = embeddings.shape[0]
+        if N == 0:
+            return np.zeros((0, self.budget), np.int32)
+        M = self.admit
+        Nq = -(-N // M) * M
+        q = np.zeros((Nq, embeddings.shape[1]), np.float32)
+        q[:N] = embeddings
+        prefix_chunk = jnp.tile(self.prefix[None, :], (M, 1))
+        out = bulk_caption(
+            self.cfg, self.params, self.prefill_params, self.pspec,
+            self.pparams, jnp.asarray(q), prefix_chunk,
+            jnp.asarray(N, jnp.int32), self.T, self.budget, self.pad,
+            M, self.pool,
+        )
+        self.dispatches += 1
+        return np.asarray(out)[:N]

@@ -1,0 +1,147 @@
+"""Continuous-batching engine (dmi_tpu/streaming.py): greedy-token parity
+with the batch captioner path, slot recycling, and scratch-slot safety."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dmi_tpu.models import llama, mmmodel
+from dmi_tpu.models import projector as proj
+from dmi_tpu.streaming import StreamingCaptioner
+
+PAD = 0
+
+
+def make_setup(seed=0, eos=(5,), vocab=64):
+    cfg = llama.tiny_config(vocab_size=vocab, hidden_size=32, n_layers=2,
+                            n_heads=4, n_kv=2, intermediate=64)
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, eos_token_ids=tuple(eos))
+    llm_params = llama.init(jax.random.key(seed), cfg)
+    pspec = proj.ProjectorSpec(mm_dim=16, lm_dim=32, n_layers=2, dropout=0.0)
+    pparams = proj.init(jax.random.key(seed + 1), pspec)
+    prefix = np.asarray([3, 7, 9], np.int32)
+    return cfg, llm_params, pspec, pparams, prefix
+
+
+def batch_reference(cfg, llm_params, pspec, pparams, prefix, embs, budget):
+    soft = proj.apply(pspec, pparams, jnp.asarray(embs), train=False)
+    prefix_ids = jnp.tile(jnp.asarray(prefix)[None, :], (embs.shape[0], 1))
+    return np.asarray(
+        mmmodel.caption_generate(cfg, llm_params, soft, prefix_ids, budget, PAD)
+    )
+
+
+@pytest.mark.parametrize("pool,admit,k", [(5, 2, 3), (9, 4, 1), (17, 8, 4)])
+def test_streaming_matches_batch_path(pool, admit, k):
+    """N requests > pool forces slot recycling; small vocab makes EOS (id
+    5) fire at staggered ages; tokens must equal the batch path row for
+    row."""
+    cfg, llm_params, pspec, pparams, prefix = make_setup(seed=2)
+    budget = 7
+    N = 23
+    embs = np.random.default_rng(3).normal(size=(N, 16)).astype(np.float32)
+
+    want = batch_reference(cfg, llm_params, pspec, pparams, prefix, embs, budget)
+
+    eng = StreamingCaptioner(cfg, llm_params, pspec, pparams, prefix, budget,
+                             PAD, pool=pool, admit=admit, k_steps=k)
+    got = eng.run(embs)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_streaming_no_eos_full_budget():
+    """With EOS disabled every request decodes the full budget (no early
+    recycling) — engine still matches."""
+    cfg, llm_params, pspec, pparams, prefix = make_setup(seed=4, eos=())
+    budget = 5
+    embs = np.random.default_rng(5).normal(size=(6, 16)).astype(np.float32)
+    want = batch_reference(cfg, llm_params, pspec, pparams, prefix, embs, budget)
+    eng = StreamingCaptioner(cfg, llm_params, pspec, pparams, prefix, budget,
+                             PAD, pool=4, admit=3, k_steps=2)
+    got = eng.run(embs)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_streaming_quantized_weights():
+    """W8A8 slot engine with bf16-prefill shadow matches the quantized
+    batch path (quantized decode tokens differ from fp, so compare
+    against the SAME quantized configuration)."""
+    from dmi_tpu.models.quant import quantize_llama
+
+    cfg, llm_params, pspec, pparams, prefix = make_setup(seed=6)
+    qp = quantize_llama(llm_params, native=True)
+    budget = 6
+    embs = np.random.default_rng(7).normal(size=(9, 16)).astype(np.float32)
+
+    soft = proj.apply(pspec, pparams, jnp.asarray(embs), train=False)
+    prefix_ids = jnp.tile(jnp.asarray(prefix)[None, :], (9, 1))
+    want = np.asarray(
+        mmmodel.caption_generate(cfg, qp, soft, prefix_ids, budget, PAD,
+                                 prefill_params=llm_params)
+    )
+    eng = StreamingCaptioner(cfg, qp, pspec, pparams, prefix, budget, PAD,
+                             pool=5, admit=2, k_steps=3,
+                             prefill_params=llm_params)
+    got = eng.run(embs)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_streaming_single_request_and_empty():
+    cfg, llm_params, pspec, pparams, prefix = make_setup(seed=8)
+    eng = StreamingCaptioner(cfg, llm_params, pspec, pparams, prefix, 4, PAD,
+                             pool=3, admit=2, k_steps=2)
+    one = np.random.default_rng(9).normal(size=(1, 16)).astype(np.float32)
+    want = batch_reference(cfg, llm_params, pspec, pparams, prefix, one, 4)
+    np.testing.assert_array_equal(eng.run(one), want)
+    # empty input: no dispatches beyond none, empty result
+    eng2 = StreamingCaptioner(cfg, llm_params, pspec, pparams, prefix, 4, PAD,
+                              pool=3, admit=2, k_steps=2)
+    assert eng2.run(np.zeros((0, 16), np.float32)).shape == (0, 4)
+
+
+@pytest.mark.parametrize("pool,admit", [(5, 2), (9, 4)])
+def test_bulk_on_device_matches_batch_path(pool, admit):
+    """The fully-on-device engine (one dispatch, lax.cond admission)
+    must also match the batch path row for row."""
+    cfg, llm_params, pspec, pparams, prefix = make_setup(seed=12)
+    budget = 7
+    N = 21
+    embs = np.random.default_rng(13).normal(size=(N, 16)).astype(np.float32)
+    want = batch_reference(cfg, llm_params, pspec, pparams, prefix, embs, budget)
+    eng = StreamingCaptioner(cfg, llm_params, pspec, pparams, prefix, budget,
+                             PAD, pool=pool, admit=admit, k_steps=2)
+    got = eng.run_bulk(embs)
+    np.testing.assert_array_equal(got, want)
+    assert eng.dispatches == 1
+
+
+def test_bulk_on_device_no_eos():
+    cfg, llm_params, pspec, pparams, prefix = make_setup(seed=14, eos=())
+    budget = 5
+    embs = np.random.default_rng(15).normal(size=(7, 16)).astype(np.float32)
+    want = batch_reference(cfg, llm_params, pspec, pparams, prefix, embs, budget)
+    eng = StreamingCaptioner(cfg, llm_params, pspec, pparams, prefix, budget,
+                             PAD, pool=4, admit=2, k_steps=2)
+    np.testing.assert_array_equal(eng.run_bulk(embs), want)
+
+
+def test_bulk_on_device_quantized():
+    from dmi_tpu.models.quant import quantize_llama
+
+    cfg, llm_params, pspec, pparams, prefix = make_setup(seed=16)
+    qp = quantize_llama(llm_params, native=True)
+    budget = 6
+    embs = np.random.default_rng(17).normal(size=(9, 16)).astype(np.float32)
+    soft = proj.apply(pspec, pparams, jnp.asarray(embs), train=False)
+    prefix_ids = jnp.tile(jnp.asarray(prefix)[None, :], (9, 1))
+    want = np.asarray(
+        mmmodel.caption_generate(cfg, qp, soft, prefix_ids, budget, PAD,
+                                 prefill_params=llm_params)
+    )
+    eng = StreamingCaptioner(cfg, qp, pspec, pparams, prefix, budget, PAD,
+                             pool=5, admit=2, k_steps=2,
+                             prefill_params=llm_params)
+    np.testing.assert_array_equal(eng.run_bulk(embs), want)
