@@ -162,13 +162,14 @@ class Captioner:
         engine="bulk": fully-on-device continuous batching
         (dmi_tpu/streaming.py) — one dispatch for the whole workload,
         finished lanes refilled with new requests; 1.25x over fixed
-        batches on chip when caption lengths vary.  Greedy-only and
-        single-device (falls back to batch under a mesh/temperature)."""
+        batches on chip when caption lengths vary.  Composes with
+        tensor-parallel meshes (GSPMD partitions the engine like the
+        batch tp decode; tokens pinned equal in tests).  Greedy-only —
+        falls back to the batch path for temperature sampling."""
         from dmi_tpu.models import decode as dec
 
         n = embeddings.shape[0]
-        if (engine == "bulk" and temperature is None and self.mesh is None
-                and n > 0):
+        if engine == "bulk" and temperature is None and n > 0:
             from dmi_tpu.streaming import StreamingCaptioner
 
             prefix_np = np.asarray(self._prefix[0])

@@ -129,6 +129,18 @@ def test_captioner_mesh_and_int8_compose(trained):
     assert len(out) == 10
 
 
+def test_captioner_bulk_engine_mesh_compose(trained):
+    """engine='bulk' + tensor-parallel mesh (virtual 8 devices)."""
+    _, ckpt = trained
+    cap = Captioner.from_checkpoint(
+        "test:tiny", ckpt, "sydney", lm_dtype="float32", batch_size=4,
+        mesh_shape=(4, 2),
+    )
+    embs = np.random.default_rng(12).normal(size=(5, 32)).astype(np.float32)
+    got = cap.caption(embs, engine="bulk")
+    assert len(got) == 5 and all(isinstance(c, str) for c in got)
+
+
 def test_captioner_bulk_engine(trained):
     """engine='bulk' (on-device continuous batching) serves end-to-end.
 

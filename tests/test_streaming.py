@@ -145,3 +145,25 @@ def test_bulk_on_device_quantized():
                              pool=5, admit=2, k_steps=2,
                              prefill_params=llm_params)
     np.testing.assert_array_equal(eng.run_bulk(embs), want)
+
+
+def test_bulk_on_device_under_tp_mesh():
+    """bulk_caption with tensor-parallel-sharded LLM weights on the
+    virtual 8-device mesh: GSPMD partitions the engine like the batch tp
+    decode (state replicated, weights model-sharded) and tokens match the
+    single-device run."""
+    from dmi_tpu.parallel import make_mesh, shard_llm_params
+
+    cfg, llm_params, pspec, pparams, prefix = make_setup(seed=20)
+    budget = 6
+    embs = np.random.default_rng(21).normal(size=(7, 16)).astype(np.float32)
+    eng0 = StreamingCaptioner(cfg, llm_params, pspec, pparams, prefix, budget,
+                              PAD, pool=4, admit=2, k_steps=2)
+    want = eng0.run_bulk(embs)
+
+    mesh = make_mesh((2, 4))  # (data, model): 4-way tensor parallel
+    sharded = shard_llm_params(mesh, llm_params)
+    eng = StreamingCaptioner(cfg, sharded, pspec, pparams, prefix, budget,
+                             PAD, pool=4, admit=2, k_steps=2)
+    got = eng.run_bulk(embs)
+    np.testing.assert_array_equal(got, want)
