@@ -39,6 +39,7 @@ def main():
     ap.add_argument("--budget", type=int, default=22)
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--baseline", action="store_true")
+    ap.add_argument("--int8", default="", choices=["", "w8a8"])
     args = ap.parse_args()
 
     small = args.small or os.environ.get("DMI_SMOKE_SMALL") == "1"
@@ -66,6 +67,12 @@ def main():
 
     rng = np.random.default_rng(0)
     llm_params = llama.fuse_projections(llama.init(jax.random.key(0), cfg))
+    prefill_params = None
+    if args.int8 == "w8a8":
+        from dmi_tpu.models.quant import quantize_llama
+
+        prefill_params = llm_params
+        llm_params = quantize_llama(llm_params, native=True)
     pspec = proj.ProjectorSpec(mm_dim=mm_dim, lm_dim=cfg.hidden_size, n_layers=2)
     pparams = proj.init(jax.random.key(1), pspec)
     prefix = rng.integers(1, cfg.vocab_size, size=15).astype(np.int32)
@@ -92,7 +99,8 @@ def main():
                     )
                 soft = proj.apply(pspec, pparams, jnp.asarray(chunk), train=False)
                 toks.append(np.asarray(mmmodel.caption_generate(
-                    c, llm_params, soft, prefix_ids, args.budget, 0
+                    c, llm_params, soft, prefix_ids, args.budget, 0,
+                    prefill_params=prefill_params,
                 )))
             return np.concatenate(toks)[: args.n]
 
@@ -105,7 +113,8 @@ def main():
         def run_bulk():
             eng = StreamingCaptioner(c, llm_params, pspec, pparams, prefix,
                                      args.budget, 0, pool=args.pool,
-                                     admit=args.admit, k_steps=args.k)
+                                     admit=args.admit, k_steps=args.k,
+                                     prefill_params=prefill_params)
             return eng.run_bulk(embs), eng
 
         run_bulk()  # compile + warm
@@ -118,7 +127,8 @@ def main():
         def run_stream():
             eng = StreamingCaptioner(c, llm_params, pspec, pparams, prefix,
                                      args.budget, 0, pool=args.pool,
-                                     admit=args.admit, k_steps=args.k)
+                                     admit=args.admit, k_steps=args.k,
+                                     prefill_params=prefill_params)
             return eng.run(embs), eng
 
         run_stream()  # compile + warm
