@@ -201,10 +201,11 @@ def _rotate_half_rows(x):
 
 
 def _rope_bl(x, cos, sin):
-    """Rope for batch-last single-position tensors.  x: [..., hd, B];
-    cos/sin: [hd] for the one absolute position being decoded."""
-    c = cos[:, None].astype(jnp.float32)
-    s = sin[:, None].astype(jnp.float32)
+    """Rope for batch-last tensors.  x: [..., hd, B]; cos/sin: [hd] for a
+    single shared position, or [hd, B] for per-slot positions (the
+    continuous-batching engine)."""
+    c = (cos[:, None] if cos.ndim == 1 else cos).astype(jnp.float32)
+    s = (sin[:, None] if sin.ndim == 1 else sin).astype(jnp.float32)
     xf = x.astype(jnp.float32)
     return (xf * c + _rotate_half_rows(xf) * s).astype(x.dtype)
 
@@ -262,7 +263,8 @@ def _decode_attention_bl(q, kc, vc, bias):
     return out.astype(vc.dtype)
 
 
-def _decode_step_bl(cfg, params, h, caches, pos, bias, s_window=None, head=True):
+def _decode_step_bl(cfg, params, h, caches, pos, bias, s_window=None,
+                    head=True, rope=None, write_row=None):
     """One batch-last token step.  h: [H, B]; caches: ([L,nkv,S,hd,B] x2);
     pos: absolute position being written.  Returns (logits [V,B], caches).
 
@@ -276,7 +278,13 @@ def _decode_step_bl(cfg, params, h, caches, pos, bias, s_window=None, head=True)
     caches here is ONE merged array [L, 2, nkv, S, hd, B] (k at index 0,
     v at 1): one dynamic_update_slice + one dynamic_slice per layer
     instead of two of each — halves the per-layer cache-op overhead
-    measured by the no_cache_update ablation."""
+    measured by the no_cache_update ablation.
+
+    rope / write_row: the continuous-batching engine (dmi_tpu/streaming)
+    shares this exact step body with PER-SLOT positions — it passes
+    precomputed [hd, B] rope tables and the shared ring row to write at
+    (bias is already an [S, B] validity mask there); the batch decode
+    leaves both None (rope from the scalar pos, write at pos)."""
     kv_cache = caches
     nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     g = nh // nkv
@@ -284,7 +292,11 @@ def _decode_step_bl(cfg, params, h, caches, pos, bias, s_window=None, head=True)
     if s_window is None:
         s_window = kv_cache.shape[3]
     bias = bias[:s_window]
-    cos, sin = llama.rope_tables(cfg, pos)  # [hd] each
+    if rope is None:
+        cos, sin = llama.rope_tables(cfg, pos)  # [hd] each
+    else:
+        cos, sin = rope
+    row = pos if write_row is None else write_row
 
     def body(carry, xs):
         x, kvcache = carry
@@ -301,7 +313,7 @@ def _decode_step_bl(cfg, params, h, caches, pos, bias, s_window=None, head=True)
         kvcache = jax.lax.dynamic_update_slice(
             kvcache,
             jnp.stack([k, v])[None, :, :, None],  # [1, 2, nkv, 1, hd, B]
-            (li, 0, 0, pos, 0, 0),
+            (li, 0, 0, row, 0, 0),
         )
         kvc = jax.lax.dynamic_slice(
             kvcache, (li, 0, 0, 0, 0, 0), (1, 2, nkv, s_window, hd, B)

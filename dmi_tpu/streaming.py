@@ -100,84 +100,29 @@ def _stream_one_step(cfg, params, state: SlotState, T: int, budget: int,
     Mirrors the batch loop's semantics: the step writes the KV of token
     n-1 (rope'd with its ABSOLUTE position T+n-1) at the shared ring row
     T+cursor, computes token n, appends it (EOS itself is written before
-    the slot goes dead — HF semantics)."""
-    kv = state.kv
-    nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
-    g = nh // nkv
+    the slot goes dead — HF semantics).  The layer stack and vocab head
+    are dec._decode_step_bl itself (per-slot rope tables + the ring
+    write_row + an [S, B] validity bias are passed in), so the math can
+    never drift from the batch path."""
     B = state.last.shape[0]
-    S = kv.shape[3]
 
     h = llama.embed_tokens(cfg, params, state.last).T.astype(cfg.dtype)  # [H, B]
     # per-slot absolute position (rope only; storage row is the ring row)
     pos = T + jnp.clip(state.n - 1, 0, budget - 1)  # [B]
     cos, sin = llama.rope_tables(cfg, pos)  # [B, hd]
-    cos_bl, sin_bl = cos.T, sin.T           # [hd, B]
     row = T + state.cursor  # shared write row
     # the row written this step is attendable by its own (live) slot
     valid = jax.lax.dynamic_update_slice(
         state.valid, state.live[None, :], (row, 0)
     )
     bias = jnp.where(valid, 0.0, jnp.finfo(jnp.float32).min)  # [S, B]
+
+    logits, kv = dec._decode_step_bl(
+        cfg, params, h, state.kv, pos, bias,
+        rope=(cos.T, sin.T), write_row=row,
+    )
+
     batch_iota = jnp.arange(B)
-
-    def body(carry, xs):
-        x, kvcache = carry
-        lw, li = xs
-        hn = dec._rms_norm_bl(x, lw["ln_attn"], cfg.rms_norm_eps)
-        if "w_qkv" in lw:
-            qkv = dec._mm_bl(lw["w_qkv"], hn)
-            q, k, v = jnp.split(qkv, [nh * hd, nh * hd + nkv * hd], axis=0)
-        else:
-            q = dec._mm_bl(lw["wq"], hn)
-            k = dec._mm_bl(lw["wk"], hn)
-            v = dec._mm_bl(lw["wv"], hn)
-        q = _rope_vec(q.reshape(nkv, g, hd, B), cos_bl, sin_bl)
-        k = _rope_vec(k.reshape(nkv, hd, B), cos_bl, sin_bl)
-        v = v.reshape(nkv, hd, B)
-        # ring-uniform write at the shared row (same op as the batch loop)
-        kvcache = jax.lax.dynamic_update_slice(
-            kvcache,
-            jnp.stack([k, v])[None, :, :, None],  # [1, 2, nkv, 1, hd, B]
-            (li, 0, 0, row, 0, 0),
-        )
-        kvc = jax.lax.dynamic_slice(
-            kvcache, (li, 0, 0, 0, 0, 0), (1, 2, nkv, S, hd, B)
-        )[0]
-        attn = dec._decode_attention_bl(q, kvc[0], kvc[1], bias).reshape(nh * hd, B)
-        x = x + dec._mm_bl(lw["wo"], attn)
-        hn = dec._rms_norm_bl(x, lw["ln_mlp"], cfg.rms_norm_eps)
-        if "w_gu" in lw:
-            gu = dec._mm_bl(lw["w_gu"], hn)
-            gate, up = jnp.split(gu, 2, axis=0)
-            x = x + dec._mm_bl(lw["w_down"], jax.nn.silu(gate) * up)
-        else:
-            gate = jax.nn.silu(dec._mm_bl(lw["w_gate"], hn))
-            x = x + dec._mm_bl(lw["w_down"], gate * dec._mm_bl(lw["w_up"], hn))
-        return (x, kvcache), None
-
-    L = kv.shape[0]
-    (h, kv), _ = jax.lax.scan(body, (h, kv), (params["layers"], jnp.arange(L)))
-    h = dec._rms_norm_bl(h, params["final_norm"], cfg.rms_norm_eps)
-    embed = params["embed"]
-    if isinstance(embed, dict) and "q8" in embed:
-        from dmi_tpu.models.quant import quantize_act
-
-        hq, a = quantize_act(h, axis=0)
-        logits = (
-            jax.lax.dot_general(
-                embed["q8"], hq, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            ) * embed["s"][:, 0][:, None] * a
-        ).astype(h.dtype)
-    elif isinstance(embed, dict) and "q" in embed:
-        logits = jax.lax.dot_general(
-            embed["q"].astype(h.dtype), h, (((1,), (0,)), ((), ()))
-        ) * embed["s"].astype(h.dtype)[:, 0][:, None]
-    elif cfg.tie_word_embeddings:
-        logits = jax.lax.dot_general(embed, h, (((1,), (0,)), ((), ())))
-    else:
-        logits = dec._mm_bl(params["lm_head"], h)
-
     tok = jnp.argmax(logits, axis=0).astype(jnp.int32)
     tok = jnp.where(state.live, tok, pad_token_id)
     idx = jnp.clip(state.n, 0, budget - 1)
@@ -353,7 +298,17 @@ class StreamingCaptioner:
         # rows must never alias a REAL slot, so they all point at the
         # scratch slot (its garbage is never live, never harvested)
         self.scratch = self.pool - 1
-        self.state = init_state(cfg, self.pool, self.T, self.budget, self.pad)
+        if self.pool < 2:
+            raise ValueError("pool must be >= 2 (one slot is scratch)")
+        if not 1 <= self.admit <= self.pool:
+            # admit > pool would leave bulk_caption's admission condition
+            # (free >= chunk) forever false: an UNTERMINATING on-device
+            # while_loop, which wedges the TPU relay for minutes
+            raise ValueError(f"admit must be in [1, pool], got {self.admit}")
+        # the slot-pool device state is only used by the host-loop run();
+        # run_bulk builds its own state inside the jitted program — don't
+        # allocate ~hundreds of MB of kv cache it would never touch
+        self.state = None
         self._occupied = np.zeros(self.pool, bool)
         self._slot_req = np.full(self.pool, -1, np.int64)
         self.dispatches = 0
@@ -367,6 +322,9 @@ class StreamingCaptioner:
         buffer fetched only when some slot actually finished, admissions
         driven off host-tracked occupancy."""
         N = embeddings.shape[0]
+        if self.state is None:
+            self.state = init_state(self.cfg, self.pool, self.T, self.budget,
+                                    self.pad)
         out = np.full((N, self.budget), self.pad, np.int32)
         next_req = 0
         prefix_chunk = jnp.tile(self.prefix[None, :], (self.admit, 1))
@@ -433,7 +391,11 @@ class StreamingCaptioner:
         if N == 0:
             return np.zeros((0, self.budget), np.int32)
         M = self.admit
-        Nq = -(-N // M) * M
+        # bucket the padded queue length to powers of two (in chunks) so
+        # bulk_caption compiles O(log N) variants, not one per workload
+        # size — relay compiles cost 4-480 s and would dwarf the decode
+        chunks = max(1, -(-N // M))
+        Nq = M * (1 << (chunks - 1).bit_length() if chunks > 1 else 1)
         q = np.zeros((Nq, embeddings.shape[1]), np.float32)
         q[:N] = embeddings
         prefix_chunk = jnp.tile(self.prefix[None, :], (M, 1))
