@@ -128,9 +128,10 @@ def _ensure_tpu_or_retry() -> str:
 
 
 def main() -> None:
-    # Pallas is part of the headline path now: fused_decode_attention is the
-    # decode hot op (ops/pallas/decode_attn.py).  DMI_DISABLE_PALLAS=1 still
-    # opts out if the relay misbehaves on Mosaic compiles.
+    # The headline decode loop runs the XLA multiply-reduce attention (the
+    # Pallas decode-attn kernel measured SLOWER in-loop and is opt-in);
+    # the projector Pallas kernels remain default-on.  DMI_DISABLE_PALLAS=1
+    # still opts everything out if the relay misbehaves on Mosaic compiles.
 
     if (
         os.environ.get("_DMI_BENCH_CRASH_TEST") == "1"

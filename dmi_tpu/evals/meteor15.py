@@ -338,7 +338,8 @@ def meteor15_corpus(
             if best_stats is None or sc > best_score:
                 best_score, best_stats = sc, s
         seg_scores.append(best_score)
-        total += best_stats
+        if best_stats is not None:  # empty reference list: score the segment 0
+            total += best_stats
     corpus = score_from_stats(total, cfg) if candidates else 0.0
     meta = {"meteor_impl": "meteor-1.5-native", "meteor_stages": cfg.active_stages()}
     return corpus, seg_scores, meta

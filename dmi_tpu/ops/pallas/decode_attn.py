@@ -32,17 +32,22 @@ from dmi_tpu.ops.pallas.projector import VMEM_BUDGET, _pallas_enabled
 
 
 def _decode_attn_xla(q, k, v, bias):
-    """VPU multiply-reduce oracle (same math as llama._decode_attention)."""
+    """VPU multiply-reduce oracle — same contract as
+    llama._decode_attention: products stay in the INPUT dtype with f32
+    accumulation (an earlier version upcast q/k/v to f32 first, which
+    does not bit-match the production loop's attention)."""
     B, nh, _, hd = q.shape
     nkv = k.shape[1]
     group = nh // nkv
-    qf = q.reshape(B, nkv, group, hd).astype(jnp.float32)
-    kf = k.astype(jnp.float32)
-    scores = jnp.sum(qf[:, :, :, None, :] * kf[:, :, None, :, :], axis=-1)
+    qr = q.reshape(B, nkv, group, hd)
+    scores = jnp.sum(
+        qr[:, :, :, None, :] * k[:, :, None, :, :], axis=-1, dtype=jnp.float32
+    )
     scores = scores / np.sqrt(hd) + bias[:, :, None, :]
-    probs = jax.nn.softmax(scores, axis=-1)
-    vf = v.astype(jnp.float32)
-    out = jnp.sum(probs[..., None] * vf[:, :, None, :, :], axis=3)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.sum(
+        probs[..., None] * v[:, :, None, :, :], axis=3, dtype=jnp.float32
+    )
     return out.reshape(B, nh, 1, hd).astype(v.dtype)
 
 
@@ -73,11 +78,15 @@ def _vmem_bytes(nb, g, S, hd, itemsize):
     )
 
 
-def _pick_block(N, group, S, hd):
+def _pick_block(N, group, S, hd, itemsize=2):
+    """itemsize must be the OPERAND dtype's (f32 models double the block
+    footprint vs bf16 — a hardcoded 2 under-budgeted them 2x and could
+    pass a config that overflows the ~16M scoped vmem on hardware)."""
     nb = 64
-    while nb > 1 and (N % nb != 0 or _vmem_bytes(nb, group, S, hd, 2) > VMEM_BUDGET):
+    while nb > 1 and (N % nb != 0
+                      or _vmem_bytes(nb, group, S, hd, itemsize) > VMEM_BUDGET):
         nb //= 2
-    if N % nb != 0 or _vmem_bytes(nb, group, S, hd, 2) > VMEM_BUDGET:
+    if N % nb != 0 or _vmem_bytes(nb, group, S, hd, itemsize) > VMEM_BUDGET:
         return None
     return nb
 
@@ -103,7 +112,7 @@ def fused_decode_attention(q, k, v, bias):
     ):
         return _decode_attn_xla(q, k, v, bias)
     nb = _pick_block(q.shape[0] * k.shape[1], q.shape[1] // k.shape[1],
-                     k.shape[2], q.shape[3])
+                     k.shape[2], q.shape[3], jnp.dtype(q.dtype).itemsize)
     if nb is None:
         return _decode_attn_xla(q, k, v, bias)
     return _decode_attn_pallas(q, k, v, bias, nb)

@@ -363,6 +363,8 @@ class HypernetTrainer:
                 losses.append(
                     self._eval_loss(self.state.params, self.llm_params, mm, subset, ids, mask, labels)
                 )
+        if not losses:  # empty eval split: nan, like the reference's mean([])
+            return float("nan")
         return float(np.mean(np.asarray(jnp.stack(losses))))
 
     # ------------------------------------------------------------------

@@ -232,6 +232,8 @@ class ProjectorTrainer:
                 # host<->device once per batch and serialize the whole pass
                 # (the train loop avoids exactly this) — one sync at the end
                 losses.append(self._eval_loss(self.state.params, self.llm_params, embs, ids, mask, labels))
+        if not losses:  # empty eval split: nan, like the reference's mean([])
+            return float("nan")
         return float(np.mean(np.asarray(jnp.stack(losses))))
 
     # ------------------------------------------------------------------
