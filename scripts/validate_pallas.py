@@ -10,7 +10,11 @@ on it (see CLAUDE.md: Mosaic double-buffers streamed blocks).
 Usage: PYTHONPATH=. python scripts/validate_pallas.py
 """
 
+import os.path as osp
+import sys
 import time
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 import numpy as np
 
