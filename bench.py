@@ -229,13 +229,13 @@ def main() -> None:
     # bench cannot drift from what serving actually runs.  Quantized loop
     # + bf16 prefill split and the DMI_DECODE_BATCH_FIRST pin both live
     # inside caption_generate.
-    @partial(jax.jit, static_argnames=("cfg", "pspec", "max_new"))
+    @partial(jax.jit, static_argnames=("cfg", "pspec", "max_new", "batch_first"))
     def _pipeline(cfg, pspec, pparams, llm_params, pre_params, embs, prefix,
-                  max_new):
+                  max_new, batch_first=False):
         soft = proj.apply(pspec, pparams, embs, train=False)
         return mmmodel.caption_generate(
             cfg, llm_params, soft, prefix, max_new, 0,
-            prefill_params=pre_params,
+            prefill_params=pre_params, batch_first=batch_first,
         )
 
     def measure(lp, pre):
@@ -244,7 +244,9 @@ def main() -> None:
         # can never detect "same weights"
         def run_once():
             toks = _pipeline(cfg, pspec, pparams, lp, pre, embs, prefix,
-                             max_new)
+                             max_new,
+                             batch_first=os.environ.get(
+                                 "DMI_DECODE_BATCH_FIRST") == "1")
             # force completion via a host transfer: on the axon relay
             # platform, block_until_ready returns before remote execution
             # finishes

@@ -85,6 +85,7 @@ def caption_generate(
     max_new_tokens: int,
     pad_token_id: int,
     prefill_params: Optional[dict] = None,
+    batch_first: Optional[bool] = None,
 ) -> jax.Array:
     """Greedy decode from soft token (+ optional chat prefix)
     (reference: dmi/model/mmmodel.py:149-169).
@@ -92,11 +93,17 @@ def caption_generate(
     Uses the batch-last loop (dec.greedy_generate_bl) — token-identical to
     dec.greedy_generate and faster on both TPU (205 vs 235 ms/batch at
     B=256 on v5e) and CPU; DMI_DECODE_BATCH_FIRST=1 pins the original.
+    batch_first=None reads that env var — fine for eager callers, but a
+    jitted caller must resolve the env itself and pass batch_first as a
+    STATIC argument (like fused_head), or an env flip mid-process is
+    silently ignored by the jit cache.
     prefill_params: optional bf16 weights for the prompt pass when
     llm_params are W8A8-quantized (see dec.greedy_generate_bl)."""
     import os
 
-    if os.environ.get("DMI_DECODE_BATCH_FIRST") == "1":
+    if batch_first is None:
+        batch_first = os.environ.get("DMI_DECODE_BATCH_FIRST") == "1"
+    if batch_first:
         # the batch-first reference path has no prefill/loop weight split:
         # run it fully on llm_params so it stays a coherent parity oracle
         embeds = assemble_prompt(cfg, llm_params, soft_tokens, prefix_ids)

@@ -51,7 +51,7 @@ def _pick_bv(V: int) -> int | None:
     return None
 
 
-def _kernel(e_ref, s_ref, h_ref, a_ref, idx_ref, best_ref, *, bv, V, mode):
+def _kernel(e_ref, s_ref, h_ref, a_ref, idx_ref, best_ref, *, bv, mode):
     i = pl.program_id(0)
     # each mode reproduces the XLA logits path's EXACT rounding order (the
     # final .astype(bf16)) so the compare sees bit-identical values; the
@@ -106,7 +106,7 @@ def _head_argmax_pallas(embed, scales, h, act_scales, mode, bv, interpret=False)
     if act_scales is None:
         act_scales = jnp.ones((1, B), jnp.float32)
     idx, _ = pl.pallas_call(
-        partial(_kernel, bv=bv, V=V, mode=mode),
+        partial(_kernel, bv=bv, mode=mode),
         out_shape=(
             jax.ShapeDtypeStruct((1, B), jnp.int32),
             jax.ShapeDtypeStruct((1, B), jnp.float32),

@@ -42,16 +42,19 @@ from dmi_tpu.training.model_utils import build_lm, build_tokenizer
 log = logging.getLogger("dmi_tpu")
 
 
-@partial(jax.jit, static_argnames=("cfg", "pspec", "max_new", "pad_id"))
+@partial(jax.jit,
+         static_argnames=("cfg", "pspec", "max_new", "pad_id", "batch_first"))
 def _caption_pipeline(cfg, pspec, pparams, llm_params, prefill_params, embs,
-                      prefix_ids, max_new, pad_id):
+                      prefix_ids, max_new, pad_id, batch_first=False):
     """Projector -> prompt assembly -> greedy decode as ONE program (the
     eager version costs several ~25 ms dispatch round-trips per batch on
-    the TPU relay; measured +40% serving throughput in bench.py)."""
+    the TPU relay; measured +40% serving throughput in bench.py).
+    batch_first is resolved by the caller (env read at trace time would be
+    frozen into the jit cache)."""
     soft = proj.apply(pspec, pparams, embs, train=False)
     return mmmodel.caption_generate(
         cfg, llm_params, soft, prefix_ids, max_new, pad_id,
-        prefill_params=prefill_params,
+        prefill_params=prefill_params, batch_first=batch_first,
     )
 
 
@@ -176,7 +179,9 @@ class Captioner:
             eng = StreamingCaptioner(
                 self.llm_cfg, self.llm_params, self.proj_spec,
                 self.proj_params, prefix_np, self.max_new_tokens,
-                self.tokenizer.pad_token_id, pool=self.batch_size,
+                # run_bulk never touches the scratch slot, but the pool
+                # invariant is >= 2; clamp so batch_size=1 still serves
+                self.tokenizer.pad_token_id, pool=max(2, self.batch_size),
                 admit=max(1, min(64, self.batch_size // 4)),
                 prefill_params=self.llm_params_prefill,
             )
@@ -204,11 +209,15 @@ class Captioner:
             if temperature is None:
                 # one jitted program for projector -> assemble -> decode:
                 # eager assembly costs ~25 ms/dispatch through the relay
+                import os
+
                 tokens = _caption_pipeline(
                     self.llm_cfg, self.proj_spec, self.proj_params,
                     self.llm_params, self.llm_params_prefill, embs,
                     self._prefix, self.max_new_tokens,
                     self.tokenizer.pad_token_id,
+                    batch_first=os.environ.get("DMI_DECODE_BATCH_FIRST")
+                    == "1",
                 )
             else:
                 soft = proj.apply(self.proj_spec, self.proj_params, embs,

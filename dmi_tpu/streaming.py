@@ -55,13 +55,6 @@ from dmi_tpu.models import projector as proj
 from dmi_tpu.models.llama import LlamaConfig
 
 
-def _rope_vec(x, cos, sin):
-    """Rope with PER-SLOT positions: x [..., hd, B], cos/sin [hd, B]
-    (dec._rope_bl handles the batch-uniform [hd] case)."""
-    xf = x.astype(jnp.float32)
-    return (xf * cos + dec._rotate_half_rows(xf) * sin).astype(x.dtype)
-
-
 class SlotState(NamedTuple):
     """Device-resident slot pool (all arrays fixed-shape)."""
 
