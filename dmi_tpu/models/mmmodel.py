@@ -51,12 +51,28 @@ def caption_loss(
     input_ids: jax.Array,
     attention_mask: jax.Array,
     labels: jax.Array,
+    mask_padding: bool = False,
 ) -> jax.Array:
-    """loss = LM(inputs_embeds = soft ⊕ text, labels = -100 ⊕ labels)."""
+    """loss = LM(inputs_embeds = soft ⊕ text, labels = -100 ⊕ labels).
+
+    Reference quirk (preserved by default): all three reference MM models
+    build the extended attention mask but NEVER pass it to the LLM — the
+    loss forward is ``self.llm(inputs_embeds=…, labels=…)`` with no
+    attention_mask kwarg (dmi/model/mmmodel.py:139-147, :49-57, :226-232),
+    so HF runs full causal attention over the pad columns, whose positions
+    carry loss (labels are padded with pad_token_id, dmi/data/base.py:40-50).
+    On ragged batches masking the pads changes those positions' logits and
+    therefore the loss; published results depend on the unmasked form.
+    Pinned against the executed reference in
+    tests/test_reference_model_parity.py.  mask_padding=True restores the
+    "fixed" pad-masked objective."""
     inputs_embeds, attention_mask, labels = assemble_inputs(
         cfg, llm_params, soft_tokens, input_ids, attention_mask, labels
     )
-    logits = llama.forward(cfg, llm_params, inputs_embeds, attention_mask)
+    logits = llama.forward(
+        cfg, llm_params, inputs_embeds,
+        attention_mask if mask_padding else None,
+    )
     return llama.causal_lm_loss(logits, labels)
 
 

@@ -10,6 +10,10 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
+
+# every test here shells out to bench/entry scripts with fresh compiles
+pytestmark = pytest.mark.slow
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

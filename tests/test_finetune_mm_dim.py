@@ -62,6 +62,7 @@ def test_prune_branch_narrow_encoder(workdir):
     assert "coco_cider" in m
 
 
+@pytest.mark.slow
 def test_inffs_branch_wide_encoder(workdir):
     cfg = hypernet_config(
         workdir, PROJ_CKPT, "fewshot",

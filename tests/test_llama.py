@@ -227,6 +227,7 @@ def test_sample_generate_temperature_and_topk():
     np.testing.assert_array_equal(np.asarray(tk), np.asarray(greedy))
 
 
+@pytest.mark.slow
 def test_flash_attention_matches_xla(monkeypatch):
     """Pallas TPU flash attention (training path) vs the XLA oracle —
     causal + right-padding, values and grads, interpret mode on CPU."""
@@ -352,6 +353,7 @@ def test_greedy_generate_bl_matches_hf():
     assert (ours[:, W:] == PAD).all()
 
 
+@pytest.mark.slow
 def test_greedy_generate_bl_int8():
     """Batch-last decode accepts int8-quantized pytrees (plain and fused)
     and agrees with the batch-first decode on the same quantized weights."""
@@ -368,6 +370,7 @@ def test_greedy_generate_bl_int8():
     blf = np.asarray(dec.greedy_generate_bl(cfg, qf, embeds, 8, PAD))
     np.testing.assert_array_equal(blf, ref)
 
+@pytest.mark.slow
 def test_flash_attention_nonmultiple_seq(monkeypatch):
     """Flash at seq lengths that are NOT 128 multiples (605-style budgets,
     tiny smokes): the transparent pad-to-128 must keep values and grads
@@ -412,6 +415,7 @@ def test_flash_attention_nonmultiple_seq(monkeypatch):
     )
 
 
+@pytest.mark.slow
 def test_greedy_generate_bl_phase_schedule_sweep():
     """The windowed-phase/pair-unroll/final-step-elision loop must stay
     token-identical to the batch-first path across prompt lengths and

@@ -50,7 +50,8 @@ pytestmark = [requires_reference]
 
 
 def _import_reference_models():
-    """Import dmi.model.{projector,hypernet,lora} from /root/reference.
+    """Import dmi.model.{projector,hypernet,lora,mmmodel} from
+    /root/reference.
 
     dmi/model/__init__.py imports every data loader; dmi/data/coco.py does
     `import timm` at module level and timm is absent here — stub it (the
@@ -63,6 +64,7 @@ def _import_reference_models():
         sys.path.insert(0, REFERENCE_ROOT)
     import dmi.model.hypernet as ref_hypernet
     import dmi.model.lora as ref_lora
+    import dmi.model.mmmodel as ref_mmmodel
     import dmi.model.projector as ref_projector
     from dmi.utils.args import HypnetArgs, LoraArgs, ProjectorArgs
 
@@ -70,6 +72,7 @@ def _import_reference_models():
         projector=ref_projector,
         hypernet=ref_hypernet,
         lora=ref_lora,
+        mmmodel=ref_mmmodel,
         ProjectorArgs=ProjectorArgs,
         HypnetArgs=HypnetArgs,
         LoraArgs=LoraArgs,
@@ -480,6 +483,75 @@ def test_wrapper_generated_projector_parity(ref, tmp_path):
     generated = proj.combine_lora(pspec, pparams, avg_a, avg_b, avg_bias)
     got = np.asarray(proj.apply(pspec, generated, jnp.asarray(x), train=False))
     np.testing.assert_allclose(got, want, rtol=5e-5, atol=5e-6)
+
+
+def test_projector_mmmodel_loss_parity_ragged(ref):
+    """ProjectorMMModel.forward loss (dmi/model/mmmodel.py:112-147) on a
+    RAGGED right-padded batch, against the executed reference.
+
+    This pins the dead-mask quirk: the reference concatenates the extended
+    attention mask (:131-132) but never passes it to the LLM (:139-147), so
+    pad columns — whose labels are pad_token_id, not -100
+    (dmi/data/base.py:40-50) — are scored under full causal attention.
+    caption_loss replicates that by default (mask_padding=False)."""
+    from dmi_tpu.models import mmmodel
+    from tests.test_llama import PAD, make_pair
+
+    hf, cfg, params = make_pair(seed=30)
+    lm_dim = hf.config.hidden_size
+    args = ref.ProjectorArgs(proj_n_layers=2, proj_dropout=0.1)
+    torch.manual_seed(0)
+    rp = ref.projector.Projector(args, lm_dim, MM_DIM, "cpu")
+    rp.eval()
+    pparams = projector_from_state_dict(_numpy_state_dict(rp.state_dict()))
+    spec = proj.ProjectorSpec(mm_dim=MM_DIM, lm_dim=lm_dim, n_layers=2)
+
+    rng = np.random.default_rng(30)
+    B, T = 3, 10
+    mm = rng.normal(size=(B, MM_DIM)).astype(np.float32)
+    ids = rng.integers(1, 256, size=(B, T))
+    mask = np.ones((B, T), np.int64)
+    labels = ids.copy()
+    labels[:, :3] = -100
+    # ragged: right-pad rows 1 and 2 (labels keep pad_token_id there — the
+    # collator quirk — so the pad positions carry loss)
+    for row, pad_from in ((1, 7), (2, 5)):
+        ids[row, pad_from:] = PAD
+        mask[row, pad_from:] = 0
+        labels[row, pad_from:] = PAD
+
+    torch.manual_seed(31)
+    ref_model = ref.mmmodel.ProjectorMMModel(
+        llm=hf, projector=rp, device="cpu", mm_emb_dim=MM_DIM,
+        name="parity", pad_token_id=PAD,
+    )
+    ref_model.eval()
+    with torch.no_grad():
+        want = float(
+            ref_model(
+                torch.tensor(mm), torch.tensor(ids), torch.tensor(mask),
+                torch.tensor(labels),
+            )
+        )
+
+    soft = proj.apply(spec, pparams, jnp.asarray(mm), train=False)
+    got = float(
+        mmmodel.caption_loss(
+            cfg, params, soft, jnp.asarray(ids), jnp.asarray(mask),
+            jnp.asarray(labels),
+        )
+    )
+    assert abs(got - want) < 3e-4, (got, want)
+
+    # sanity: the pad-masked ("fixed") objective must DIFFER on this batch,
+    # proving the quirk is load-bearing
+    masked = float(
+        mmmodel.caption_loss(
+            cfg, params, soft, jnp.asarray(ids), jnp.asarray(mask),
+            jnp.asarray(labels), mask_padding=True,
+        )
+    )
+    assert abs(masked - want) > 1e-4, (masked, want)
 
 
 def test_wrapper_single_generate_projector_parity(ref, tmp_path):

@@ -60,6 +60,7 @@ def test_captioner_w8a8_prefill_shadow(trained):
     assert len(captions) == 3
 
 
+@pytest.mark.slow
 def test_serve_cli(trained):
     workdir, ckpt = trained
     embs = np.random.default_rng(1).normal(size=(5, 32)).astype(np.float32)
@@ -76,6 +77,7 @@ def test_serve_cli(trained):
     assert len(caps) == 5
 
 
+@pytest.mark.slow
 def test_captioner_from_fewshot_checkpoint(tmp_path, monkeypatch):
     """Few-shot checkpoints carry {hypernet_state_dict, generated_projector};
     serving must pick the baked generated projector."""
@@ -117,6 +119,7 @@ def test_captioner_sampling(trained):
     assert c1 != c2  # different seeds sample different captions (whp)
 
 
+@pytest.mark.slow
 def test_captioner_mesh_and_int8_compose(trained):
     """int8 + mesh advertised combination (review fix: shard then quantize)."""
     _, ckpt = trained

@@ -65,6 +65,7 @@ def test_streaming_no_eos_full_budget():
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_streaming_quantized_weights():
     """W8A8 slot engine with bf16-prefill shadow matches the quantized
     batch path (quantized decode tokens differ from fp, so compare

@@ -2,6 +2,7 @@
 exercises every stage (parity, e2e config, bench, BASELINE.md rewrite)
 without the real artifacts (VERDICT r1 missing #3)."""
 
+import pytest
 import json
 import os
 import os.path as osp
@@ -12,6 +13,7 @@ REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
 SCRIPT = osp.join(REPO, "scripts", "validate_real.py")
 
 
+@pytest.mark.slow
 def test_fixture_path_runs_all_stages(tmp_path):
     out_md = tmp_path / "BASELINE_test.md"
     out_md.write_text("# test baseline\n")
