@@ -16,8 +16,11 @@ those shapes:
     Cutting Knowledge Date: December 2023\nToday Date: {date}\n\n{system}<|eot_id|>
     then per message:
     <|start_header_id|>{role}<|end_header_id|>\n\n{content|trim}<|eot_id|>
-    with assistant content+<|eot_id|> inside a generation block, and an
-    optional trailing assistant header when add_generation_prompt=True.
+    with assistant turns rendered as header + '\n\n' + '\n' (unmasked) +
+    generation-span(content|trim + <|eot_id|> + '\n'), and an optional
+    trailing assistant header when add_generation_prompt=True.  The two
+    extra newlines replicate what the reference template's indentation
+    emits under HF's jinja env (see the inline comment below).
 
 Llama 3.1 uses the fixed date "26 Jul 2024"; Llama 3.2 uses today's date via
 ``strftime_now`` when the runtime provides it (HF does).
@@ -42,9 +45,19 @@ _COMMON = (
     "{%- if message['role'] != 'assistant' %}"
     "{{- '<|start_header_id|>' + message['role'] + '<|end_header_id|>\\n\\n' + message['content'] | trim + '<|eot_id|>' }}"
     "{%- else %}"
+    # The reference template's sloppy indentation around its generation tags
+    # renders (under HF's trim_blocks/lstrip_blocks jinja env) an extra
+    # UNMASKED '\n' between the assistant header and the content, and a
+    # MASKED '\n' after <|eot_id|> inside the generation span.  Both are
+    # real tokens in the training data and the decoded text — the
+    # reference's gts post-processing splits on 'assistant\n\n\n'
+    # (dmi/train.py:194), which only matches because of the first one.
+    # Emitted explicitly here; byte+mask parity pinned in
+    # tests/test_chat_template.py against the executed reference template.
     "{{- '<|start_header_id|>assistant<|end_header_id|>\\n\\n' }}"
+    "{{- '\\n' }}"
     "{% generation %}"
-    "{{- message['content'] | trim + '<|eot_id|>' }}"
+    "{{- message['content'] | trim + '<|eot_id|>' + '\\n' }}"
     "{% endgeneration %}"
     "{%- endif %}"
     "{%- endfor %}"
