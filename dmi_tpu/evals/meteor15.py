@@ -19,12 +19,17 @@ module implements that scoring model natively:
     formula is applied once to the totals — NOT a mean of segment scores.
     Per-segment scores pick the best-scoring reference (Java semantics).
 
-Alignment note: Java METEOR resolves ambiguous matches with a beam search
-that minimizes chunks.  Here a deterministic greedy stands in: stages in
-priority order; within a stage hypothesis words match left-to-right,
-preferring the reference position that extends the current chunk, then the
-closest position.  On caption-length text this almost always reproduces the
-beam-search alignment; it is documented as the one approximation.
+Alignment: all possible matches across the active stages are collected,
+then the final one-to-one alignment is resolved by the published METEOR
+criteria, in order of importance — (1) maximize the number of covered
+words across both sentences, (2) minimize the number of chunks,
+(3) minimize the sum of absolute distances between match start indices
+(Denkowski & Lavie 2014, §2.1).  The resolver is an exact dynamic program
+over hypothesis positions (states keyed by used-reference-word sets, with
+lexicographic dominance), beam-capped only on pathological repeated-word
+inputs — caption-length text is searched exhaustively, and the
+equivalence with brute-force subset enumeration is property-tested
+(tests/test_meteor15.py).
 
 The function-word list approximates METEOR's English ``function.words``
 (top corpus-frequency closed-class words); it is overridable per config.
@@ -147,99 +152,107 @@ def _word_keys(tokens: Sequence[str], stage: int, cfg: Meteor15Config):
     raise AssertionError(stage)
 
 
-def _stage_match(h_tok, r_tok, h_free, r_free, stage, cfg) -> List[Match]:
-    """One-to-one word matches for exact/stem/synonym stages; greedy L->R,
-    preferring the j that extends the previous match's diagonal."""
-    matches: List[Match] = []
-    if stage in (STAGE_EXACT, STAGE_STEM):
-        hk = _word_keys(h_tok, stage, cfg)
-        rk = _word_keys(r_tok, stage, cfg)
+def candidate_matches(
+    h_tok: Sequence[str], r_tok: Sequence[str], cfg: Meteor15Config
+) -> List[Match]:
+    """ALL possible matches across the active stages (before one-to-one
+    resolution).  For a (hyp-span, ref-span) pair matched by several stages
+    only the highest-weight stage is kept — the resolution criteria are
+    stage-blind, so the stage only affects scoring and the best one is the
+    correct attribution."""
+    best: Dict[Tuple[int, int, int, int], int] = {}
 
-        def compatible(i, j):
-            return hk[i] == rk[j]
+    def add(i, hl, j, rl, stage):
+        key = (i, hl, j, rl)
+        prev = best.get(key)
+        if prev is None or cfg.stage_weights[stage] > cfg.stage_weights[prev]:
+            best[key] = stage
 
-    else:  # synonym
-        syn = cfg.synonyms
-
-        def compatible(i, j):
-            a, b = h_tok[i], r_tok[j]
-            return a == b or b in syn(a) or a in syn(b)
-
-    prev = None  # (h_idx, r_idx) of the previous accepted match
+    hk_e = _word_keys(h_tok, STAGE_EXACT, cfg)
+    rk_e = _word_keys(r_tok, STAGE_EXACT, cfg)
+    hk_s = _word_keys(h_tok, STAGE_STEM, cfg)
+    rk_s = _word_keys(r_tok, STAGE_STEM, cfg)
+    syn = cfg.synonyms
     for i in range(len(h_tok)):
-        if not h_free[i]:
-            continue
-        cands = [j for j in range(len(r_tok)) if r_free[j] and compatible(i, j)]
-        if not cands:
-            continue
-        if prev is not None and (prev[1] + 1) in cands and i == prev[0] + 1:
-            j = prev[1] + 1  # extends the current chunk
-        else:
-            j = min(cands, key=lambda j: (abs(i - j), j))
-        matches.append((i, 1, j, 1, stage))
-        h_free[i] = False
-        r_free[j] = False
-        prev = (i, j)
-    return matches
-
-
-def _paraphrase_match(h_tok, r_tok, h_free, r_free, cfg) -> List[Match]:
+        for j in range(len(r_tok)):
+            if hk_e[i] == rk_e[j]:
+                add(i, 1, j, 1, STAGE_EXACT)
+            elif hk_s[i] == rk_s[j]:
+                add(i, 1, j, 1, STAGE_STEM)
+            if syn is not None and hk_e[i] != rk_e[j]:
+                a, b = h_tok[i], r_tok[j]
+                if b in syn(a) or a in syn(b):
+                    add(i, 1, j, 1, STAGE_SYNONYM)
     table = cfg.paraphrases
-    if not table:
-        return []
-    max_len = max(len(k) for k in table)
-    matches: List[Match] = []
-    i = 0
-    while i < len(h_tok):
-        if not h_free[i]:
-            i += 1
-            continue
-        hit = None
-        for L in range(min(max_len, len(h_tok) - i), 0, -1):
-            if not all(h_free[i : i + L]):
-                continue
-            span = tuple(h_tok[i : i + L])
-            targets = table.get(span)
-            if not targets:
-                continue
-            for j in range(len(r_tok)):
+    if table:
+        max_len = max(len(k) for k in table)
+        for i in range(len(h_tok)):
+            for L in range(1, min(max_len, len(h_tok) - i) + 1):
+                targets = table.get(tuple(h_tok[i : i + L]))
+                if not targets:
+                    continue
                 for tgt in targets:
                     Lr = len(tgt)
-                    if (
-                        j + Lr <= len(r_tok)
-                        and all(r_free[j : j + Lr])
-                        and tuple(r_tok[j : j + Lr]) == tgt
-                    ):
-                        hit = (i, L, j, Lr, STAGE_PARAPHRASE)
-                        break
-                if hit:
-                    break
-            if hit:
-                break
-        if hit:
-            i0, L, j0, Lr, _ = hit
-            for x in range(i0, i0 + L):
-                h_free[x] = False
-            for x in range(j0, j0 + Lr):
-                r_free[x] = False
-            matches.append(hit)
-            i = i0 + L
-        else:
-            i += 1
-    return matches
+                    for j in range(len(r_tok) - Lr + 1):
+                        if tuple(r_tok[j : j + Lr]) == tgt:
+                            add(i, L, j, Lr, STAGE_PARAPHRASE)
+    return sorted((i, hl, j, rl, st) for (i, hl, j, rl), st in best.items())
+
+
+# Resolution value of a partial alignment: lexicographic
+# (covered words both sides DESC, chunks ASC, sum |h_start-r_start| ASC).
+# States with identical (next hyp index, used ref words, prev match ends)
+# have identical future deltas, so per-key lexicographic dominance is exact.
+_BEAM = 512  # safety cap; hit only on pathological repeated-word inputs
 
 
 def align(h_tok: Sequence[str], r_tok: Sequence[str], cfg: Meteor15Config) -> List[Match]:
-    h_free = [True] * len(h_tok)
-    r_free = [True] * len(r_tok)
-    matches: List[Match] = []
-    matches += _stage_match(h_tok, r_tok, h_free, r_free, STAGE_EXACT, cfg)
-    matches += _stage_match(h_tok, r_tok, h_free, r_free, STAGE_STEM, cfg)
-    if cfg.synonyms is not None:
-        matches += _stage_match(h_tok, r_tok, h_free, r_free, STAGE_SYNONYM, cfg)
-    if cfg.paraphrases is not None:
-        matches += _paraphrase_match(h_tok, r_tok, h_free, r_free, cfg)
-    return sorted(matches)
+    """Optimal one-to-one alignment per the METEOR-1.5 criteria (see module
+    docstring): exact DP over hypothesis positions, beam-capped at _BEAM
+    states only when repeated words explode the used-ref-set space."""
+    cands = candidate_matches(h_tok, r_tok, cfg)
+    by_start: Dict[int, List[Match]] = {}
+    for m in cands:
+        by_start.setdefault(m[0], []).append(m)
+    # state: (covered, -chunks, -dist) value; key: (ref_used, prev_ends)
+    # entry: (covered, chunks, dist, prev_h_end, prev_r_end, ref_used, matches)
+    states = [(0, 0, 0, -1, -1, frozenset(), ())]
+    for i in range(len(h_tok)):
+        nxt = {}
+
+        def push(st):
+            cov, ch, di, phe, pre, used, ms = st
+            key = (used, phe, pre)
+            old = nxt.get(key)
+            if old is None or (cov, -ch, -di) > (old[0], -old[1], -old[2]):
+                nxt[key] = st
+
+        for st in states:
+            cov, ch, di, phe, pre, used, ms = st
+            if ms and ms[-1][0] + ms[-1][1] > i:
+                push(st)  # inside a phrase match consuming position i
+                continue
+            push(st)  # leave hyp word i unmatched
+            for m in by_start.get(i, ()):
+                h0, hl, r0, rl, stage = m
+                span = range(r0, r0 + rl)
+                if any(r in used for r in span):
+                    continue
+                contig = h0 == phe and r0 == pre
+                push((
+                    cov + hl + rl,
+                    ch + (0 if contig else 1),
+                    di + abs(h0 - r0),
+                    h0 + hl,
+                    r0 + rl,
+                    used | frozenset(span),
+                    ms + (m,),
+                ))
+        states = sorted(
+            nxt.values(), key=lambda s: (s[0], -s[1], -s[2]), reverse=True
+        )[:_BEAM]
+    best = max(states, key=lambda s: (s[0], -s[1], -s[2]))
+    return sorted(best[6])
 
 
 def _count_chunks(matches: List[Match]) -> int:

@@ -145,3 +145,75 @@ def test_coco_eval_uses_meteor15(tmp_path):
     ]
     expect, _, _ = meteor15_corpus(cands, refs)
     assert out["METEOR"] == pytest.approx(expect, abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Optimal-alignment property test (VERDICT r2 #5): the DP resolver achieves
+# the brute-force-optimal (coverage DESC, chunks ASC, start-distance ASC)
+# objective on randomized inputs with repeated words, stems, synonyms and
+# multi-word paraphrases.
+# ---------------------------------------------------------------------------
+
+def _objective(matches):
+    cov = sum(hl + rl for _, hl, _, rl, _ in matches)
+    dist = sum(abs(h0 - r0) for h0, _, r0, _, _ in matches)
+    return (cov, -m15._count_chunks(sorted(matches)), -dist)
+
+
+def _brute_force_best(cands):
+    """Lexicographic-best feasible subset by exhaustive enumeration."""
+    best = (0, 0, 0)
+
+    def feasible(sel, m):
+        h0, hl, r0, rl, _ = m
+        for a0, al, b0, bl, _ in sel:
+            if h0 < a0 + al and a0 < h0 + hl:
+                return False
+            if r0 < b0 + bl and b0 < r0 + rl:
+                return False
+        return True
+
+    def rec(idx, sel):
+        nonlocal best
+        obj = _objective(sel)
+        if obj > best:
+            best = obj
+        for k in range(idx, len(cands)):
+            if feasible(sel, cands[k]):
+                sel.append(cands[k])
+                rec(k + 1, sel)
+                sel.pop()
+
+    rec(0, [])
+    return best
+
+
+def test_align_matches_brute_force_on_random_inputs():
+    import random
+
+    rng = random.Random(1234)
+    vocab = ["cat", "cats", "dog", "run", "running", "fast", "the", "a"]
+    syn = {"fast": frozenset({"quick"}), "quick": frozenset({"fast"})}
+    cfg = Meteor15Config(
+        synonyms=lambda w: syn.get(w, frozenset()),
+        paraphrases={("the", "cat"): {("a", "cat"), ("kitty",)},
+                     ("a", "cat"): {("the", "cat")},
+                     ("kitty",): {("the", "cat")}},
+    )
+    for trial in range(60):
+        h = [rng.choice(vocab + ["kitty", "quick"]) for _ in range(rng.randint(1, 7))]
+        r = [rng.choice(vocab + ["kitty", "quick"]) for _ in range(rng.randint(1, 7))]
+        cands = m15.candidate_matches(h, r, cfg)
+        if len(cands) > 18:  # keep brute force tractable
+            continue
+        got = m15.align(h, r, cfg)
+        assert _objective(got) == _brute_force_best(cands), (h, r, got)
+
+
+def test_align_prefers_fewer_chunks_over_distance():
+    # hyp: [x y] ref: [y x x y] — matching (x->2, y->3) is one chunk
+    # (contiguous both sides, dist 4); (x->1, y->0) has dist 2 but 2 chunks:
+    # the chunk criterion outranks start distance.
+    got = m15.align(["x", "y"], ["y", "x", "x", "y"], CFG)
+    assert _objective(got)[1] == -1, got
+    assert [(m[0], m[2]) for m in got] == [(0, 2), (1, 3)]
