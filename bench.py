@@ -173,11 +173,13 @@ def main() -> None:
     key = jax.random.key(0)
     llm_params = llama.init(key, cfg)
     # "1" = int8 weights dequantized to bf16 (halves weight reads);
-    # "w8a8" = native int8 MXU matmuls (halves weight reads AND compute)
+    # "w8a8" = native int8 matmuls (halves weight reads);
+    # "w4a8" = int4 loop weights (halves them again; int8 activations)
     int8 = os.environ.get("DMI_BENCH_INT8", "")
-    if int8 not in ("", "0", "1", "w8a8"):
-        raise SystemExit(f"DMI_BENCH_INT8 must be '', 0, 1 or w8a8, got {int8!r}")
-    int8 = int8 in ("1", "w8a8") and int8 or ""
+    if int8 not in ("", "0", "1", "w8a8", "w4a8"):
+        raise SystemExit(
+            f"DMI_BENCH_INT8 must be '', 0, 1, w8a8 or w4a8, got {int8!r}")
+    int8 = int8 in ("1", "w8a8", "w4a8") and int8 or ""
     # fused QKV/gate-up is the single-chip serving default (token-exact,
     # +3.4% measured); DMI_BENCH_FUSED=0 opts out
     fused = os.environ.get("DMI_BENCH_FUSED", "1") == "1"
@@ -187,7 +189,10 @@ def main() -> None:
     if int8:
         from dmi_tpu.models.quant import quantize_llama
 
-        llm_params = quantize_llama(llm_params, native=(int8 == "w8a8"))
+        if int8 == "w4a8":
+            llm_params = quantize_llama(llm_params, bits=4)
+        else:
+            llm_params = quantize_llama(llm_params, native=(int8 == "w8a8"))
     pspec = proj.ProjectorSpec(mm_dim=mm_dim, lm_dim=cfg.hidden_size, n_layers=2)
     pparams = proj.init(jax.random.key(1), pspec)
 
@@ -283,10 +288,18 @@ def main() -> None:
                     batch / (alt_ms[len(alt_ms) // 2] / 1e3), 3
                 )
             else:
+                # same-process TRIPLE: the chip drifts ±6% between
+                # processes, so w8a8 AND w4a8 companions are measured here
+                # back-to-back with the bf16 headline (valid A/Bs)
                 qp = _ql(llm_params_bf16, native=True)
                 alt_ms = measure(qp, llm_params_bf16)
                 extra["w8a8_captions_per_sec"] = round(
                     batch / (alt_ms[len(alt_ms) // 2] / 1e3), 3
+                )
+                qp4 = _ql(llm_params_bf16, bits=4)
+                alt4_ms = measure(qp4, llm_params_bf16)
+                extra["w4a8_captions_per_sec"] = round(
+                    batch / (alt4_ms[len(alt4_ms) // 2] / 1e3), 3
                 )
         except Exception as e:  # pragma: no cover - relay-dependent
             extra["companion_error"] = str(e)[:120]
@@ -296,7 +309,7 @@ def main() -> None:
     if not small and max_new != 22:
         metric += f"_n{max_new}"  # likewise non-default decode budgets
     if int8:
-        metric += "_int8" if int8 == "1" else "_w8a8"
+        metric += "_int8" if int8 == "1" else f"_{int8}"
     if not fused:
         metric += "_unfused"  # fused is the headline configuration
     if os.environ.get("_DMI_BENCH_CPU_FALLBACK") == "1":

@@ -231,6 +231,44 @@ def _mm_bl(w, h):
             preferred_element_type=jnp.int32,
         )
         return (acc * w["s"].reshape(-1, 1) * a).astype(h.dtype)
+    if isinstance(w, dict) and "qp" in w:
+        from dmi_tpu.models.quant import quantize_act, unpack_w4
+
+        hq, a = quantize_act(h, axis=0)  # a: [1, B]
+        if "s4g" in w:
+            # grouped scales: unpack, then G-batched partial dots
+            # [G, out, B] weighted by s4g and summed — the accuracy-oracle
+            # formulation (the int32 partials materialize; the fast chip
+            # path is the per-channel "s" mode)
+            q8 = unpack_w4(w["qp"])
+            s4g = w["s4g"]  # [G, out]
+            G = s4g.shape[0]
+            K = q8.shape[0]
+            qg = q8.reshape(G, K // G, q8.shape[1])
+            hg = hq.reshape(G, K // G, hq.shape[1])
+            acc = jax.lax.dot_general(
+                qg, hg, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            )  # [G, out, B]
+            return (jnp.sum(acc * s4g[:, :, None], axis=0) * a).astype(h.dtype)
+        from dmi_tpu.ops.pallas.w4_matmul import w4_available, w4_mm_bl
+
+        if w4_available(w, hq):
+            # packed bytes stream HBM->VMEM, unpack + rescale in-kernel:
+            # the halved weight stream XLA cannot express (it materializes
+            # the unpack — scripts/profile_w4_matmul.py)
+            return w4_mm_bl(w, hq, a, h.dtype)
+        # XLA twin: two half-dots on the contiguous activation slices
+        # (K-split packing), numerically identical to the kernel
+        p8 = w["qp"].astype(jnp.int8)
+        lo = (p8 << 4) >> 4
+        hi = p8 >> 4
+        kh = p8.shape[0]
+        dn = (((0,), (0,)), ((), ()))
+        acc = jax.lax.dot_general(
+            lo, hq[:kh], dn, preferred_element_type=jnp.int32
+        ) + jax.lax.dot_general(hi, hq[kh:], dn, preferred_element_type=jnp.int32)
+        return (acc * w["s"].reshape(-1, 1) * a).astype(h.dtype)
     if isinstance(w, dict) and "q" in w:
         out = jax.lax.dot_general(
             w["q"].astype(h.dtype), h, (((0,), (0,)), ((), ()))

@@ -259,6 +259,30 @@ def _mm(h: jax.Array, w) -> jax.Array:
             preferred_element_type=jnp.int32,
         )
         return (acc * a * w["s"]).astype(h.dtype)
+    if isinstance(w, dict) and "qp" in w:
+        from dmi_tpu.models.quant import quantize_act, unpack_w4
+
+        hq, a = quantize_act(h, axis=-1)
+        q8 = unpack_w4(w["qp"])
+        if "s4g" in w:
+            # grouped scales: G-batched partial dots weighted per group.
+            # Correctness-oracle formulation (the [.., G, out] int32
+            # partials materialize); the serving loop uses _mm_bl.
+            s4g = w["s4g"]
+            G = s4g.shape[-2]
+            K = q8.shape[-2]
+            hg = hq.reshape(*hq.shape[:-1], G, K // G)
+            qg = q8.reshape(G, K // G, q8.shape[-1])
+            acc = jnp.einsum(
+                "...gk,gkn->...gn", hg, qg, preferred_element_type=jnp.int32
+            )
+            out = jnp.sum(acc * s4g, axis=-2) * a  # a: (..., 1) broadcast
+            return out.astype(h.dtype)
+        acc = jax.lax.dot_general(
+            hq, q8, (((h.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return (acc * a * w["s"]).astype(h.dtype)
     if isinstance(w, dict) and "q" in w:
         return (h @ w["q"].astype(h.dtype)) * w["s"].astype(h.dtype)
     return h @ w

@@ -43,6 +43,69 @@ def quantize_tensor(w: jax.Array, native: bool = False) -> dict:
     return {("q8" if native else "q"): q, "s": s}
 
 
+def pack_w4(q: jax.Array) -> jax.Array:
+    """K-split nibble packing: int8 nibbles in [-7, 7] with even contraction
+    dim K (axis -2) -> uint8 (..., K/2, out) where byte (k, n) holds rows k
+    (low nibble) and k + K/2 (high nibble).
+
+    Why not jnp.int4: on this TPU stack S4 arrays cannot cross the jit
+    boundary (relay arg transfer recurses, host fetch UNIMPLEMENTED) and
+    lax.bitcast_convert_type(uint8 -> int4) MISCOMPILES when fused into a
+    dot (all measured 2026-08-17, scripts/profile_w4_matmul.py).  uint8 is
+    the boundary dtype; the arithmetic unpack is the one formulation that
+    is both correct and int4-free.  K-split means each half-dot contracts a
+    contiguous activation slice, which unifies the layer and head kernels
+    (ops/pallas/w4_matmul)."""
+    K = q.shape[-2]
+    if K % 2:
+        raise ValueError(f"contraction dim {K} must be even to nibble-pack")
+    u = q.astype(jnp.uint8)
+    lo = u[..., : K // 2, :]
+    hi = u[..., K // 2 :, :]
+    return (lo & 0xF) | ((hi & 0xF) << 4)
+
+
+def unpack_w4(p: jax.Array) -> jax.Array:
+    """Inverse of pack_w4: uint8 (..., K/2, out) -> int8 (..., K, out),
+    sign-extending each nibble.  XLA fuses the shifts elementwise; inside
+    Mosaic kernels the i32 variant is used instead (i8 shifts unsupported)."""
+    p8 = p.astype(jnp.int8)
+    lo = (p8 << 4) >> 4  # low nibble, sign-extended
+    hi = p8 >> 4  # high nibble (arithmetic shift sign-extends)
+    return jnp.concatenate([lo, hi], axis=-2)
+
+
+def quantize_tensor_int4(w: jax.Array, group_size: int | None = None) -> dict:
+    """W4A8 weights: symmetric int4 in [-7, 7], nibble-packed along the
+    contraction axis (pack_w4), halving the decode loop's weight stream vs
+    int8 — the stream is the binding limit at serving batch (BASELINE.md
+    round-2).  Activations stay per-token int8.
+
+    group_size None: per-output-channel scales over the full contraction
+    axis ({"qp", "s"}, s (..., 1, out)) — the fast path
+    (ops/pallas/w4_matmul streams the packed bytes and unpacks in-VMEM;
+    the XLA twin runs two half-dots).
+    group_size k: scales per k-sized block of the contraction axis
+    ({"qp", "s4g"}, s4g (..., G, out)) — recovers most of int4's quality
+    loss from absmax outliers; the matmul unpacks then runs G-batched
+    partial dots weighted by s4g (the accuracy-oracle formulation)."""
+    wf = w.astype(jnp.float32)
+    if group_size is None:
+        s = jnp.max(jnp.abs(wf), axis=-2, keepdims=True) / 7.0
+        s = jnp.maximum(s, 1e-12)
+        q = jnp.clip(jnp.round(wf / s), -7, 7).astype(jnp.int8)
+        return {"qp": pack_w4(q), "s": s}
+    K = wf.shape[-2]
+    if K % group_size:
+        raise ValueError(f"contraction dim {K} not divisible by group {group_size}")
+    G = K // group_size
+    wg = wf.reshape(*wf.shape[:-2], G, group_size, wf.shape[-1])
+    s = jnp.max(jnp.abs(wg), axis=-2, keepdims=True) / 7.0  # (..., G, 1, out)
+    s = jnp.maximum(s, 1e-12)
+    q = jnp.clip(jnp.round(wg / s), -7, 7).astype(jnp.int8).reshape(wf.shape)
+    return {"qp": pack_w4(q), "s4g": jnp.squeeze(s, -2)}
+
+
 def quantize_act(h: jax.Array, axis: int) -> tuple:
     """Dynamic symmetric per-token int8 activations: scale over the
     contraction axis.  Returns (h_q int8, scales f32 with axis kept)."""
@@ -64,24 +127,47 @@ def quantize_embed_tensor(w: jax.Array, native: bool = False) -> dict:
 
 
 def quantize_llama(
-    params: dict, quantize_embed: bool = True, native: bool = False
+    params: dict,
+    quantize_embed: bool = True,
+    native: bool = False,
+    bits: int = 8,
+    group_size: int | None = None,
 ) -> dict:
     """Quantize the stacked-layer Llama pytree for decode.  native=True
-    selects W8A8 int8-MXU matmuls (see quantize_tensor)."""
+    selects W8A8 int8-MXU matmuls (see quantize_tensor).  bits=4 selects
+    W4A8 for the LAYER weights (nibble-packed int4, per-token int8
+    activations; group_size optionally groups the scales along the
+    contraction axis).  The tied embed stays native int8 ("q8") under
+    bits=4: a packed-int4 head either materializes the [V, B] logits at a
+    kernel boundary (+2x the bytes it saves) or double-reads the packed
+    bytes in the XLA twin — the embed is ~11% of the per-step stream, not
+    worth those costs (measured round 3)."""
+    if bits not in (8, 4):
+        raise ValueError(f"bits must be 8 or 4, got {bits}")
     out: dict[str, Any] = {}
     out["final_norm"] = params["final_norm"]
     layers = {}
     for k, v in params["layers"].items():
-        layers[k] = quantize_tensor(v, native) if k in _QUANT_KEYS else v
+        if k not in _QUANT_KEYS:
+            layers[k] = v
+        elif bits == 4:
+            layers[k] = quantize_tensor_int4(v, group_size)
+        else:
+            layers[k] = quantize_tensor(v, native)
     out["layers"] = layers
     if quantize_embed:
-        out["embed"] = quantize_embed_tensor(params["embed"], native)
+        out["embed"] = quantize_embed_tensor(
+            params["embed"], native=native or bits == 4
+        )
     else:
         out["embed"] = params["embed"]
     if "lm_head" in params:
-        out["lm_head"] = quantize_tensor(params["lm_head"], native)
+        if bits == 4:
+            out["lm_head"] = quantize_tensor_int4(params["lm_head"], group_size)
+        else:
+            out["lm_head"] = quantize_tensor(params["lm_head"], native)
     return out
 
 
 def is_quantized(w) -> bool:
-    return isinstance(w, dict) and ("q" in w or "q8" in w)
+    return isinstance(w, dict) and ("q" in w or "q8" in w or "qp" in w)

@@ -94,10 +94,15 @@ class Captioner:
             # int8=True: weights dequantized to bf16 at the matmul;
             # int8="w8a8": native int8 MXU matmuls for the token loop, with
             # the bf16 originals kept for the compute-bound prefill (int8
-            # dots are no faster than bf16 on this MXU stack - BASELINE.md)
-            if int8 == "w8a8":
+            # dots are no faster than bf16 on this MXU stack - BASELINE.md);
+            # int8="w4a8": int4 weights for the token loop (halves the
+            # weight stream again), same bf16 prefill shadow
+            if int8 in ("w8a8", "w4a8"):
                 self.llm_params_prefill = llm_params
-            llm_params = quantize_llama(llm_params, native=(int8 == "w8a8"))
+            if int8 == "w4a8":
+                llm_params = quantize_llama(llm_params, bits=4)
+            else:
+                llm_params = quantize_llama(llm_params, native=(int8 == "w8a8"))
         self.llm_cfg = llm_cfg
         self.llm_params = llm_params
         self.proj_spec = proj_spec
@@ -277,8 +282,10 @@ def main(argv=None) -> None:
     ap.add_argument("--out", default="captions.json")
     ap.add_argument("--batch-size", type=int, default=256)
     ap.add_argument(
-        "--int8", nargs="?", const="1", default="", choices=["", "1", "w8a8"],
-        help="int8 weights (dequant matmuls); --int8 w8a8 for native int8 MXU",
+        "--int8", nargs="?", const="1", default="",
+        choices=["", "1", "w8a8", "w4a8"],
+        help="int8 weights (dequant matmuls); w8a8 = native int8 MXU; "
+             "w4a8 = int4 loop weights (bandwidth-bound serving)",
     )
     ap.add_argument("--temperature", type=float, default=None,
                     help="stochastic decoding (default: greedy)")
