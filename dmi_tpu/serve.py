@@ -41,6 +41,17 @@ from dmi_tpu.training.model_utils import build_lm, build_tokenizer
 
 log = logging.getLogger("dmi_tpu")
 
+# engine="auto" regime constants (chip measurements, BASELINE.md engine
+# rows): the bulk engine wins 1.25-1.47x at moderate pools when captions
+# terminate early (refilled lanes amortize the weight stream idle lanes
+# waste) but is a wash at pool 512 (1.01x) and 0.977x when nothing
+# terminates early.  Auto therefore (a) never picks bulk above
+# _BULK_MAX_POOL, and (b) probes the first batch on the batch path and
+# only switches when the measured mean caption length shows idle-lane
+# waste worth amortizing.
+_BULK_MAX_POOL = 384
+_BULK_LEN_RATIO = 0.75
+
 
 @partial(jax.jit,
          static_argnames=("cfg", "pspec", "max_new", "pad_id", "batch_first"))
@@ -110,6 +121,9 @@ class Captioner:
         self.tokenizer = tokenizer
         self.max_new_tokens = max_new_tokens
         self.batch_size = batch_size
+        # (engine, reason) of the last caption() call — observability for
+        # the auto regime picker
+        self.engine_decision: Optional[tuple] = None
 
         ids = tokenizer.apply_chat_template(
             [{"role": "user", "content": prefix}],
@@ -156,13 +170,80 @@ class Captioner:
             prefix, spec.max_new_tokens, **kwargs,
         )
 
+    def _dispatch_batch(self, chunk: np.ndarray, temperature, top_k, seed,
+                        bi: int):
+        """Pad one chunk to the compiled batch shape and dispatch it
+        (async on device); returns (tokens, real_row_count)."""
+        from dmi_tpu.models import decode as dec
+
+        real = chunk.shape[0]
+        if real < self.batch_size:  # pad the tail to the compiled shape
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[-1:], self.batch_size - real, axis=0)],
+                axis=0,
+            )
+        embs = l2_normalize(jnp.asarray(chunk, jnp.float32))
+        if self.mesh is not None:
+            from dmi_tpu.parallel import batch_sharding
+
+            embs = jax.device_put(embs, batch_sharding(self.mesh, embs.ndim))
+        if temperature is None:
+            # one jitted program for projector -> assemble -> decode:
+            # eager assembly costs ~25 ms/dispatch through the relay
+            import os
+
+            tokens = _caption_pipeline(
+                self.llm_cfg, self.proj_spec, self.proj_params,
+                self.llm_params, self.llm_params_prefill, embs,
+                self._prefix, self.max_new_tokens,
+                self.tokenizer.pad_token_id,
+                batch_first=os.environ.get("DMI_DECODE_BATCH_FIRST") == "1",
+            )
+        else:
+            soft = proj.apply(self.proj_spec, self.proj_params, embs,
+                              train=False)
+            # same bf16-prompt / quantized-loop split as the greedy path
+            inputs = mmmodel.assemble_prompt(
+                self.llm_cfg, self.llm_params_prefill or self.llm_params,
+                soft, self._prefix,
+            )
+            tokens = dec.sample_generate(
+                self.llm_cfg, self.llm_params, inputs, self.max_new_tokens,
+                self.tokenizer.pad_token_id,
+                jax.random.fold_in(jax.random.key(seed), bi),
+                temperature=temperature, top_k=top_k,
+                prefill_params=self.llm_params_prefill,
+            )
+        return tokens, real
+
+    def _caption_bulk(self, embeddings: np.ndarray) -> List[str]:
+        """The on-device continuous-batching engine over a whole workload
+        (greedy-only; see dmi_tpu/streaming.py)."""
+        from dmi_tpu.streaming import StreamingCaptioner
+
+        prefix_np = np.asarray(self._prefix[0])
+        eng = StreamingCaptioner(
+            self.llm_cfg, self.llm_params, self.proj_spec,
+            self.proj_params, prefix_np, self.max_new_tokens,
+            # run_bulk never touches the scratch slot, but the pool
+            # invariant is >= 2; clamp so batch_size=1 still serves
+            self.tokenizer.pad_token_id, pool=max(2, self.batch_size),
+            admit=max(1, min(64, self.batch_size // 4)),
+            prefill_params=self.llm_params_prefill,
+        )
+        toks = eng.run_bulk(
+            np.asarray(l2_normalize(jnp.asarray(embeddings, jnp.float32)))
+        )
+        # same postprocessing as the batch path (no extra stripping)
+        return self.tokenizer.batch_decode(toks, skip_special_tokens=True)
+
     def caption(
         self,
         embeddings: np.ndarray,
         temperature: Optional[float] = None,
         top_k: int = 0,
         seed: int = 0,
-        engine: str = "batch",
+        engine: str = "auto",
     ) -> List[str]:
         """Greedy by default (the reference's decode mode); pass a
         temperature for stochastic decoding.
@@ -173,75 +254,74 @@ class Captioner:
         batches on chip when caption lengths vary.  Composes with
         tensor-parallel meshes (GSPMD partitions the engine like the
         batch tp decode; tokens pinned equal in tests).  Greedy-only —
-        falls back to the batch path for temperature sampling."""
-        from dmi_tpu.models import decode as dec
+        falls back to the batch path for temperature sampling.
 
+        engine="auto" (default): pick per workload.  Multi-batch greedy
+        workloads at moderate pools probe the FIRST batch on the batch
+        path; if the measured mean caption length is under
+        _BULK_LEN_RATIO of the budget (idle-lane waste bulk amortizes —
+        its 1.25-1.47x regime), the remainder runs on the bulk engine,
+        otherwise it stays on the batch path (bulk's eos-free overhead is
+        0.977x).  The decision and its reason land in
+        self.engine_decision."""
         n = embeddings.shape[0]
-        if engine == "bulk" and temperature is None and n > 0:
-            from dmi_tpu.streaming import StreamingCaptioner
+        if engine not in ("auto", "batch", "bulk"):
+            raise ValueError(f"unknown engine {engine!r}")
+        decision, reason, probe = engine, "explicit", False
+        if engine == "auto":
+            if temperature is not None:
+                decision, reason = "batch", "sampling (bulk is greedy-only)"
+            elif n <= self.batch_size:
+                decision, reason = "batch", "single batch (nothing to amortize)"
+            elif self.batch_size > _BULK_MAX_POOL:
+                decision, reason = "batch", (
+                    f"pool {self.batch_size} > {_BULK_MAX_POOL} "
+                    "(bulk measured a wash at 512)"
+                )
+            else:
+                decision, probe = "batch", True
+        if decision == "bulk" and temperature is None and n > 0:
+            self.engine_decision = ("bulk", reason)
+            return self._caption_bulk(embeddings)
 
-            prefix_np = np.asarray(self._prefix[0])
-            eng = StreamingCaptioner(
-                self.llm_cfg, self.llm_params, self.proj_spec,
-                self.proj_params, prefix_np, self.max_new_tokens,
-                # run_bulk never touches the scratch slot, but the pool
-                # invariant is >= 2; clamp so batch_size=1 still serves
-                self.tokenizer.pad_token_id, pool=max(2, self.batch_size),
-                admit=max(1, min(64, self.batch_size // 4)),
-                prefill_params=self.llm_params_prefill,
+        out: List[str] = []
+        start = 0
+        if probe:
+            # decide from the first batch, measured on the batch path (a
+            # synchronous fetch; costs pipelining on batch #1 only)
+            tokens, real = self._dispatch_batch(
+                embeddings[: self.batch_size], None, top_k, seed, 0
             )
-            toks = eng.run_bulk(
-                np.asarray(l2_normalize(jnp.asarray(embeddings, jnp.float32)))
+            toks_np = np.asarray(tokens)
+            out.extend(
+                self.tokenizer.batch_decode(toks_np, skip_special_tokens=True)
             )
-            # same postprocessing as the batch path (no extra stripping)
-            return self.tokenizer.batch_decode(toks, skip_special_tokens=True)
+            # decode writes pad after termination: non-pad count per row is
+            # the effective caption length
+            lens = (toks_np != self.tokenizer.pad_token_id).sum(axis=1)
+            ratio = float(lens.mean()) / max(1, self.max_new_tokens)
+            start = self.batch_size
+            if ratio < _BULK_LEN_RATIO:
+                self.engine_decision = (
+                    "bulk", f"probe: mean-length ratio {ratio:.2f} < "
+                    f"{_BULK_LEN_RATIO} (idle-lane waste; bulk regime)"
+                )
+                out.extend(self._caption_bulk(embeddings[start:]))
+                return out
+            self.engine_decision = (
+                "batch", f"probe: mean-length ratio {ratio:.2f} >= "
+                f"{_BULK_LEN_RATIO} (bulk eos-free overhead)"
+            )
+        else:
+            self.engine_decision = ("batch", reason)
         # two-phase pipeline: dispatch every batch (async), then fetch in
         # order — host prep and detokenization overlap device decode
         pending = []
-        for bi, start in enumerate(range(0, n, self.batch_size)):
-            chunk = embeddings[start : start + self.batch_size]
-            real = chunk.shape[0]
-            if real < self.batch_size:  # pad the tail to the compiled shape
-                chunk = np.concatenate(
-                    [chunk, np.repeat(chunk[-1:], self.batch_size - real, axis=0)],
-                    axis=0,
-                )
-            embs = l2_normalize(jnp.asarray(chunk, jnp.float32))
-            if self.mesh is not None:
-                from dmi_tpu.parallel import batch_sharding
-
-                embs = jax.device_put(embs, batch_sharding(self.mesh, embs.ndim))
-            if temperature is None:
-                # one jitted program for projector -> assemble -> decode:
-                # eager assembly costs ~25 ms/dispatch through the relay
-                import os
-
-                tokens = _caption_pipeline(
-                    self.llm_cfg, self.proj_spec, self.proj_params,
-                    self.llm_params, self.llm_params_prefill, embs,
-                    self._prefix, self.max_new_tokens,
-                    self.tokenizer.pad_token_id,
-                    batch_first=os.environ.get("DMI_DECODE_BATCH_FIRST")
-                    == "1",
-                )
-            else:
-                soft = proj.apply(self.proj_spec, self.proj_params, embs,
-                                  train=False)
-                # same bf16-prompt / quantized-loop split as the greedy path
-                inputs = mmmodel.assemble_prompt(
-                    self.llm_cfg, self.llm_params_prefill or self.llm_params,
-                    soft, self._prefix,
-                )
-                tokens = dec.sample_generate(
-                    self.llm_cfg, self.llm_params, inputs, self.max_new_tokens,
-                    self.tokenizer.pad_token_id,
-                    jax.random.fold_in(jax.random.key(seed), bi),
-                    temperature=temperature, top_k=top_k,
-                    prefill_params=self.llm_params_prefill,
-                )
-            pending.append((tokens, real))
-
-        out: List[str] = []
+        for bi, s in enumerate(range(start, n, self.batch_size)):
+            pending.append(self._dispatch_batch(
+                embeddings[s : s + self.batch_size], temperature, top_k,
+                seed, bi,
+            ))
         for tokens, real in pending:
             out.extend(
                 self.tokenizer.batch_decode(
@@ -291,8 +371,10 @@ def main(argv=None) -> None:
                     help="stochastic decoding (default: greedy)")
     ap.add_argument("--top-k", type=int, default=0)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--engine", choices=["batch", "bulk"], default="batch",
-                    help="bulk = on-device continuous batching (greedy only)")
+    ap.add_argument("--engine", choices=["auto", "batch", "bulk"],
+                    default="auto",
+                    help="bulk = on-device continuous batching (greedy "
+                         "only); auto probes the first batch and picks")
     args = ap.parse_args(argv)
 
     cap = Captioner.from_checkpoint(
@@ -304,6 +386,8 @@ def main(argv=None) -> None:
         embs, temperature=args.temperature, top_k=args.top_k, seed=args.seed,
         engine=args.engine,
     )
+    if cap.engine_decision is not None:
+        log.info("engine: %s (%s)", *cap.engine_decision)
     with open(args.out, "w") as f:
         json.dump(dict(zip(ids, captions)), f, indent=2)
     print(f"wrote {len(captions)} captions -> {args.out}")

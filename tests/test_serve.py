@@ -162,3 +162,86 @@ def test_captioner_bulk_engine(trained):
     got = cap.caption(embs, engine="bulk")
     assert len(got) == 7
     assert all(isinstance(c, str) for c in got)
+
+
+class TestAutoEngine:
+    """engine='auto' (VERDICT r2 #6): regime table + probe behavior.
+
+    The probe thresholds are monkeypatched to force each arm — the chip
+    regime constants themselves are measurements (BASELINE.md engine
+    rows), not testable on CPU."""
+
+    def _cap(self, trained, **kw):
+        _, ckpt = trained
+        return Captioner.from_checkpoint(
+            "test:tiny", ckpt, "sydney", lm_dtype="float32", batch_size=4,
+            **kw,
+        )
+
+    def test_sampling_stays_batch(self, trained):
+        cap = self._cap(trained)
+        embs = np.random.default_rng(0).normal(size=(6, 32)).astype(np.float32)
+        out = cap.caption(embs, temperature=1.5, engine="auto")
+        assert len(out) == 6
+        assert cap.engine_decision[0] == "batch"
+        assert "sampling" in cap.engine_decision[1]
+
+    def test_single_batch_stays_batch(self, trained):
+        cap = self._cap(trained)
+        out = cap.caption(np.ones((3, 32), np.float32), engine="auto")
+        assert len(out) == 3
+        assert cap.engine_decision == ("batch", "single batch (nothing to amortize)")
+
+    def test_large_pool_stays_batch(self, trained, monkeypatch):
+        import dmi_tpu.serve as serve_mod
+
+        monkeypatch.setattr(serve_mod, "_BULK_MAX_POOL", 2)
+        cap = self._cap(trained)
+        embs = np.random.default_rng(1).normal(size=(9, 32)).astype(np.float32)
+        out = cap.caption(embs, engine="auto")
+        assert len(out) == 9
+        assert cap.engine_decision[0] == "batch"
+        assert "pool 4 > 2" in cap.engine_decision[1]
+
+    def test_probe_eos_free_arm_matches_batch_path(self, trained, monkeypatch):
+        """Ratio threshold forced to -1: the probe must keep the batch
+        path and the captions must equal engine='batch' exactly."""
+        import dmi_tpu.serve as serve_mod
+
+        monkeypatch.setattr(serve_mod, "_BULK_LEN_RATIO", -1.0)
+        cap = self._cap(trained)
+        embs = np.random.default_rng(2).normal(size=(10, 32)).astype(np.float32)
+        auto = cap.caption(embs, engine="auto")
+        assert cap.engine_decision[0] == "batch"
+        assert "probe" in cap.engine_decision[1]
+        batch = cap.caption(embs, engine="batch")
+        assert cap.engine_decision == ("batch", "explicit")
+        assert auto == batch
+
+    def test_probe_eos_rich_arm_switches_to_bulk(self, trained, monkeypatch):
+        """Ratio threshold forced to 2.0: the probe batch serves on the
+        batch path, the remainder on the bulk engine."""
+        import dmi_tpu.serve as serve_mod
+
+        monkeypatch.setattr(serve_mod, "_BULK_LEN_RATIO", 2.0)
+        cap = self._cap(trained)
+        embs = np.random.default_rng(3).normal(size=(10, 32)).astype(np.float32)
+        auto = cap.caption(embs, engine="auto")
+        assert len(auto) == 10
+        assert cap.engine_decision[0] == "bulk"
+        assert "probe" in cap.engine_decision[1]
+        # the probe batch itself came off the batch path
+        batch = cap.caption(embs[:4], engine="batch")
+        assert auto[:4] == batch
+
+    def test_explicit_bulk_unchanged(self, trained):
+        cap = self._cap(trained)
+        embs = np.random.default_rng(4).normal(size=(5, 32)).astype(np.float32)
+        out = cap.caption(embs, engine="bulk")
+        assert len(out) == 5
+        assert cap.engine_decision == ("bulk", "explicit")
+
+    def test_unknown_engine_raises(self, trained):
+        cap = self._cap(trained)
+        with pytest.raises(ValueError):
+            cap.caption(np.ones((2, 32), np.float32), engine="turbo")
