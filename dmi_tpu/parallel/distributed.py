@@ -93,34 +93,40 @@ def make_multihost_mesh(
 ) -> Mesh:
     """(replica, data, model) mesh with the 'replica' axis over DCN.
 
-    ici_shape is the per-slice (data, model) layout; the leading 'replica'
-    axis spans jax.process_count() slices across DCN.  Uses
-    mesh_utils.create_hybrid_device_mesh when multiple slices exist so the
-    physical ICI topology maps contiguously onto the trailing axes; on a
-    single process it degenerates to make_mesh + a size-1 replica axis, so
-    every downstream PartitionSpec works unchanged in both worlds."""
+    ici_shape is the per-granule (data, model) layout; the leading
+    'replica' axis spans the DCN granules.  A granule is a TPU slice when
+    the devices report distinct slice_index values (multi-slice pods),
+    otherwise a process (multi-host CPU/GPU runs, where each process's
+    devices are the fast-network island) — mesh_utils'
+    create_hybrid_device_mesh maps the physical ICI topology contiguously
+    onto the trailing axes within each granule.  Single-granule runs
+    degenerate to a size-1 replica axis over jax.devices(), so every
+    downstream PartitionSpec works unchanged in both worlds."""
     from jax.experimental import mesh_utils
 
-    n_local = len(jax.local_devices())
-    n_total = len(jax.devices())
-    n_slices = max(1, n_total // max(n_local, 1))
+    all_devices = jax.devices()
+    slice_ids = {getattr(d, "slice_index", 0) for d in all_devices}
+    if len(slice_ids) > 1:
+        n_granules, process_is_granule = len(slice_ids), False
+    else:
+        n_granules, process_is_granule = max(1, jax.process_count()), True
 
     if ici_shape is None:
-        ici_shape = (n_local, 1)
+        ici_shape = (len(all_devices) // n_granules, 1)
     ici_shape = tuple(ici_shape)
 
-    if n_slices > 1:
+    if n_granules > 1:
         devices = mesh_utils.create_hybrid_device_mesh(
             mesh_shape=ici_shape,
-            dcn_mesh_shape=(n_slices,) + (1,) * (len(ici_shape) - 1),
+            dcn_mesh_shape=(n_granules,) + (1,) * (len(ici_shape) - 1),
+            process_is_granule=process_is_granule,
             allow_split_physical_axes=allow_split_physical_axes,
         )
-        # hybrid mesh returns (slices*data, model); reshape to 3 axes
-        devices = devices.reshape((n_slices,) + ici_shape)
+        # hybrid mesh returns (granules*data, model); reshape to 3 axes
+        devices = devices.reshape((n_granules,) + ici_shape)
     else:
         n = int(np.prod(ici_shape))
-        devs = jax.devices()[:n]
-        devices = np.asarray(devs).reshape((1,) + ici_shape)
+        devices = np.asarray(all_devices[:n]).reshape((1,) + ici_shape)
     return Mesh(devices, axis_names)
 
 

@@ -1,11 +1,16 @@
 """Multi-host entry: single-process fallthrough + (replica, data, model)
 mesh semantics on the virtual 8-device CPU platform."""
 
+import os
+import os.path as osp
+
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
+
+import pytest
 
 from dmi_tpu.parallel import batch_axes, init_distributed, make_multihost_mesh
 
@@ -42,3 +47,61 @@ def test_training_step_on_replica_data_model_mesh():
     out = float(step(xs, ws))
     ref = float(step(x, w))
     np.testing.assert_allclose(out, ref, rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_multiprocess_distributed_matches_single_process(tmp_path):
+    """VERDICT r2 #4: REAL multi-process jax.distributed execution.
+
+    Two localhost processes x 4 virtual CPU devices rendezvous at a local
+    coordinator, exercise make_multihost_mesh's hybrid (n_slices>1)
+    branch, and run one sharded stage-1 train step; the loss and the
+    post-update parameter checksum must match the same step computed in
+    THIS process on its single-process mesh (process count must be
+    invisible to the math)."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    env = dict(
+        os.environ, PYTHONPATH="/root/repo",
+        JAX_PLATFORMS="",  # worker forces cpu itself via config.update
+    )
+    env.pop("JAX_PLATFORMS")
+    worker = osp.join(osp.dirname(__file__), "dist_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), "2", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0, f"worker failed:\n{err[-3000:]}"
+    line = next(
+        ln for ln in outs[0][1].splitlines() if ln.startswith("RESULT")
+    )
+    got = dict(kv.split("=") for kv in line.split()[1:])
+
+    # single-process oracle on this process's 8-device mesh
+    from tests.dist_worker import run_step
+
+    mesh = make_multihost_mesh(ici_shape=(4, 2))
+    assert mesh.devices.shape == (1, 4, 2)  # degenerate branch
+    loss, checksum = run_step(mesh)
+    np.testing.assert_allclose(float(got["loss"]), loss, rtol=1e-5)
+    np.testing.assert_allclose(float(got["checksum"]), checksum, rtol=1e-5)
