@@ -82,12 +82,29 @@ def save_pytree_orbax(path: str, obj: Dict[str, Any]) -> None:
 
 
 def load_pytree_orbax(path: str, like: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+    """Restore an orbax checkpoint.  When `like` carries sharded
+    jax.Arrays (or the abstract targets from sharded_like), each process
+    reads ONLY its own shards and the restored arrays land directly in
+    those shardings — no host gather anywhere (the multi-host path the
+    pickle backend cannot express)."""
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
     if like is not None:
         return ckptr.restore(osp.abspath(path), target=like)
     return ckptr.restore(osp.abspath(path))
+
+
+def sharded_like(tree):
+    """Abstract restore target carrying shapes/dtypes/shardings of `tree`
+    without keeping its buffers alive — pass as load_pytree_orbax(like=)
+    so restore never holds two copies of large sharded state."""
+    return jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+        if hasattr(x, "sharding")
+        else x,
+        tree,
+    )
 
 
 class BestCheckpointer:

@@ -92,3 +92,36 @@ def test_orbax_backend_roundtrip(tmp_path):
     restored = load_pytree_orbax(path, like=params)
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_orbax_sharded_restore_into_mesh_shardings(tmp_path):
+    """Per-process sharded orbax path (VERDICT r2 #10): save sharded
+    state, restore via the abstract sharded_like target, and get the
+    original shardings back without a host gather."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dmi_tpu.parallel import make_mesh
+    from dmi_tpu.training.checkpoint import (
+        load_pytree_orbax, save_pytree_orbax, sharded_like,
+    )
+
+    mesh = make_mesh((4, 2))
+    tree = {
+        "w": jax.device_put(
+            jnp.arange(64, dtype=jnp.float32).reshape(8, 8),
+            NamedSharding(mesh, P(None, "model")),
+        ),
+        "b": jax.device_put(
+            jnp.arange(8, dtype=jnp.float32), NamedSharding(mesh, P())
+        ),
+        "step": 7,
+    }
+    path = str(tmp_path / "sharded_ckpt")
+    save_pytree_orbax(path, tree)
+    restored = load_pytree_orbax(path, like=sharded_like(tree))
+    assert restored["w"].sharding == tree["w"].sharding
+    assert restored["b"].sharding == tree["b"].sharding
+    assert restored["step"] == 7
+    np.testing.assert_array_equal(np.asarray(restored["w"]), np.asarray(tree["w"]))
