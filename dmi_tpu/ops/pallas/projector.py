@@ -197,19 +197,22 @@ def _mlp2_pallas(x, w0, b0, w1, b1):
 def fused_mlp2(x, w0, b0, w1, b1):
     """gelu_tanh(x @ w0 + b0) @ w1 + b1 — Pallas on aligned TPU shapes.
 
-    Only the single-block kernel is default-on (hardware-validated ~1.8x
-    over the XLA twin at the bf16 production shapes).  The column-tiled
-    variant MEASURED ~700 ms/call on the v5e chip for the f32
-    [256,1024]x[1024,2048]x[2048,2048] serving shape — 4x the whole decode
-    loop — so shapes that don't fit a single block use the XLA twin unless
-    DMI_PALLAS_TILED_MLP=1 explicitly opts in (kept for re-validation runs,
-    scripts/validate_pallas.py)."""
+    The single-block kernel is default-on (hardware-validated ~1.8x over
+    the XLA twin at the bf16 production shapes).  The column-tiled variant
+    for shapes exceeding a single block is ALSO default-on since round 3:
+    an early ~700 ms/call chip reading was relay pathology — re-measured
+    healthy twice (standalone 77.4 vs 89.0 ms XLA, commit 2e902be; in-loop
+    1.015 vs 1.146 ms/call = 1.13x inside the serving pipeline process,
+    scripts/profile_tiled_mlp.py; f32 numerics exact).  End-to-end the
+    projector is ~1.4% of the 22-token serving pipeline, so the win is
+    ~0.7% there; it matters at larger projector shares.
+    DMI_PALLAS_TILED_MLP=0 opts back out to the XLA twin."""
     import os
 
     if _pallas_enabled() and _aligned(w0.shape[0], w0.shape[1], w1.shape[1]):
         if _mlp2_vmem_bytes(x, w0, w1) <= VMEM_BUDGET:
             return _mlp2_pallas(x, w0, b0, w1, b1)
-        if os.environ.get("DMI_PALLAS_TILED_MLP") == "1":
+        if os.environ.get("DMI_PALLAS_TILED_MLP", "1") != "0":
             tile_n = 256 if w1.shape[1] % 256 == 0 else (128 if w1.shape[1] % 128 == 0 else None)
             if tile_n is not None and _mlp2_tiled_vmem_bytes(x, w0, w1, tile_n) <= VMEM_BUDGET:
                 return _mlp2_pallas_tiled(x, w0, b0, w1, b1, tile_n)
