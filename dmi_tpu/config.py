@@ -138,6 +138,11 @@ class HypnetArgs:
     hn_principled_init: bool = False
     hn_n_proj_layers: Optional[int] = None  # set by post-init from proj_n_layers
     hn_use_pos_encs: bool = False
+    # dropout rates the reference hardcodes (dmi/model/hypernet.py:47 MHSA
+    # p=0.05; torch TransformerEncoderLayer default 0.1) — exposed so
+    # deterministic cross-implementation runs can zero them on both sides
+    hn_attn_dropout: float = 0.05
+    hn_transformer_dropout: float = 0.1
 
 
 @dataclass

@@ -94,6 +94,8 @@ def main(name, train_args, hn_args, projector_args, data_args, menc_args, lm_arg
         predict_bias=hn_args.hn_predict_bias,
         n_proj_layers=hn_args.hn_n_proj_layers,
         use_pos_encs=hn_args.hn_use_pos_encs,
+        attn_dropout=hn_args.hn_attn_dropout,
+        transformer_dropout=hn_args.hn_transformer_dropout,
     )
     hn_params = hn.init(jax.random.key(train_args.seed), hn_spec)
 

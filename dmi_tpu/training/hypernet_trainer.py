@@ -332,6 +332,9 @@ class HypernetTrainer:
                 if self.cond.generate(step, total, include_final=False):
                     all_metrics, _, _, _ = self.generate(mode="eval")
                     log.info("Step: %d Metrics: %s", step, all_metrics)
+                    # reference wandb.logs every metric (dmi/train.py:169-178)
+                    for mname, ms in all_metrics.items():
+                        mlog.log({f"{k} - {mname}": v for k, v in ms.items()}, step)
                 if self.cond.save(step, total):
                     self.ckpt.save(
                         step, cur_eval_loss, "loss", self.state.params,

@@ -15,7 +15,11 @@ import os
 
 
 def apply_platform_env() -> None:
-    plat = os.environ.get("DMI_PLATFORM")
+    # DMI_PLATFORM wins; an explicitly-set JAX_PLATFORMS is honored as the
+    # fallback (restoring stock JAX semantics that sitecustomize's
+    # config.update silently overrides — measured round 3: a subprocess
+    # with JAX_PLATFORMS=cpu still initialized the axon relay backend).
+    plat = os.environ.get("DMI_PLATFORM") or os.environ.get("JAX_PLATFORMS")
     if plat:
         import jax
 

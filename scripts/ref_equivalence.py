@@ -412,6 +412,14 @@ def compare(ref: dict, ours: dict) -> dict:
 
 
 def run_equivalence(workdir: str) -> dict:
+    # CPU determinism + keep the TPU relay out of a torch-vs-jax diff.
+    # The env var is NOT enough: sitecustomize's axon register() calls
+    # jax.config.update("jax_platforms", ...), and config beats env —
+    # without this line the "ours" leg runs over the TPU relay (measured:
+    # a wedged relay stalls this script in nanosleep for 25+ minutes).
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
     os.makedirs(workdir, exist_ok=True)
     name = f"refequiv-dszfull-seed{SEED}"
     lm_dir = build_local_lm(workdir)

@@ -36,10 +36,38 @@ def test_reference_pipeline_equivalence(tmp_path):
     assert proc.returncode == 0, proc.stderr[-4000:]
     summary = json.loads(proc.stdout.strip().splitlines()[-1])
     # f32 cross-implementation numerics (torch/oneDNN vs jax/XLA CPU):
-    # measured 2.5e-5 max rel over 48 steps; 1e-3 is the regression wall.
+    # measured 2.3e-7 max rel over 48 steps; 1e-3 is the regression wall.
     assert summary["train_max_rel"] < 1e-3, summary
     assert summary["eval_max_abs"] < 1e-2, summary
     ident, total = map(int, summary["preds"].split("/"))
     assert total >= 10 and ident == total, summary
     assert summary["gts_equal"] and summary["ids_equal"], summary
     assert all(v == 0.0 for v in summary["metric_abs_diffs"].values()), summary
+
+
+def test_reference_hypernet_pipeline_equivalence(tmp_path):
+    """Stage-2 leg (scripts/ref_equivalence_hypernet.py): the executed
+    reference train_hypernet.py mode=train vs our HypernetTrainer —
+    subset interleave + prefix concat, hypernet forward, per-sample LoRA
+    on the frozen projector, grad-clip/AdamW/cosine, eval loop, generate
+    through hypernet-emitted adapters.  Rotation off, MHSA dropout zeroed
+    on both sides (see the script docstring for the determinism design)."""
+    proc = subprocess.run(
+        [
+            sys.executable,
+            osp.join(REPO, "scripts", "ref_equivalence_hypernet.py"),
+            str(tmp_path),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    # measured 1.5e-7 max rel over 23 steps / 1.7e-6 eval max abs
+    assert summary["train_n"] >= 20, summary
+    assert summary["train_max_rel"] < 1e-3, summary
+    assert summary["eval_max_abs"] < 1e-2, summary
+    gen = summary["gen_metric_max_abs"]
+    assert len(gen) >= 8, summary
+    assert all(v == 0.0 for v in gen.values()), summary
