@@ -462,7 +462,10 @@ class HypernetTrainer:
 
     def fewshot_generate(self, train_step_idx: Optional[int] = None):
         """dmi/train_hypernet.py:202-295."""
+        from dmi_tpu.utils.logging import MetricLogger
+
         args, fargs = self.train_args, self.fewshot_args
+        mlog = MetricLogger(self.name, f"dmi_{self.TRAINER_TYPE}")
         all_test = {"metrics": {}, "gts": {}, "preds": {}, "ids": {}}
         for emb_idx, (loader, mgr) in enumerate(
             zip(self.fewshot_loaders, self.fewshot_emb_mgrs)
@@ -525,6 +528,9 @@ class HypernetTrainer:
                 if do_update:
                     if (step + 1) % args.logging_steps == 0 and step > 0:
                         log.info("Fewshot step %d/%d loss %.3f", step, total, float(accumulated))
+                        # reference fewshot loop wandb.logs train_loss per
+                        # update (dmi/train.py:116-118 via train_hypernet.py:255)
+                        mlog.log({"train_loss": float(accumulated)}, step)
                     if self.cond.evaluate(step, total):
                         all_metrics, _, _, _ = self.generate("eval", fewshot_idx=emb_idx)
                         comp_metric, cur = self._comp_metric(all_metrics)

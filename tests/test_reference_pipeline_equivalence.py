@@ -71,3 +71,33 @@ def test_reference_hypernet_pipeline_equivalence(tmp_path):
     gen = summary["gen_metric_max_abs"]
     assert len(gen) >= 8, summary
     assert all(v == 0.0 for v in gen.values()), summary
+
+
+def test_reference_fewshot_pipeline_equivalence(tmp_path):
+    """Stage-3 leg (scripts/ref_equivalence_fewshot.py): the executed
+    reference train_hypernet.py mode=fewshot vs our fewshot_generate —
+    adapter emission + averaging + combine_lora baking, fresh-AdamW
+    finetune of the generated projector, best-by-CIDEr selection, test
+    generate, results JSON.  Both sides resume one reference-built
+    hypernet checkpoint (see the script docstring)."""
+    proc = subprocess.run(
+        [
+            sys.executable,
+            osp.join(REPO, "scripts", "ref_equivalence_fewshot.py"),
+            str(tmp_path),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    # measured 1.5e-7 max rel over 23 update steps
+    assert summary["train_n"] >= 20, summary
+    assert summary["train_max_rel"] < 1e-3, summary
+    ident, total = map(int, summary["preds"].split("/"))
+    assert total >= 10 and ident == total, summary
+    assert summary["gts_equal"] and summary["ids_equal"], summary
+    diffs = summary["metric_abs_diffs"]
+    assert len(diffs) >= 8, summary
+    assert all(v == 0.0 for v in diffs.values()), summary
