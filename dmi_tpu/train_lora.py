@@ -88,8 +88,17 @@ def main(name, data_args, lora_args, lm_args, menc_args, projector_args, train_a
         train_args=train_args,
         data_root=data_args.data_root,
     )
+    start_step = 0
+    if train_args.resume_from_checkpoint:
+        # reference LoraTrainer loads resume_from_checkpoint at init
+        # (dmi/train_lora.py:33-34); its start step stays 0 (the reference's
+        # ckpt_state resume is broken by design — SURVEY.md quirks)
+        start_step = trainer.resume(train_args.resume_from_checkpoint)
+        if train_args.resume_from_checkpoint_reset_steps:
+            start_step = 0
+        log.info("Resuming LoRA training from step %d", start_step)
     log.info("Starting LoRA training (%d steps)", trainer.total_steps)
-    return trainer.train()
+    return trainer.train(start_step)
 
 
 def run(config_path: str) -> None:

@@ -101,3 +101,33 @@ def test_reference_fewshot_pipeline_equivalence(tmp_path):
     diffs = summary["metric_abs_diffs"]
     assert len(diffs) >= 8, summary
     assert all(v == 0.0 for v in diffs.values()), summary
+
+
+def test_reference_lora_pipeline_equivalence(tmp_path):
+    """LoRA-baseline leg (scripts/ref_equivalence_lora.py): the executed
+    reference train_lora.py vs our LoraTrainer — module-LoRA forward over
+    the shared frozen projector, AdamW + warmup-cosine, best-by-CIDEr,
+    test generate, results JSON, from the reference's dumped adapter
+    init."""
+    proc = subprocess.run(
+        [
+            sys.executable,
+            osp.join(REPO, "scripts", "ref_equivalence_lora.py"),
+            str(tmp_path),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    # measured 1.5e-7 max rel / 1.2e-6 eval max abs
+    assert summary["train_n"] >= 10, summary
+    assert summary["train_max_rel"] < 1e-3, summary
+    assert summary["eval_max_abs"] < 1e-2, summary
+    ident, total = map(int, summary["preds"].split("/"))
+    assert total >= 10 and ident == total, summary
+    assert summary["gts_equal"] and summary["ids_equal"], summary
+    diffs = summary["metric_abs_diffs"]
+    assert len(diffs) >= 8, summary
+    assert all(v == 0.0 for v in diffs.values()), summary
