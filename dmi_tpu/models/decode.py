@@ -42,27 +42,53 @@ def init_cache(cfg: LlamaConfig, batch: int, max_len: int) -> Tuple[jax.Array, j
     return jnp.zeros(shape, cfg.dtype), jnp.zeros(shape, cfg.dtype)
 
 
-def _run_layers(cfg, params, x, cos, sin, bias, caches, cache_index, last_only=False):
+def _run_layers(cfg, params, x, cos, sin, bias, caches, cache_index, last_only=False,
+                bias_sw=None):
     """lax.scan over stacked layer weights, threading stacked KV caches.
 
     last_only restricts the vocab-head matmul to the final position —
     prefill only needs the next-token logits, and the [B, T, V] head output
-    is by far its largest tensor."""
+    is by far its largest tensor.
+
+    bias_sw: per-layer sliding-window bias (gemma-2); layers flagged
+    sliding in cfg.layer_sliding use it instead of `bias`.  None whenever
+    sliding cannot bind (llama.sliding_effective) — the hot path is then
+    byte-identical to the single-bias formulation."""
     k_cache, v_cache = caches
 
-    def body(carry, xs):
-        h = carry
-        lw, kc, vc = xs
-        h, (kc, vc) = llama._block(
-            cfg, h, lw, cos, sin, bias, cache_kv=(kc, vc), cache_index=cache_index
-        )
-        return h, (kc, vc)
+    if bias_sw is not None:
+        flags = jnp.asarray(cfg.layer_sliding)
 
-    x, (k_cache, v_cache) = jax.lax.scan(body, x, (params["layers"], k_cache, v_cache))
+        def body(carry, xs):
+            h = carry
+            lw, kc, vc, fl = xs
+            h, (kc, vc) = llama._block(
+                cfg, h, lw, cos, sin, jnp.where(fl, bias_sw, bias),
+                cache_kv=(kc, vc), cache_index=cache_index,
+            )
+            return h, (kc, vc)
+
+        x, (k_cache, v_cache) = jax.lax.scan(
+            body, x, (params["layers"], k_cache, v_cache, flags)
+        )
+    else:
+
+        def body(carry, xs):
+            h = carry
+            lw, kc, vc = xs
+            h, (kc, vc) = llama._block(
+                cfg, h, lw, cos, sin, bias, cache_kv=(kc, vc), cache_index=cache_index
+            )
+            return h, (kc, vc)
+
+        x, (k_cache, v_cache) = jax.lax.scan(
+            body, x, (params["layers"], k_cache, v_cache)
+        )
     if last_only:
         x = x[:, -1:, :]
     x = llama.rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    return llama._head_matmul(x, params, cfg), (k_cache, v_cache)
+    logits = llama._head_matmul(x, params, cfg)
+    return llama.final_softcap(cfg, logits), (k_cache, v_cache)
 
 
 def prefill(cfg, params, inputs_embeds, caches):
@@ -76,9 +102,14 @@ def prefill(cfg, params, inputs_embeds, caches):
     valid = key_pos[None, :] <= positions[:, None]  # [T, S]
     bias = jnp.where(valid, 0.0, jnp.finfo(jnp.float32).min)[None]
     bias = jnp.broadcast_to(bias, (B, T, S))
+    bias_sw = None
+    if llama.sliding_effective(cfg, T):
+        in_win = (positions[:, None] - key_pos[None, :]) < cfg.sliding_window
+        bias_sw = jnp.where(valid & in_win, 0.0, jnp.finfo(jnp.float32).min)[None]
+        bias_sw = jnp.broadcast_to(bias_sw, (B, T, S))
+    x = llama.scale_embeds(cfg, inputs_embeds.astype(cfg.dtype))
     logits, caches = _run_layers(
-        cfg, params, inputs_embeds.astype(cfg.dtype), cos, sin, bias, caches, 0,
-        last_only=True,
+        cfg, params, x, cos, sin, bias, caches, 0, last_only=True, bias_sw=bias_sw,
     )
     return logits[:, -1, :], caches
 
@@ -88,11 +119,18 @@ def decode_step(cfg, params, token_embeds, caches, pos):
     B = token_embeds.shape[0]
     S = caches[0].shape[3]
     cos, sin = llama.rope_tables(cfg, pos[None])
-    valid = (jnp.arange(S) <= pos)[None, None, :]
+    key_pos = jnp.arange(S)
+    valid = (key_pos <= pos)[None, None, :]
     bias = jnp.where(valid, 0.0, jnp.finfo(jnp.float32).min)
     bias = jnp.broadcast_to(bias, (B, 1, S))
+    bias_sw = None
+    if llama.sliding_effective(cfg, S):
+        in_win = ((pos - key_pos) < cfg.sliding_window)[None, None, :]
+        bias_sw = jnp.where(valid & in_win, 0.0, jnp.finfo(jnp.float32).min)
+        bias_sw = jnp.broadcast_to(bias_sw, (B, 1, S))
+    x = llama.scale_embeds(cfg, token_embeds.astype(cfg.dtype))
     logits, caches = _run_layers(
-        cfg, params, token_embeds.astype(cfg.dtype), cos, sin, bias, caches, pos
+        cfg, params, x, cos, sin, bias, caches, pos, bias_sw=bias_sw
     )
     return logits[:, 0, :], caches
 
@@ -277,7 +315,7 @@ def _mm_bl(w, h):
     return jax.lax.dot_general(w, h, (((0,), (0,)), ((), ())))
 
 
-def _decode_attention_bl(q, kc, vc, bias):
+def _decode_attention_bl(q, kc, vc, bias, scale=None, softcap=None):
     """Single-position GQA attention, batch-last.
 
     q: [nkv, g, hd, B], kc/vc: [nkv, S, hd, B], bias: [S] (position
@@ -290,10 +328,13 @@ def _decode_attention_bl(q, kc, vc, bias):
     scores = jnp.sum(
         q[:, :, None, :, :] * kc[:, None, :, :, :], axis=3, dtype=jnp.float32
     )  # [nkv, g, S, B]
+    scores = scores * (scale if scale is not None else 1.0 / np.sqrt(q.shape[2]))
+    if softcap is not None:
+        scores = llama._softcap(scores, softcap)
     # bias [S] (batch-uniform position, the batch decode) or [S, B]
     # (per-slot positions, the continuous-batching engine)
     b = bias[None, None, :, None] if bias.ndim == 1 else bias[None, None]
-    scores = scores / np.sqrt(q.shape[2]) + b
+    scores = scores + b
     probs = jax.nn.softmax(scores, axis=2).astype(vc.dtype)
     out = jnp.sum(
         probs[:, :, :, None, :] * vc[:, None, :, :, :], axis=2, dtype=jnp.float32
@@ -302,7 +343,7 @@ def _decode_attention_bl(q, kc, vc, bias):
 
 
 def _decode_step_bl(cfg, params, h, caches, pos, bias, s_window=None,
-                    head=True, rope=None, write_row=None):
+                    head=True, rope=None, write_row=None, bias_sw=None):
     """One batch-last token step.  h: [H, B]; caches: ([L,nkv,S,hd,B] x2);
     pos: absolute position being written.  Returns (logits [V,B], caches).
 
@@ -322,7 +363,13 @@ def _decode_step_bl(cfg, params, h, caches, pos, bias, s_window=None,
     shares this exact step body with PER-SLOT positions — it passes
     precomputed [hd, B] rope tables and the shared ring row to write at
     (bias is already an [S, B] validity mask there); the batch decode
-    leaves both None (rope from the scalar pos, write at pos)."""
+    leaves both None (rope from the scalar pos, write at pos).
+
+    bias_sw: sliding-window bias for the layers flagged in
+    cfg.layer_sliding (same shape contract as bias); None when sliding
+    cannot bind.  NOTE the head output skips final_logit_softcap: this is
+    a greedy engine, every consumer takes argmax, and tanh rescaling is
+    argmax-invariant — sampling paths go through decode_step, which caps."""
     kv_cache = caches
     nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     g = nh // nkv
@@ -330,21 +377,36 @@ def _decode_step_bl(cfg, params, h, caches, pos, bias, s_window=None,
     if s_window is None:
         s_window = kv_cache.shape[3]
     bias = bias[:s_window]
+    if bias_sw is not None:
+        bias_sw = bias_sw[:s_window]
     if rope is None:
         cos, sin = llama.rope_tables(cfg, pos)  # [hd] each
     else:
         cos, sin = rope
     row = pos if write_row is None else write_row
+    a_scale = llama.attn_score_scale(cfg)
+    a_cap = cfg.attn_logit_softcap
 
     def body(carry, xs):
         x, kvcache = carry
-        lw, li = xs
+        if bias_sw is not None:
+            lw, li, fl = xs
+            b = jnp.where(fl, bias_sw, bias)
+        else:
+            lw, li = xs
+            b = bias
         hn = _rms_norm_bl(x, lw["ln_attn"], cfg.rms_norm_eps)
         if "w_qkv" in lw:
             qkv = _mm_bl(lw["w_qkv"], hn)
+            if "b_qkv" in lw:
+                qkv = qkv + lw["b_qkv"][:, None]
             q, k, v = jnp.split(qkv, [nh * hd, nh * hd + nkv * hd], axis=0)
         else:
             q, k, v = _mm_bl(lw["wq"], hn), _mm_bl(lw["wk"], hn), _mm_bl(lw["wv"], hn)
+            if "bq" in lw:
+                q = q + lw["bq"][:, None]
+                k = k + lw["bk"][:, None]
+                v = v + lw["bv"][:, None]
         q = _rope_bl(q.reshape(nkv, g, hd, B), cos, sin)
         k = _rope_bl(k.reshape(nkv, hd, B), cos, sin)
         v = v.reshape(nkv, hd, B)
@@ -356,22 +418,33 @@ def _decode_step_bl(cfg, params, h, caches, pos, bias, s_window=None,
         kvc = jax.lax.dynamic_slice(
             kvcache, (li, 0, 0, 0, 0, 0), (1, 2, nkv, s_window, hd, B)
         )[0]
-        attn = _decode_attention_bl(q, kvc[0], kvc[1], bias).reshape(nh * hd, B)
-        x = x + _mm_bl(lw["wo"], attn)
+        attn = _decode_attention_bl(q, kvc[0], kvc[1], b, a_scale, a_cap).reshape(
+            nh * hd, B
+        )
+        attn_out = _mm_bl(lw["wo"], attn)
+        if cfg.post_block_norms:
+            attn_out = _rms_norm_bl(attn_out, lw["ln_post_attn"], cfg.rms_norm_eps)
+        x = x + attn_out
         hn = _rms_norm_bl(x, lw["ln_mlp"], cfg.rms_norm_eps)
         if "w_gu" in lw:
             gu = _mm_bl(lw["w_gu"], hn)
             gate, up = jnp.split(gu, 2, axis=0)
-            x = x + _mm_bl(lw["w_down"], jax.nn.silu(gate) * up)
+            mlp_out = _mm_bl(lw["w_down"], llama.mlp_activation(cfg, gate) * up)
         else:
-            gate = jax.nn.silu(_mm_bl(lw["w_gate"], hn))
-            x = x + _mm_bl(lw["w_down"], gate * _mm_bl(lw["w_up"], hn))
+            gate = llama.mlp_activation(cfg, _mm_bl(lw["w_gate"], hn))
+            mlp_out = _mm_bl(lw["w_down"], gate * _mm_bl(lw["w_up"], hn))
+        if cfg.post_block_norms:
+            mlp_out = _rms_norm_bl(mlp_out, lw["ln_post_mlp"], cfg.rms_norm_eps)
+        x = x + mlp_out
         return (x, kvcache), None
 
     L = kv_cache.shape[0]
-    (h, kv_cache), _ = jax.lax.scan(
-        body, (h, kv_cache), (params["layers"], jnp.arange(L))
+    xs = (
+        (params["layers"], jnp.arange(L), jnp.asarray(cfg.layer_sliding))
+        if bias_sw is not None
+        else (params["layers"], jnp.arange(L))
     )
+    (h, kv_cache), _ = jax.lax.scan(body, (h, kv_cache), xs)
     h = _rms_norm_bl(h, params["final_norm"], cfg.rms_norm_eps)
     if not head:
         # caller runs the fused head+argmax kernel on the normed state
@@ -470,22 +543,34 @@ def greedy_generate_bl(
             and cfg.dtype == jnp.bfloat16
         )
 
+    sliding_on = llama.sliding_effective(cfg, total)
+
     def one_token(step, sel, kv_cache, done, tokens, s_window):
         next_tok = sel if fused_head else jnp.argmax(sel, axis=0).astype(jnp.int32)
         next_tok = jnp.where(done, pad_token_id, next_tok)
         tokens = jax.lax.dynamic_update_slice(tokens, next_tok[:, None], (0, step))
         done = done | jnp.isin(next_tok, eos)
-        h = llama.embed_tokens(cfg, params, next_tok).T.astype(cfg.dtype)  # [H, B]
+        h = llama.scale_embeds(
+            cfg, llama.embed_tokens(cfg, params, next_tok).T.astype(cfg.dtype)
+        )  # [H, B]
         pos = T + step
         bias = jnp.where(key_pos <= pos, 0.0, jnp.finfo(jnp.float32).min)  # [S]
+        bias_sw = None
+        if sliding_on:
+            bias_sw = jnp.where(
+                (key_pos <= pos) & (pos - key_pos < cfg.sliding_window),
+                0.0,
+                jnp.finfo(jnp.float32).min,
+            )
         if fused_head:
             h_fin, kv_cache = _decode_step_bl(
-                cfg, params, h, kv_cache, pos, bias, s_window, head=False
+                cfg, params, h, kv_cache, pos, bias, s_window, head=False,
+                bias_sw=bias_sw,
             )
             sel = head_argmax(params, h_fin)
         else:
             sel, kv_cache = _decode_step_bl(
-                cfg, params, h, kv_cache, pos, bias, s_window
+                cfg, params, h, kv_cache, pos, bias, s_window, bias_sw=bias_sw
             )
         return step + 1, sel, kv_cache, done, tokens
 

@@ -1,10 +1,14 @@
-"""Llama-3.x decoder in pure JAX: forward, loss, HF-parity semantics.
+"""Generic causal decoder in pure JAX: forward, loss, HF-parity semantics.
 
-The reference consumes HF's LlamaForCausalLM as a frozen black box
-(dmi/utils/model_utils.py:17-20) for (a) loss on soft-prefix-extended
-``inputs_embeds`` (dmi/model/mmmodel.py:112-147) and (b) greedy decode from
-``inputs_embeds`` (dmi/model/mmmodel.py:149-169).  Here the decoder is a
-TPU-first re-implementation:
+The reference consumes its LM as a frozen black box through
+``AutoModelForCausalLM`` (dmi/utils/model_utils.py:17-20) for (a) loss on
+soft-prefix-extended ``inputs_embeds`` (dmi/model/mmmodel.py:112-147) and
+(b) greedy decode from ``inputs_embeds`` (dmi/model/mmmodel.py:149-169).
+Here the decoder is a TPU-first re-implementation covering the mainstream
+decoder families — llama-3.x (the reference's production LM), mistral,
+qwen2 (qkv biases), gemma-2 (GeGLU, (1+w) norms, post-block norms,
+softcapping, sqrt(H) embedding scale, interleaved sliding attention) —
+behind one config + one stacked-layer pytree:
 
   * pytree params with **stacked per-layer weights** so the transformer body
     is a single ``lax.scan`` over layers (fast compiles, one fused kernel
@@ -58,6 +62,21 @@ class LlamaConfig:
     # Llama-3.x instruct EOS ids: <|end_of_text|>, <|eom_id|>, <|eot_id|>
     eos_token_ids: Tuple[int, ...] = (128001, 128008, 128009)
     bos_token_id: int = 128000
+    # ---- family generalization ------------------------------------------
+    # The reference consumes its LM through AutoModelForCausalLM
+    # (dmi/utils/model_utils.py:17-20) — any HF causal decoder.  These
+    # fields extend the one stacked-scan decoder to the other mainstream
+    # families (mistral = defaults; qwen2 = qkv biases; gemma-2 = the rest).
+    attention_bias: bool = False          # biases on q/k/v (qwen2); o stays bias-free
+    mlp_act: str = "silu"                 # "gelu_tanh" for gemma-2
+    attn_scale: Optional[float] = None    # score multiplier; None -> head_dim**-0.5
+    attn_logit_softcap: Optional[float] = None   # gemma-2: 50.0
+    final_logit_softcap: Optional[float] = None  # gemma-2: 30.0
+    embedding_normalizer: Optional[float] = None  # gemma-2: sqrt(hidden), model-dtype
+    post_block_norms: bool = False        # gemma-2 post-attn / post-mlp RMSNorms
+    norm_plus_one: bool = False           # gemma RMSNorm scale is (1 + w); folded at import
+    sliding_window: Optional[int] = None
+    layer_sliding: Optional[Tuple[bool, ...]] = None  # per-layer sliding flags
 
 
 def llama32_1b(dtype=jnp.bfloat16) -> LlamaConfig:
@@ -94,6 +113,39 @@ def tiny_config(
     )
 
 
+def tiny_qwen2_config(**kw) -> LlamaConfig:
+    """Qwen2-family tiny config: qkv biases, vanilla rope (theta 1e6 on the
+    real models; irrelevant at test scale)."""
+    import dataclasses
+
+    return dataclasses.replace(tiny_config(**kw), attention_bias=True)
+
+
+def tiny_gemma2_config(sliding_window=None, **kw) -> LlamaConfig:
+    """Gemma-2-family tiny config: GeGLU, (1+w) norms, post-block norms,
+    attn/final softcapping, sqrt(H) embedding normalizer, query_pre_attn
+    scaling, and (optionally) interleaved sliding/full attention layers
+    starting with sliding at layer 0 (HF Gemma2Config.layer_types)."""
+    import dataclasses
+
+    cfg = tiny_config(**kw)
+    n_layers = cfg.num_hidden_layers
+    return dataclasses.replace(
+        cfg,
+        mlp_act="gelu_tanh",
+        attn_scale=float(cfg.head_dim) ** -0.5,  # qpas == head_dim on 2B/9B
+        attn_logit_softcap=50.0,
+        final_logit_softcap=30.0,
+        embedding_normalizer=float(cfg.hidden_size) ** 0.5,
+        post_block_norms=True,
+        norm_plus_one=True,
+        sliding_window=sliding_window,
+        layer_sliding=tuple(i % 2 == 0 for i in range(n_layers))
+        if sliding_window
+        else None,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Params
 # ---------------------------------------------------------------------------
@@ -124,6 +176,13 @@ def init(key: jax.Array, cfg: LlamaConfig) -> dict:
         },
         "final_norm": jnp.ones((H,), cfg.dtype),
     }
+    if cfg.attention_bias:
+        params["layers"]["bq"] = w(next(keys), (L, nh * hd))
+        params["layers"]["bk"] = w(next(keys), (L, nkv * hd))
+        params["layers"]["bv"] = w(next(keys), (L, nkv * hd))
+    if cfg.post_block_norms:
+        params["layers"]["ln_post_attn"] = jnp.ones((L, H), cfg.dtype)
+        params["layers"]["ln_post_mlp"] = jnp.ones((L, H), cfg.dtype)
     if not cfg.tie_word_embeddings:
         params["lm_head"] = w(next(keys), (H, cfg.vocab_size))
     return params
@@ -142,13 +201,21 @@ def fuse_projections(params: dict) -> dict:
     w_gu = jnp.concatenate([layers.pop("w_gate"), layers.pop("w_up")], axis=-1)
     layers["w_qkv"] = w_qkv
     layers["w_gu"] = w_gu
+    if "bq" in layers:  # qwen2-style qkv biases fuse the same way
+        layers["b_qkv"] = jnp.concatenate(
+            [layers.pop("bq"), layers.pop("bk"), layers.pop("bv")], axis=-1
+        )
     return {**params, "layers": layers}
 
 
 def from_hf_state_dict(state_dict, cfg: LlamaConfig) -> dict:
-    """Convert an HF LlamaForCausalLM state dict (torch tensors or numpy)
-    into the stacked-layer pytree.  HF Linear weights are (out, in); ours
-    are (in, out)."""
+    """Convert an HF *ForCausalLM state dict (torch tensors or numpy) into
+    the stacked-layer pytree.  HF Linear weights are (out, in); ours are
+    (in, out).  Family layout differences are driven by cfg flags:
+    attention_bias stacks the qkv biases (qwen2); post_block_norms maps the
+    gemma-2 four-norm block (input / post-attn / pre-ff / post-ff);
+    norm_plus_one folds gemma's (1 + w) RMSNorm scale at import time,
+    stored in f32 so the fold is exact (rms_norm multiplies in f32)."""
 
     def get(name):
         t = state_dict[name]
@@ -163,6 +230,23 @@ def from_hf_state_dict(state_dict, cfg: LlamaConfig) -> dict:
         ws = [w.T if transpose else w for w in ws]
         return jnp.asarray(np.stack(ws), cfg.dtype)
 
+    def norm(fmt_or_name, stacked=True):
+        arrs = (
+            np.stack([get(fmt_or_name.format(i)) for i in range(L)])
+            if stacked
+            else get(fmt_or_name)
+        )
+        if cfg.norm_plus_one:
+            return jnp.asarray(arrs.astype(np.float32) + 1.0, jnp.float32)
+        return jnp.asarray(arrs, cfg.dtype)
+
+    # gemma-2's pre-MLP norm is `pre_feedforward_layernorm`; everywhere else
+    # the (misleadingly named) `post_attention_layernorm` plays that role
+    pre_mlp_key = (
+        "model.layers.{}.pre_feedforward_layernorm.weight"
+        if cfg.post_block_norms
+        else "model.layers.{}.post_attention_layernorm.weight"
+    )
     params = {
         "embed": jnp.asarray(get("model.embed_tokens.weight"), cfg.dtype),
         "layers": {
@@ -173,11 +257,28 @@ def from_hf_state_dict(state_dict, cfg: LlamaConfig) -> dict:
             "w_gate": stack("model.layers.{}.mlp.gate_proj.weight"),
             "w_up": stack("model.layers.{}.mlp.up_proj.weight"),
             "w_down": stack("model.layers.{}.mlp.down_proj.weight"),
-            "ln_attn": stack("model.layers.{}.input_layernorm.weight", transpose=False),
-            "ln_mlp": stack("model.layers.{}.post_attention_layernorm.weight", transpose=False),
+            "ln_attn": norm("model.layers.{}.input_layernorm.weight"),
+            "ln_mlp": norm(pre_mlp_key),
         },
-        "final_norm": jnp.asarray(get("model.norm.weight"), cfg.dtype),
+        "final_norm": norm("model.norm.weight", stacked=False),
     }
+    if cfg.attention_bias:
+        params["layers"]["bq"] = stack(
+            "model.layers.{}.self_attn.q_proj.bias", transpose=False
+        )
+        params["layers"]["bk"] = stack(
+            "model.layers.{}.self_attn.k_proj.bias", transpose=False
+        )
+        params["layers"]["bv"] = stack(
+            "model.layers.{}.self_attn.v_proj.bias", transpose=False
+        )
+    if cfg.post_block_norms:
+        params["layers"]["ln_post_attn"] = norm(
+            "model.layers.{}.post_attention_layernorm.weight"
+        )
+        params["layers"]["ln_post_mlp"] = norm(
+            "model.layers.{}.post_feedforward_layernorm.weight"
+        )
     if not cfg.tie_word_embeddings:
         params["lm_head"] = jnp.asarray(get("lm_head.weight").T, cfg.dtype)
     return params
@@ -243,6 +344,36 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------
+
+def sliding_effective(cfg: LlamaConfig, max_positions: int) -> bool:
+    """True when per-layer sliding-window masks can differ from the plain
+    causal mask: a sliding layer exists AND some query position can look
+    back >= sliding_window.  Static (trace-time) — caption workloads sit
+    far below gemma-2's 4096 window and skip the machinery entirely."""
+    return (
+        cfg.sliding_window is not None
+        and cfg.layer_sliding is not None
+        and any(cfg.layer_sliding)
+        and max_positions > cfg.sliding_window
+    )
+
+
+def final_softcap(cfg: LlamaConfig, logits: jax.Array) -> jax.Array:
+    """gemma-2 final-logit softcapping, in the logits dtype (HF semantics).
+    Monotone, so greedy argmax paths may skip it."""
+    if cfg.final_logit_softcap is None:
+        return logits
+    cap = jnp.asarray(cfg.final_logit_softcap, logits.dtype)
+    return jnp.tanh(logits / cap) * cap
+
+
+def scale_embeds(cfg: LlamaConfig, x: jax.Array) -> jax.Array:
+    """Apply gemma's sqrt(hidden) embedding normalizer (model-dtype
+    rounded, HF Gemma2Model semantics); identity for other families."""
+    if cfg.embedding_normalizer is None:
+        return x
+    return x * jnp.asarray(cfg.embedding_normalizer, x.dtype)
+
 
 def _mm(h: jax.Array, w) -> jax.Array:
     """Matmul dispatching on optionally int8-quantized weights
@@ -319,14 +450,38 @@ def rms_norm(x: jax.Array, scale: jax.Array, eps: float) -> jax.Array:
     return (normed * scale.astype(jnp.float32)).astype(x.dtype)
 
 
-def _attention(q, k, v, bias):
+def mlp_activation(cfg: LlamaConfig, x: jax.Array) -> jax.Array:
+    """silu (llama/mistral/qwen2) or tanh-approx gelu (gemma)."""
+    if cfg.mlp_act == "silu":
+        return jax.nn.silu(x)
+    if cfg.mlp_act == "gelu_tanh":
+        return jax.nn.gelu(x, approximate=True)
+    raise ValueError(f"unknown mlp_act {cfg.mlp_act!r}")
+
+
+def _softcap(scores, cap):
+    """gemma-2 logit softcapping: cap * tanh(scores / cap), pre-mask."""
+    return cap * jnp.tanh(scores / cap)
+
+
+def attn_score_scale(cfg: LlamaConfig) -> float:
+    """Score multiplier: query_pre_attn_scalar**-0.5 when configured
+    (gemma-2), else the universal head_dim**-0.5."""
+    return (
+        cfg.attn_scale if cfg.attn_scale is not None else float(cfg.head_dim) ** -0.5
+    )
+
+
+def _attention(q, k, v, bias, scale=None, softcap=None):
     """q: [B,nh,T,hd], k/v: [B,nkv,S,hd] -> [B,nh,T,hd]; f32 softmax."""
     B, nh, T, hd = q.shape
     nkv = k.shape[1]
     group = nh // nkv
     q = q.reshape(B, nkv, group, T, hd)
     scores = jnp.einsum("bkgtd,bksd->bkgts", q, k).astype(jnp.float32)
-    scores = scores / np.sqrt(hd)
+    scores = scores * (scale if scale is not None else 1.0 / np.sqrt(hd))
+    if softcap is not None:
+        scores = _softcap(scores, softcap)
     scores = scores + bias[:, None, None, :, :]  # bias: [B, T, S]
     probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     out = jnp.einsum("bkgts,bksd->bkgtd", probs, v)
@@ -360,6 +515,8 @@ def _decode_attention_blockdiag(q, k, v, bias):
         q2, kf, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )  # [B, nh, J]
     scores = scores / np.sqrt(hd)
+    # NOTE softcap/attn_scale are not threaded here: this formulation is a
+    # measured-loser oracle kept for the profiling scripts (BASELINE.md)
     # static block-diagonal head->kv mask + dynamic position-validity bias
     allowed = (jnp.arange(J) // S)[None, :] == (jnp.arange(nh) // g)[:, None]
     bias_j = jnp.broadcast_to(bias[:, 0, None, :], (B, nkv, S)).reshape(B, 1, J)
@@ -371,7 +528,7 @@ def _decode_attention_blockdiag(q, k, v, bias):
     return out[:, :, None, :]
 
 
-def _decode_attention(q, k, v, bias):
+def _decode_attention(q, k, v, bias, scale=None, softcap=None):
     """Single-query attention as elementwise multiply-reduce (VPU path).
 
     The natural einsum lowers to B*nkv batched [group, hd] x [hd, S]
@@ -395,7 +552,10 @@ def _decode_attention(q, k, v, bias):
     scores = jnp.sum(
         q4[:, :, :, None, :] * k[:, :, None, :, :], axis=-1, dtype=jnp.float32
     )
-    scores = scores / np.sqrt(hd) + bias[:, :, None, :]  # [B,1,1,S] bcast
+    scores = scores * (scale if scale is not None else 1.0 / np.sqrt(hd))
+    if softcap is not None:
+        scores = _softcap(scores, softcap)
+    scores = scores + bias[:, :, None, :]  # [B,1,1,S] bcast
     probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     out = jnp.sum(
         probs[..., None] * v[:, :, None, :, :], axis=3, dtype=jnp.float32
@@ -442,7 +602,7 @@ def _flash_attention(cfg, q, k, v, seg_ids):
         kv_seg = jnp.pad(kv_seg, ((0, 0), (0, Tp - T)), constant_values=0)
     out = flash_attention(
         q, k, v, segment_ids=SegmentIds(q=q_seg, kv=kv_seg), causal=True,
-        sm_scale=1.0 / float(np.sqrt(cfg.head_dim)),
+        sm_scale=attn_score_scale(cfg),
     )
     return out[:, :, :T, :]
 
@@ -458,9 +618,13 @@ def _block(cfg: LlamaConfig, x, lw, cos, sin, bias, cache_kv=None, cache_index=N
     h = rms_norm(x, lw["ln_attn"], cfg.rms_norm_eps)
     if "w_qkv" in lw:  # fused layout (fuse_projections)
         qkv = _mm(h, lw["w_qkv"])
+        if "b_qkv" in lw:
+            qkv = qkv + lw["b_qkv"]
         q, k, v = jnp.split(qkv, [nh * hd, nh * hd + nkv * hd], axis=-1)
     else:
         q, k, v = _mm(h, lw["wq"]), _mm(h, lw["wk"]), _mm(h, lw["wv"])
+        if "bq" in lw:
+            q, k, v = q + lw["bq"], k + lw["bk"], v + lw["bv"]
     q = q.reshape(B, T, nh, hd).transpose(0, 2, 1, 3)
     k = k.reshape(B, T, nkv, hd).transpose(0, 2, 1, 3)
     v = v.reshape(B, T, nkv, hd).transpose(0, 2, 1, 3)
@@ -475,28 +639,37 @@ def _block(cfg: LlamaConfig, x, lw, cos, sin, bias, cache_kv=None, cache_index=N
         k, v = k_cache, v_cache
         new_cache = (k_cache, v_cache)
 
+    scale = attn_score_scale(cfg)
+    cap = cfg.attn_logit_softcap
     if cache_kv is None and seg_ids is not None:
         # seg_ids is only provided when forward() chose the flash path
         # (attention_impl 'flash'/'auto' on a TPU backend); everywhere else
-        # the additive-bias oracle runs on `bias`
+        # the additive-bias oracle runs on `bias`.  forward() gates flash
+        # off when attn_logit_softcap is set (the kernel has no softcap).
         attn = _flash_attention(cfg, q, k, v, seg_ids)
     elif cache_kv is not None and T == 1:
         # KV-cache token step: VPU multiply-reduce, the fastest of the four
         # profiled formulations in-loop (scripts/profile_decode.py A/B)
-        attn = _decode_attention(q, k, v, bias)
+        attn = _decode_attention(q, k, v, bias, scale, cap)
     else:
-        attn = _attention(q, k, v, bias)
+        attn = _attention(q, k, v, bias, scale, cap)
     attn = attn.transpose(0, 2, 1, 3).reshape(B, T, nh * hd)
-    x = x + _mm(attn, lw["wo"])
+    attn_out = _mm(attn, lw["wo"])
+    if cfg.post_block_norms:
+        attn_out = rms_norm(attn_out, lw["ln_post_attn"], cfg.rms_norm_eps)
+    x = x + attn_out
 
     h = rms_norm(x, lw["ln_mlp"], cfg.rms_norm_eps)
     if "w_gu" in lw:  # fused layout
         gu = _mm(h, lw["w_gu"])
         gate, up = jnp.split(gu, 2, axis=-1)
-        x = x + _mm(jax.nn.silu(gate) * up, lw["w_down"])
+        mlp_out = _mm(mlp_activation(cfg, gate) * up, lw["w_down"])
     else:
-        gate = jax.nn.silu(_mm(h, lw["w_gate"]))
-        x = x + _mm(gate * _mm(h, lw["w_up"]), lw["w_down"])
+        gate = mlp_activation(cfg, _mm(h, lw["w_gate"]))
+        mlp_out = _mm(gate * _mm(h, lw["w_up"]), lw["w_down"])
+    if cfg.post_block_norms:
+        mlp_out = rms_norm(mlp_out, lw["ln_post_mlp"], cfg.rms_norm_eps)
+    x = x + mlp_out
     return x, new_cache
 
 
@@ -517,22 +690,39 @@ def forward(
     HBM when training through the frozen LLM at large batch/seq)."""
     B, T, H = inputs_embeds.shape
     x = inputs_embeds.astype(cfg.dtype)
+    if cfg.embedding_normalizer is not None:
+        # gemma scales inputs_embeds (soft prefixes included) by sqrt(H)
+        # quantized to the model dtype (HF Gemma2Model.forward)
+        x = x * jnp.asarray(cfg.embedding_normalizer, cfg.dtype)
     if positions is None:
         positions = jnp.arange(T)
     cos, sin = rope_tables(cfg, positions)
 
+    # sliding windows bind only when some key could fall OUT of the window;
+    # with positions < window every sliding mask equals the causal mask, so
+    # the interleaved-bias machinery is statically skipped (caption budgets
+    # sit far below gemma-2's 4096 window)
+    sliding_on = sliding_effective(cfg, T)
+
     seg_ids = None
-    bias = None
+    bias = bias_sw = None
     # flash needs a TPU (or interpret mode via DMI_FORCE_FLASH in tests);
     # off-TPU the additive-bias oracle runs even when configured 'flash'.
     # 'auto' resolves to flash on TPU (pad-exact, no [B,T,S] f32 bias in
-    # HBM) and the oracle elsewhere.
+    # HBM) and the oracle elsewhere.  Softcapped (gemma-2) and
+    # sliding-bound models always take the oracle: the Pallas kernel
+    # implements neither.
     import os as _os
 
     on_tpu = (
         jax.default_backend() == "tpu" or _os.environ.get("DMI_FORCE_FLASH") == "1"
     )
-    use_flash = cfg.attention_impl in ("flash", "auto") and on_tpu
+    use_flash = (
+        cfg.attention_impl in ("flash", "auto")
+        and on_tpu
+        and cfg.attn_logit_softcap is None
+        and not sliding_on
+    )
     if use_flash:
         # pad-exact masking: queries unmasked, keys masked (see
         # _flash_attention) — identical objective to the additive-bias
@@ -550,18 +740,39 @@ def forward(
         else:
             valid = jnp.broadcast_to(valid, (B, T, T))
         bias = jnp.where(valid, 0.0, jnp.finfo(jnp.float32).min)
+        if sliding_on:
+            # HF sliding_window_overlay: attend iff kv > q - window (and
+            # causal) — the last `window` positions including the current
+            in_win = (positions[:, None] - positions[None, :]) < cfg.sliding_window
+            bias_sw = jnp.where(valid & in_win[None], 0.0, jnp.finfo(jnp.float32).min)
 
     layer_params = params["layers"]
 
-    def body(x, lw):
-        y, _ = _block(cfg, x, lw, cos, sin, bias, seg_ids=seg_ids)
-        return y, None
+    if sliding_on and not use_flash:
+        flags = jnp.asarray(cfg.layer_sliding)
 
-    if remat:
-        body = jax.checkpoint(body)
-    x, _ = jax.lax.scan(body, x, layer_params)
+        def body(x, xs):
+            lw, fl = xs
+            y, _ = _block(
+                cfg, x, lw, cos, sin, jnp.where(fl, bias_sw, bias), seg_ids=None
+            )
+            return y, None
+
+        if remat:
+            body = jax.checkpoint(body)
+        x, _ = jax.lax.scan(body, x, (layer_params, flags))
+    else:
+
+        def body(x, lw):
+            y, _ = _block(cfg, x, lw, cos, sin, bias, seg_ids=seg_ids)
+            return y, None
+
+        if remat:
+            body = jax.checkpoint(body)
+        x, _ = jax.lax.scan(body, x, layer_params)
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    return _head_matmul(x, params, cfg)
+    logits = _head_matmul(x, params, cfg)
+    return final_softcap(cfg, logits)
 
 
 def embed_tokens(cfg: LlamaConfig, params: dict, input_ids: jax.Array) -> jax.Array:

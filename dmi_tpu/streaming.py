@@ -70,6 +70,15 @@ class SlotState(NamedTuple):
 def init_state(cfg: LlamaConfig, pool: int, prompt_len: int, budget: int,
                pad_token_id: int) -> SlotState:
     total = prompt_len + budget
+    if llama.sliding_effective(cfg, total):
+        # the ring reuses storage rows, so a sliding-window lookback mask
+        # would need per-slot row->position bookkeeping nothing needs yet:
+        # caption budgets sit far below gemma-2's 4096 window
+        raise NotImplementedError(
+            "continuous-batching engine: sliding-window layers with "
+            f"prompt+budget {total} > window {cfg.sliding_window}; "
+            "use the batch decode path"
+        )
     kv = jnp.zeros(
         (cfg.num_hidden_layers, 2, cfg.num_key_value_heads, total,
          cfg.head_dim, pool),
@@ -99,7 +108,9 @@ def _stream_one_step(cfg, params, state: SlotState, T: int, budget: int,
     never drift from the batch path."""
     B = state.last.shape[0]
 
-    h = llama.embed_tokens(cfg, params, state.last).T.astype(cfg.dtype)  # [H, B]
+    h = llama.scale_embeds(
+        cfg, llama.embed_tokens(cfg, params, state.last).T.astype(cfg.dtype)
+    )  # [H, B]
     # per-slot absolute position (rope only; storage row is the ring row)
     pos = T + jnp.clip(state.n - 1, 0, budget - 1)  # [B]
     cos, sin = llama.rope_tables(cfg, pos)  # [B, hd]

@@ -59,12 +59,65 @@ def build_tokenizer(lm_args):
     return tokenizer
 
 
+_SUPPORTED_FAMILIES = ("llama", "mistral", "qwen2", "gemma2")
+
+
 def _hf_to_config(hf_cfg, dtype, tokenizer) -> llama.LlamaConfig:
+    """Map an HF config onto the generic stacked-scan decoder config.
+    The reference is family-agnostic (AutoModelForCausalLM,
+    dmi/utils/model_utils.py:17-20); supported here: llama (3.x rope
+    scaling), mistral, qwen2 (qkv biases), gemma2 (GeGLU, (1+w) norms,
+    post-block norms, softcapping, sqrt(H) embed scale, interleaved
+    sliding/full attention)."""
+    family = getattr(hf_cfg, "model_type", "llama")
+    if family not in _SUPPORTED_FAMILIES:
+        raise ValueError(
+            f"unsupported model family {family!r}; supported: "
+            f"{_SUPPORTED_FAMILIES}"
+        )
     rs = getattr(hf_cfg, "rope_scaling", None) or {}
     eos = hf_cfg.eos_token_id
     if eos is None:
         eos = tokenizer.eos_token_id
     eos = tuple(eos) if isinstance(eos, (list, tuple)) else (eos,)
+
+    # per-layer sliding flags from HF layer_types; window binds only if
+    # some layer actually slides (qwen2 ships use_sliding_window=False).
+    # mistral has no layer_types: a configured window applies to EVERY
+    # layer (HF MistralModel semantics)
+    layer_types = getattr(hf_cfg, "layer_types", None)
+    if layer_types is None and family == "mistral" and getattr(
+        hf_cfg, "sliding_window", None
+    ):
+        layer_types = ["sliding_attention"] * hf_cfg.num_hidden_layers
+    layer_sliding = (
+        tuple(t == "sliding_attention" for t in layer_types) if layer_types else None
+    )
+    sliding_window = (
+        getattr(hf_cfg, "sliding_window", None)
+        if layer_sliding and any(layer_sliding)
+        else None
+    )
+    if not sliding_window:
+        layer_sliding = None
+
+    kw = {}
+    if family == "qwen2":
+        kw["attention_bias"] = True
+    elif family == "gemma2":
+        if getattr(hf_cfg, "attention_bias", False):
+            # released gemma-2 checkpoints are all bias-free; the o_proj
+            # bias this flag would add has no layout here
+            raise ValueError("gemma2 attention_bias=True is not supported")
+        kw.update(
+            mlp_act="gelu_tanh",
+            attn_scale=float(hf_cfg.query_pre_attn_scalar) ** -0.5,
+            attn_logit_softcap=hf_cfg.attn_logit_softcapping,
+            final_logit_softcap=hf_cfg.final_logit_softcapping,
+            embedding_normalizer=float(hf_cfg.hidden_size) ** 0.5,
+            post_block_norms=True,
+            norm_plus_one=True,
+        )
     return llama.LlamaConfig(
         vocab_size=hf_cfg.vocab_size,
         hidden_size=hf_cfg.hidden_size,
@@ -84,6 +137,9 @@ def _hf_to_config(hf_cfg, dtype, tokenizer) -> llama.LlamaConfig:
         dtype=dtype,
         eos_token_ids=eos,
         bos_token_id=hf_cfg.bos_token_id,
+        sliding_window=sliding_window,
+        layer_sliding=layer_sliding,
+        **kw,
     )
 
 
@@ -126,7 +182,12 @@ def build_lm(lm_args, tokenizer, seed: int = 0) -> Tuple[llama.LlamaConfig, dict
                 rope_scaling_factor=None,  # tiny contexts need no llama3 scaling
             )
         else:
-            cfg = llama.tiny_config(
+            maker = {
+                "tiny": llama.tiny_config,
+                "tiny-qwen2": llama.tiny_qwen2_config,
+                "tiny-gemma2": llama.tiny_gemma2_config,
+            }[parts[1]]
+            cfg = maker(
                 vocab_size=vocab,
                 hidden_size=64,
                 n_layers=2,
