@@ -168,3 +168,55 @@ def test_bulk_on_device_under_tp_mesh():
                              PAD, pool=4, admit=2, k_steps=2)
     got = eng.run_bulk(embs)
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("family", ["qwen2", "gemma2"])
+def test_streaming_families_match_batch_path(family):
+    """The engine shares _decode_step_bl with the batch path, so family
+    features (qwen2 qkv biases; gemma-2 GeGLU/post-block norms/softcap/
+    embed scale) must flow through the ring identically."""
+    import dataclasses
+
+    maker = {"qwen2": llama.tiny_qwen2_config, "gemma2": llama.tiny_gemma2_config}
+    cfg = maker[family](vocab_size=64, hidden_size=32, n_layers=2,
+                        n_heads=4, n_kv=2, intermediate=64)
+    cfg = dataclasses.replace(cfg, eos_token_ids=(5,))
+    llm_params = llama.init(jax.random.key(31), cfg)
+    pspec = proj.ProjectorSpec(mm_dim=16, lm_dim=32, n_layers=2, dropout=0.0)
+    pparams = proj.init(jax.random.key(32), pspec)
+    prefix = np.asarray([3, 7, 9], np.int32)
+    budget = 6
+    embs = np.random.default_rng(33).normal(size=(11, 16)).astype(np.float32)
+
+    want = batch_reference(cfg, llm_params, pspec, pparams, prefix, embs, budget)
+    eng = StreamingCaptioner(cfg, llm_params, pspec, pparams, prefix, budget,
+                             PAD, pool=5, admit=2, k_steps=2)
+    np.testing.assert_array_equal(eng.run(embs), want)
+    np.testing.assert_array_equal(eng.run_bulk(embs), want)
+
+
+def test_streaming_sliding_window_guard():
+    """A sliding-window model whose window can bind inside prompt+budget
+    must be rejected (the ring has no lookback bookkeeping); a window
+    larger than prompt+budget is accepted and matches the batch path."""
+    cfg = llama.tiny_gemma2_config(vocab_size=64, hidden_size=32, n_layers=2,
+                                   n_heads=4, n_kv=2, intermediate=64,
+                                   sliding_window=4)
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, eos_token_ids=())
+    llm_params = llama.init(jax.random.key(41), cfg)
+    pspec = proj.ProjectorSpec(mm_dim=16, lm_dim=32, n_layers=2, dropout=0.0)
+    pparams = proj.init(jax.random.key(42), pspec)
+    prefix = np.asarray([3, 7, 9], np.int32)
+    with pytest.raises(NotImplementedError):
+        StreamingCaptioner(cfg, llm_params, pspec, pparams, prefix, 8, PAD,
+                           pool=4, admit=2, k_steps=2).run(
+            np.zeros((2, 16), np.float32))
+
+    wide = dataclasses.replace(cfg, sliding_window=64)
+    embs = np.random.default_rng(43).normal(size=(5, 16)).astype(np.float32)
+    want = batch_reference(wide, llm_params, pspec, pparams, prefix, embs, 4)
+    eng = StreamingCaptioner(wide, llm_params, pspec, pparams, prefix, 4, PAD,
+                             pool=4, admit=2, k_steps=2)
+    np.testing.assert_array_equal(eng.run(embs), want)
