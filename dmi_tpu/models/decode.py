@@ -20,6 +20,7 @@ TPU-first design:
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Tuple
 
@@ -444,7 +445,13 @@ def _decode_step_bl(cfg, params, h, caches, pos, bias, s_window=None,
         if bias_sw is not None
         else (params["layers"], jnp.arange(L))
     )
-    (h, kv_cache), _ = jax.lax.scan(body, (h, kv_cache), xs)
+    # DMI_DECODE_LAYER_UNROLL (experiment knob, trace-time): unroll the
+    # layer scan so XLA may software-pipeline the next layer's weight
+    # stream against the current layer's compute (the loop runs at 69-79%
+    # of HBM peak, BASELINE.md).  Token-exact: unroll only duplicates the
+    # body lexically.
+    layer_unroll = int(os.environ.get("DMI_DECODE_LAYER_UNROLL", "1"))
+    (h, kv_cache), _ = jax.lax.scan(body, (h, kv_cache), xs, unroll=layer_unroll)
     h = _rms_norm_bl(h, params["final_norm"], cfg.rms_norm_eps)
     if not head:
         # caller runs the fused head+argmax kernel on the normed state
