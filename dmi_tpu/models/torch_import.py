@@ -264,3 +264,110 @@ def export_projector_state_dict(params: dict) -> Dict[str, np.ndarray]:
         sd[f"net.{idx}.weight"] = np.ascontiguousarray(np.asarray(layer["w"]).T)
         sd[f"net.{idx}.bias"] = np.asarray(layer["b"])
     return sd
+
+
+def export_lora_state_dict(adapters: List[dict]) -> Dict[str, np.ndarray]:
+    """Inverse of lora_from_state_dict: ``loras.{i}.A|B`` keys
+    (reference LoraAdapters layout, dmi/model/lora.py:20-38)."""
+    sd: Dict[str, np.ndarray] = {}
+    for i, ad in enumerate(adapters):
+        sd[f"loras.{i}.A"] = np.asarray(ad["a"])
+        sd[f"loras.{i}.B"] = np.asarray(ad["b"])
+    return sd
+
+
+def export_hypernet_state_dict(params: dict, spec) -> Dict[str, np.ndarray]:
+    """Inverse of hypernet_from_state_dict: emit the reference
+    ``HyperNetwork.state_dict()`` key layout (dmi/model/hypernet.py:96-135)
+    for ``spec.arch``, including the persistent ``pos_encs.pe`` buffer
+    (``[1, context_len, d]`` scaled sinusoidal table, :26-43,132-135) when
+    ``spec.use_pos_encs`` — torch's strict ``load_state_dict`` requires it.
+    ``spec`` is a dmi_tpu.models.hypernet.HypnetSpec."""
+
+    def lin(name: str, layer: dict, sd: Dict[str, np.ndarray]) -> None:
+        sd[f"{name}.weight"] = np.ascontiguousarray(np.asarray(layer["w"]).T)
+        sd[f"{name}.bias"] = np.asarray(layer["b"])
+
+    sd: Dict[str, np.ndarray] = {"prefix_tokens": np.asarray(params["prefix_tokens"])}
+    for i, gen in enumerate(params["generators"]):
+        lin(f"generators.{i}", gen, sd)
+
+    if spec.arch in ("attention", "att_w_nonlinear"):
+        base = "hypnet.0" if spec.arch == "att_w_nonlinear" else "hypnet"
+        for name in ("q", "k", "v"):
+            lin(f"{base}.{name}", params["attn"][name], sd)
+    elif spec.arch == "transformer":
+        for i, blk in enumerate(params["blocks"]):
+            p = f"hypnet.layers.{i}"
+            sd[f"{p}.self_attn.in_proj_weight"] = np.ascontiguousarray(
+                np.asarray(blk["in_proj_w"]).T
+            )
+            sd[f"{p}.self_attn.in_proj_bias"] = np.asarray(blk["in_proj_b"])
+            lin(f"{p}.self_attn.out_proj", blk["out_proj"], sd)
+            lin(f"{p}.linear1", blk["ff1"], sd)
+            lin(f"{p}.linear2", blk["ff2"], sd)
+            for ln_key, ref_name in (("ln1", "norm1"), ("ln2", "norm2")):
+                sd[f"{p}.{ref_name}.weight"] = np.asarray(blk[ln_key]["scale"])
+                sd[f"{p}.{ref_name}.bias"] = np.asarray(blk[ln_key]["bias"])
+    else:
+        raise ValueError(f"unknown hypernet arch {spec.arch!r}")
+
+    if spec.use_pos_encs:
+        from dmi_tpu.ops.linalg import sinusoidal_positions
+
+        pe = np.asarray(sinusoidal_positions(spec.hypnet_dim, spec.context_len))
+        sd["pos_encs.pe"] = (pe / np.sqrt(np.float32(spec.hypnet_dim)))[None].astype(
+            np.float32
+        )
+    return sd
+
+
+def _prefixed(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    return {prefix + k: v for k, v in sd.items()}
+
+
+def save_reference_checkpoint(
+    path: str,
+    *,
+    save_type: str,
+    state_dict: Dict[str, np.ndarray],
+    step_idx: int = 0,
+    metric_name: str = "loss",
+    metric: float = 0.0,
+) -> None:
+    """Write a reference-loadable ``.pt`` checkpoint via ``torch.save``:
+    ``{step_idx, f"{save_type}_state_dict", optimizer_state_dict, metric}``
+    (envelope of dmi/train.py:230-234 / train_hypernet.py:408-412,451-456).
+
+    The model-consumption paths (load_model_checkpoint,
+    load_fewshot_model_checkpoint, load_hypernet_checkpoint) never read
+    optimizer state, so it is written as ``None``; resuming an *optimizer*
+    from an exported checkpoint is not supported (torch Adam moments are
+    not reconstructable from optax state).
+
+    ``state_dict`` carries flat numpy arrays; compose wrapper layouts with
+    ``_prefixed`` + the ``export_*_state_dict`` helpers:
+      projector ckpt   export_projector_state_dict(params)
+      hypernet/fewshot ckpt  {**_prefixed(export_hypernet_state_dict(h, spec),
+                              "hypernet."),
+                              **_prefixed(export_projector_state_dict(p),
+                              "projector.")}   (HyperNetWrapper layout)
+      lora ckpt        {**_prefixed(export_lora_state_dict(adapters),
+                              "lora_adapters."),
+                              **_prefixed(export_projector_state_dict(p),
+                              "projector.")}   (LoraWrapper layout)
+    """
+    import torch
+
+    torch.save(
+        {
+            "step_idx": int(step_idx),
+            f"{save_type}_state_dict": {
+                k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in state_dict.items()
+            },
+            "optimizer_state_dict": None,
+            metric_name: metric,
+        },
+        path,
+    )
