@@ -94,14 +94,36 @@ def _load_or_record_baseline(metric: str, value: float) -> float:
     return value
 
 
+def _probe_backend_subprocess(timeout_s: float) -> bool:
+    """True iff a CHILD interpreter can initialize the default backend
+    within timeout_s.  A wedged relay makes PJRT client creation HANG
+    (observed: >9 min on a trivial op after queue abuse), which no
+    in-process try/except can escape — so the liveness probe must run in a
+    killable subprocess BEFORE this process commits to backend init."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.default_backend())"],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        return False
+    return r.returncode == 0 and r.stdout.strip() in ("tpu", "axon")
+
+
 def _ensure_tpu_or_retry() -> str:
     """The axon relay's PJRT registration fails transiently (a failure at
     interpreter start leaves only the CPU backend) or terminally (default
     platforms name a backend that never registered, making
-    jax.default_backend() RAISE).  Re-exec a few times to win a healthy
+    jax.default_backend() RAISE) — and a wedged relay HANGS init outright
+    (probed in a subprocess, above).  Re-exec a few times to win a healthy
     registration; if the relay never appears, re-exec once more pinned to
     CPU (the config update must precede backend init, hence the fresh
-    interpreter) so the bench always completes."""
+    interpreter) so the bench always completes and always prints its one
+    JSON line."""
     import sys
     import time
 
@@ -110,10 +132,15 @@ def _ensure_tpu_or_retry() -> str:
     if os.environ.get("_DMI_BENCH_FORCE_CPU") == "1":
         jax.config.update("jax_platforms", "cpu")
         return jax.default_backend()
-    try:
-        backend = jax.default_backend()
-    except RuntimeError:
-        backend = "uninitialized"  # e.g. "Backend 'axon' is not ... known"
+    if not _probe_backend_subprocess(
+        float(os.environ.get("DMI_BENCH_PROBE_TIMEOUT", "150"))
+    ):
+        backend = "uninitialized"  # hang or crash in the probe child
+    else:
+        try:
+            backend = jax.default_backend()
+        except RuntimeError:
+            backend = "uninitialized"  # e.g. "Backend 'axon' is not ... known"
     if backend == "tpu":
         return backend
     if backend == "cpu" and os.environ.get("DMI_BENCH_SMALL") == "1":
