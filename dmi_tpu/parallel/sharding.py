@@ -48,6 +48,14 @@ def llm_param_specs() -> Dict[str, Any]:
             "w_down": P(None, "model", None),
             "ln_attn": P(None, None),
             "ln_mlp": P(None, None),
+            # family extensions (llama.py): qwen2 qkv biases ride their
+            # matmul's sharded output column; gemma-2 post-block norms
+            # replicate like the other norms
+            "bq": P(None, "model"),
+            "bk": P(None, "model"),
+            "bv": P(None, "model"),
+            "ln_post_attn": P(None, None),
+            "ln_post_mlp": P(None, None),
         },
         "final_norm": P(None),
         "lm_head": P(None, "model"),

@@ -119,3 +119,40 @@ def test_sharded_decode_runs(setup):
     soft1 = proj.apply(pspec, pparams, jnp.asarray(batch["embs"]), train=False)
     toks1 = mmmodel.caption_generate(cfg, llm_params, soft1, None, 4, 5)
     np.testing.assert_array_equal(np.asarray(toks), np.asarray(toks1))
+
+
+@pytest.mark.parametrize("family", ["qwen2", "gemma2"])
+def test_sharded_family_loss_and_decode_match(family):
+    """Tensor-parallel shardings cover the family param extensions: qwen2
+    qkv biases shard with their matmul's output column, gemma-2 post-block
+    norms replicate — loss and greedy tokens must match single-device."""
+    maker = {"qwen2": llama.tiny_qwen2_config, "gemma2": llama.tiny_gemma2_config}
+    cfg = maker[family](vocab_size=256, hidden_size=64, n_layers=2,
+                        n_heads=4, n_kv=2)
+    llm_params = llama.init(jax.random.key(10), cfg)
+    pspec = proj.ProjectorSpec(mm_dim=32, lm_dim=64, n_layers=2)
+    pparams = proj.init(jax.random.key(11), pspec)
+    rng = np.random.default_rng(12)
+    B, T = 8, 16
+    embs = rng.normal(size=(B, 32)).astype(np.float32)
+    ids = rng.integers(1, 256, size=(B, T)).astype(np.int32)
+    mask = np.ones((B, T), np.int32)
+    labels = rng.integers(1, 256, size=(B, T)).astype(np.int64)
+
+    loss = _loss_fn(cfg, pspec)
+    single = float(jax.jit(loss)(pparams, llm_params, embs, ids, mask, labels))
+    soft1 = proj.apply(pspec, pparams, jnp.asarray(embs), train=False)
+    toks1 = mmmodel.caption_generate(cfg, llm_params, soft1, None, 4, 5)
+
+    mesh = make_mesh((2, 4), platform="cpu")
+    llm_s = shard_llm_params(mesh, llm_params)
+    p_s = shard_params(mesh, pparams)
+    b_s = shard_batch(mesh, {"embs": embs, "ids": ids, "mask": mask,
+                             "labels": labels})
+    sharded = float(jax.jit(loss)(p_s, llm_s, b_s["embs"], b_s["ids"],
+                                  b_s["mask"], b_s["labels"]))
+    assert abs(single - sharded) < 1e-4, (single, sharded)
+
+    soft = proj.apply(pspec, p_s, b_s["embs"], train=False)
+    toks = mmmodel.caption_generate(cfg, llm_s, soft, None, 4, 5)
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(toks1))
