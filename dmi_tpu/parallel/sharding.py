@@ -63,13 +63,33 @@ def llm_param_specs() -> Dict[str, Any]:
 
 
 def shard_llm_params(mesh: Mesh, params: dict) -> dict:
-    """device_put the LLM pytree with tensor-parallel shardings."""
+    """device_put the LLM pytree with tensor-parallel shardings.
+
+    Quantized pytrees (dmi_tpu.models.quant) compose: a weight's {q|q8, s}
+    dict takes the weight's spec for the int8 payload, and the per-output
+    scale drops the sharding on its size-1 (contraction) axes — so
+    col-sharded weights shard their scales along 'model' while row-sharded
+    weights replicate them.  Packed-int4 ("qp") does not shard: the K-split
+    byte packing interleaves contraction rows, so a row split would need
+    repacking per shard."""
     specs = llm_param_specs()
 
     def put(path, x):
         spec = specs
         for k in path:
-            spec = spec[k.key]
+            if isinstance(spec, dict):
+                spec = spec[k.key]
+            elif k.key in ("q", "q8"):
+                pass  # int8 payload: same layout as the bf16 weight
+            elif k.key == "s":
+                spec = P(*[None if x.shape[i] == 1 else a
+                           for i, a in enumerate(spec)])
+            elif k.key == "qp":
+                raise NotImplementedError(
+                    "tensor-parallel sharding of packed-int4 (w4a8) weights"
+                )
+            else:
+                raise KeyError(f"unknown quantized leaf key {k.key!r}")
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(put, params)

@@ -156,3 +156,34 @@ def test_sharded_family_loss_and_decode_match(family):
     soft = proj.apply(pspec, p_s, b_s["embs"], train=False)
     toks = mmmodel.caption_generate(cfg, llm_s, soft, None, 4, 5)
     np.testing.assert_array_equal(np.asarray(toks), np.asarray(toks1))
+
+
+def test_sharded_w8a8_decode_matches_single_device(setup):
+    """Quantized {q8, s} leaves shard with their weight's layout (scales
+    drop size-1 axes); tp + W8A8 greedy decode must match single-device."""
+    from dmi_tpu.models.quant import quantize_llama
+
+    cfg, llm_params, pspec, pparams, batch = setup
+    qp = quantize_llama(llm_params, native=True)
+    soft1 = proj.apply(pspec, pparams, jnp.asarray(batch["embs"]), train=False)
+    toks1 = mmmodel.caption_generate(cfg, qp, soft1, None, 4, 5,
+                                     prefill_params=llm_params)
+
+    mesh = make_mesh((2, 4), platform="cpu")
+    qp_s = shard_llm_params(mesh, qp)
+    pre_s = shard_llm_params(mesh, llm_params)
+    b_s = shard_batch(mesh, {"embs": batch["embs"]})
+    soft = proj.apply(pspec, pparams, b_s["embs"], train=False)
+    toks = mmmodel.caption_generate(cfg, qp_s, soft, None, 4, 5,
+                                    prefill_params=pre_s)
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(toks1))
+
+
+def test_sharded_w4a8_raises_clear_error(setup):
+    from dmi_tpu.models.quant import quantize_llama
+
+    cfg, llm_params, *_ = setup
+    qp4 = quantize_llama(llm_params, bits=4)
+    mesh = make_mesh((2, 4), platform="cpu")
+    with pytest.raises(NotImplementedError, match="packed-int4"):
+        shard_llm_params(mesh, qp4)
