@@ -127,3 +127,20 @@ def test_v1_style_multi_dataset_pretrain(workdir):
     results = json.load(open(rf))
     # one metrics entry per embedding manager
     assert set(results["metrics"]) == {"clip-vit-large-patch14", "clap-htsat-fused"}
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("lm", ["test:tiny-qwen2", "test:tiny-gemma2"])
+def test_projector_end_to_end_families(workdir, lm):
+    """The full stage-1 pipeline (train -> decode -> CIDEr -> results JSON)
+    on the non-Llama decoder families: the reference's LM slot is any
+    AutoModelForCausalLM (dmi/utils/model_utils.py:17-20)."""
+    cfg_path = make_config(workdir, lm_name_or_path=lm, output_dir=f"proj_{lm[-5:]}")
+    run(cfg_path)
+    run_file = osp.join(
+        "outputs", "projector:cfg_projector_smoke-dszfull-seed7-results.json"
+    )
+    assert osp.exists(run_file), os.listdir("outputs")
+    results = json.load(open(run_file))
+    m = results["metrics"]["RemoteCLIP-RN50-Unchanged"]
+    assert "coco_cider" in m and "bleu" in m
