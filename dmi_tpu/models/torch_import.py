@@ -363,7 +363,7 @@ def save_reference_checkpoint(
         {
             "step_idx": int(step_idx),
             f"{save_type}_state_dict": {
-                k: torch.from_numpy(np.ascontiguousarray(v))
+                k: torch.from_numpy(np.array(v))
                 for k, v in state_dict.items()
             },
             "optimizer_state_dict": None,
@@ -371,3 +371,148 @@ def save_reference_checkpoint(
         },
         path,
     )
+
+
+# ---------------------------------------------------------------------------
+# AdamW optimizer-moment interop
+# ---------------------------------------------------------------------------
+
+# the only non-parameter state_dict entry across the three model layouts
+_BUFFER_KEYS = ("pos_encs.pe",)
+
+
+def adamw_moments_to_pytrees(
+    sd: Dict[str, np.ndarray],
+    moments: Dict[int, dict],
+    convert,
+) -> dict:
+    """Torch AdamW per-index moments -> our-layout (mu, nu) pytrees.
+
+    ``sd`` is the model state dict the optimizer was built over (its key
+    order equals ``parameters()`` order — both come from the same module
+    traversal; buffers excluded).  ``moments`` is
+    ``load_torch_checkpoint(...)["optimizer_state"]``:
+    ``{param_idx: {step, exp_avg, exp_avg_sq}}``.  ``convert`` is the
+    matching ``*_from_state_dict`` converter, reused so the moments get
+    the exact layout transforms (transposes) their parameters get.
+
+    Returns ``{"mu": pytree, "nu": pytree, "count": int}`` — splice into
+    optax state with dmi_tpu.training.optim.set_adamw_moments.  Count
+    semantics match: torch's ``step`` and optax's ``count`` both hold the
+    number of applied updates, and both bias-correct with ``count + 1`` on
+    the next update.
+    """
+    names = [k for k in sd if k not in _BUFFER_KEYS]
+    if len(names) != len(moments):
+        raise ValueError(
+            f"optimizer has {len(moments)} param slots but the state dict "
+            f"has {len(names)} parameters: {names}"
+        )
+    mu_sd = {n: np.asarray(moments[i]["exp_avg"]) for i, n in enumerate(names)}
+    nu_sd = {n: np.asarray(moments[i]["exp_avg_sq"]) for i, n in enumerate(names)}
+    steps = {moments[i]["step"] for i in range(len(names))}
+    if len(steps) != 1:
+        raise ValueError(f"per-param torch steps differ: {sorted(steps)}")
+    return {
+        "mu": convert(mu_sd),
+        "nu": convert(nu_sd),
+        "count": int(steps.pop()),
+    }
+
+
+def export_adamw_state(
+    names,
+    mu_sd: Dict[str, np.ndarray],
+    nu_sd: Dict[str, np.ndarray],
+    step: int,
+    *,
+    lr: float,
+    betas=(0.9, 0.999),
+    eps: float = 1e-8,
+    weight_decay: float = 0.0,
+) -> dict:
+    """(mu, nu) state dicts (built with the ``export_*_state_dict``
+    helpers) -> a ``torch.optim.AdamW.load_state_dict``-compatible dict.
+    ``names`` fixes the param indexing: pass the target module's
+    state-dict key order (== its ``parameters()`` order), e.g.
+    ``[k for k in ref_module.state_dict() if k not in _BUFFER_KEYS]``."""
+    import torch
+
+    missing = [n for n in names if n not in mu_sd or n not in nu_sd]
+    if missing:
+        raise KeyError(f"moment state dicts missing params: {missing}")
+    state = {
+        i: {
+            "step": torch.tensor(float(step)),
+            "exp_avg": torch.from_numpy(np.array(mu_sd[n])),
+            "exp_avg_sq": torch.from_numpy(np.array(nu_sd[n])),
+        }
+        for i, n in enumerate(names)
+    }
+    param_groups = [{
+        "lr": lr,
+        "betas": tuple(betas),
+        "eps": eps,
+        "weight_decay": weight_decay,
+        "amsgrad": False,
+        "maximize": False,
+        "foreach": None,
+        "capturable": False,
+        "differentiable": False,
+        "fused": None,
+        "params": list(range(len(names))),
+    }]
+    return {"state": state, "param_groups": param_groups}
+
+
+def optax_moments_from_checkpoint(
+    path: str, save_type: str, arch: str = "auto"
+) -> Optional[dict]:
+    """If ``path`` is a reference torch checkpoint whose envelope carries
+    AdamW optimizer state, convert the moments of the TRAINED param set
+    into our layout: ``{"mu", "nu", "count"}`` for
+    dmi_tpu.training.optim.set_adamw_moments, else None.
+
+    The reference optimizers cover (dmi/train_projector.py:235-236,
+    train_hypernet.py:220-221,526, train_lora.py): projector ->
+    Projector.parameters(); hypernet -> HyperNetwork.parameters() (the
+    wrapper's frozen projector is excluded); lora_model ->
+    LoraAdapters.parameters().
+    """
+    import zipfile
+
+    if not zipfile.is_zipfile(path):
+        return None
+    ckpt = load_torch_file(path)
+    opt = ckpt.get("optimizer_state_dict")
+    if not isinstance(opt, dict) or not opt.get("state"):
+        return None
+    sd_key = f"{save_type}_state_dict"
+    if sd_key not in ckpt:
+        return None
+    sd = _numpy_state_dict(ckpt[sd_key])
+
+    if save_type in ("projector", "ft_projector"):
+        names_sd, convert = sd, projector_from_state_dict
+    elif save_type in ("hypernet", "fewshot"):
+        names_sd = _split_prefix(sd, "hypernet.") or sd
+        names_sd = {k: v for k, v in names_sd.items() if k not in _BUFFER_KEYS}
+        convert = lambda s: hypernet_from_state_dict(s, arch=arch)  # noqa: E731
+    elif save_type in ("lora_model", "lora"):
+        names_sd = {
+            k: v for k, v in sd.items()
+            if ".loras." in k or k.startswith("loras.")
+        }
+        convert = lora_from_state_dict
+    else:
+        raise ValueError(f"unknown save_type {save_type!r}")
+
+    moments = {
+        int(i): {
+            "step": int(_to_numpy(s["step"]).item()),
+            "exp_avg": _to_numpy(s["exp_avg"]),
+            "exp_avg_sq": _to_numpy(s["exp_avg_sq"]),
+        }
+        for i, s in opt["state"].items()
+    }
+    return adamw_moments_to_pytrees(names_sd, moments, convert)

@@ -35,10 +35,12 @@ def save_pytree(path: str, obj: Dict[str, Any]) -> None:
 def load_pytree(path: str) -> Dict[str, Any]:
     """Load a dmi_tpu checkpoint — or, transparently, a reference torch
     ``.pt`` checkpoint (zip-serialized torch.save output), converted into
-    the same envelope via dmi_tpu.models.torch_import.  Torch optimizer
-    moments cannot restore into optax state, so optimizer_state_dict is
-    None for imported files (raw moments stay reachable through
-    torch_import.load_torch_checkpoint)."""
+    the same envelope via dmi_tpu.models.torch_import.  The envelope's
+    optimizer_state_dict stays None for imported files (it is reserved for
+    raw optax state); torch AdamW moments are instead converted on demand
+    by the resume paths via torch_import.optax_moments_from_checkpoint +
+    optim.set_adamw_moments (exactness pinned against executed torch in
+    tests/test_optimizer_interop.py)."""
     import zipfile
 
     if zipfile.is_zipfile(path):

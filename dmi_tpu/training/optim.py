@@ -83,3 +83,39 @@ def set_lr(opt_state, lr):
     """Write the injected learning rate inside a jitted step."""
     opt_state[1].hyperparams["learning_rate"] = lr
     return opt_state
+
+
+def set_adamw_moments(opt_state, mu, nu, count: int):
+    """Splice imported AdamW moments (dmi_tpu.models.torch_import
+    .adamw_moments_to_pytrees) into an initialized optax state: locate the
+    ScaleByAdamState anywhere in the chain and replace (count, mu, nu).
+    The moment pytrees must match the param tree the state was init'd on."""
+    import jax
+
+    found = [0]
+
+    def is_adam(node):
+        return hasattr(node, "mu") and hasattr(node, "nu") and hasattr(node, "count")
+
+    def walk(node):
+        if is_adam(node):
+            found[0] += 1
+            return node._replace(
+                count=jnp.asarray(count, node.count.dtype),
+                mu=jax.tree.map(jnp.asarray, mu),
+                nu=jax.tree.map(jnp.asarray, nu),
+            )
+        if isinstance(node, tuple) and type(node) is not tuple:  # NamedTuple
+            return type(node)(*[walk(v) for v in node])
+        if isinstance(node, tuple):
+            return tuple(walk(v) for v in node)
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        return node
+
+    new_state = walk(opt_state)
+    if found[0] != 1:
+        raise ValueError(f"expected exactly one ScaleByAdamState, found {found[0]}")
+    return new_state

@@ -309,6 +309,21 @@ class ProjectorTrainer:
                 opt_state=jax.tree.map(jnp.asarray, best["optimizer_state_dict"]),
                 sched_step=jnp.asarray(best["step_idx"], jnp.int32),
             )
+        elif path:
+            # reference torch checkpoints carry torch AdamW moments instead
+            # of optax state; convert them so the resume continues with the
+            # trained moments (torch step == optax count semantics)
+            from dmi_tpu.models.torch_import import optax_moments_from_checkpoint
+            from dmi_tpu.training.optim import set_adamw_moments
+
+            m = optax_moments_from_checkpoint(path, self.SAVE_TYPE)
+            if m is not None:
+                self.state = self.state._replace(
+                    opt_state=set_adamw_moments(
+                        self.state.opt_state, m["mu"], m["nu"], m["count"]
+                    ),
+                    sched_step=jnp.asarray(best["step_idx"], jnp.int32),
+                )
         return int(best["step_idx"]) + 1
 
     def train(self, start_step: int = 0):

@@ -125,3 +125,66 @@ def test_orbax_sharded_restore_into_mesh_shardings(tmp_path):
     assert restored["b"].sharding == tree["b"].sharding
     assert restored["step"] == 7
     np.testing.assert_array_equal(np.asarray(restored["w"]), np.asarray(tree["w"]))
+
+
+def test_resume_from_torch_checkpoint_restores_adamw_moments(pieces, tmp_path):
+    """resume(path) on a reference torch checkpoint must splice the AdamW
+    moments into the optax chain (count + transposed mu/nu), not silently
+    reinitialize them (exactness vs executed torch is pinned in
+    test_optimizer_interop.py; this covers the trainer wiring)."""
+    import torch
+
+    rng = np.random.default_rng(7)
+    shapes = [(64, 32), (64,), (64, 64), (64,)]  # torch (out, in) layout
+    names = ["net.0.weight", "net.0.bias", "net.3.weight", "net.3.bias"]
+    sd = {n: torch.tensor(rng.normal(size=s).astype(np.float32))
+          for n, s in zip(names, shapes)}
+    opt_state = {
+        "state": {
+            i: {
+                "step": torch.tensor(5.0),
+                "exp_avg": torch.tensor(
+                    rng.normal(size=s).astype(np.float32)),
+                "exp_avg_sq": torch.tensor(
+                    np.abs(rng.normal(size=s)).astype(np.float32)),
+            }
+            for i, s in enumerate(shapes)
+        },
+        "param_groups": [{"lr": 1e-3, "params": [0, 1, 2, 3]}],
+    }
+    path = str(tmp_path / "ref-checkpoint-projector-best.pt")
+    torch.save({"step_idx": 5, "projector_state_dict": sd,
+                "optimizer_state_dict": opt_state, "loss": 0.1}, path)
+
+    tr = pieces()
+    start = tr.resume(path)
+    assert start == 6
+
+    def find_adam(node):
+        if hasattr(node, "mu") and hasattr(node, "nu"):
+            return node
+        if isinstance(node, tuple):
+            for v in node:
+                r = find_adam(v)
+                if r is not None:
+                    return r
+        return None
+
+    adam = find_adam(tr.state.opt_state)
+    assert int(adam.count) == 5
+    np.testing.assert_allclose(
+        np.asarray(adam.mu["layers"][0]["w"]),
+        opt_state["state"][0]["exp_avg"].numpy().T,
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(adam.nu["layers"][1]["b"]),
+        opt_state["state"][3]["exp_avg_sq"].numpy(),
+        rtol=1e-6,
+    )
+    # params restored too (transposed into (in, out))
+    np.testing.assert_allclose(
+        np.asarray(tr.state.params["layers"][0]["w"]),
+        sd["net.0.weight"].numpy().T,
+        rtol=1e-6,
+    )
