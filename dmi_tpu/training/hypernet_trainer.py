@@ -275,6 +275,23 @@ class HypernetTrainer:
                 opt_state=jax.tree.map(jnp.asarray, ckpt["optimizer_state_dict"]),
                 sched_step=jnp.asarray(ckpt["step_idx"], jnp.int32),
             )
+        else:
+            # reference torch checkpoints: convert the AdamW moments of the
+            # hypernet param set (the wrapper's frozen projector is not in
+            # the optimizer, dmi/train_hypernet.py:220-221)
+            from dmi_tpu.models.torch_import import optax_moments_from_checkpoint
+            from dmi_tpu.training.optim import set_adamw_moments
+
+            m = optax_moments_from_checkpoint(
+                path, self.SAVE_TYPE, arch=self.hn_spec.arch
+            )
+            if m is not None:
+                self.state = self.state._replace(
+                    opt_state=set_adamw_moments(
+                        self.state.opt_state, m["mu"], m["nu"], m["count"]
+                    ),
+                    sched_step=jnp.asarray(ckpt["step_idx"], jnp.int32),
+                )
         return dict(step_idx=ckpt["step_idx"])
 
     # ------------------------------------------------------------------
