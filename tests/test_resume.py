@@ -188,3 +188,100 @@ def test_resume_from_torch_checkpoint_restores_adamw_moments(pieces, tmp_path):
         sd["net.0.weight"].numpy().T,
         rtol=1e-6,
     )
+
+
+def test_hypernet_load_checkpoint_restores_torch_adamw_moments(tmp_path, monkeypatch):
+    """HypernetTrainer.load_checkpoint on a reference torch checkpoint must
+    splice the hypernet param set's AdamW moments (the wrapper's frozen
+    projector is not in the optimizer, dmi/train_hypernet.py:220-221)."""
+    import torch
+
+    from dmi_tpu.config import FewshotArgs
+    from dmi_tpu.models import hypernet as hn
+    from dmi_tpu.models import torch_import as ti
+    from dmi_tpu.training.hypernet_trainer import HypernetTrainer
+
+    monkeypatch.chdir(tmp_path)
+    generate_dataset("data", "sharegpt4v", "ViT-L-16-SigLIP2-384", mm_dim=32,
+                     n_train=8, n_eval=2, seed=0)
+    tok = build_test_tokenizer()
+    args = TrainArgs(
+        output_dir="x", train_batch_size=4, eval_batch_size=4,
+        subset_batch_size=4, epochs=1, dataset_size="full", seed=3,
+        learning_rate=1e-3, warmup_steps=2, save_steps=1000, eval_steps=1000,
+        generate_steps=1000,
+    )
+    cfg = llama.tiny_config(vocab_size=tok.vocab_size + 8, hidden_size=64)
+    llm = llama.init(jax.random.key(0), cfg)
+    pspec = proj.ProjectorSpec(mm_dim=32, lm_dim=64, n_layers=2)
+    pparams = proj.init(jax.random.key(1), pspec)
+    hspec = hn.HypnetSpec(lm_dim=64, mm_dim=32, n_tokens=4, arch="attention",
+                          n_heads=4, hypnet_dim=32, rank=4, alpha=4,
+                          n_proj_layers=2, use_pos_encs=True)
+    hparams = hn.init(jax.random.key(2), hspec)
+    loader = DatasetLoader(dataset_spec("sharegpt4v"), tok, args,
+                           "ViT-L-16-SigLIP2-384", True, "data")
+    mgr = EmbeddingManager("timm/ViT-L-16-SigLIP2-384")
+    trainer = HypernetTrainer(
+        name="hn_resume_test", llm_cfg=cfg, llm_params=llm, proj_spec=pspec,
+        frozen_proj_params=pparams, hn_spec=hspec, hn_params=hparams,
+        loaders=[loader], emb_mgrs=[mgr], fewshot_loaders=[],
+        fewshot_emb_mgrs=[], tokenizer=tok, train_args=args,
+        fewshot_args=FewshotArgs(finetune_generated_projector=True),
+    )
+
+    # reference-envelope checkpoint: wrapper sd + AdamW moments over the
+    # hypernet params (indexing = sd key order minus the pe buffer)
+    hn_sd = ti.export_hypernet_state_dict(hparams, hspec)
+    rng = np.random.default_rng(8)
+    names = [k for k in hn_sd if k != "pos_encs.pe"]
+    opt_state = {
+        "state": {
+            i: {
+                "step": torch.tensor(9.0),
+                "exp_avg": torch.tensor(
+                    rng.normal(size=hn_sd[n].shape).astype(np.float32)),
+                "exp_avg_sq": torch.tensor(
+                    np.abs(rng.normal(size=hn_sd[n].shape)).astype(np.float32)),
+            }
+            for i, n in enumerate(names)
+        },
+        "param_groups": [{"lr": 1e-3, "params": list(range(len(names)))}],
+    }
+    path = str(tmp_path / "ref-checkpoint-hypernet-best.pt")
+    torch.save({
+        "step_idx": 9,
+        "hypernet_state_dict": {
+            f"hypernet.{k}": torch.tensor(np.array(v)) for k, v in hn_sd.items()
+        },
+        "optimizer_state_dict": opt_state,
+        "loss": 0.5,
+    }, path)
+
+    out = trainer.load_checkpoint(path)
+    assert out["step_idx"] == 9
+
+    def find_adam(node):
+        if hasattr(node, "mu") and hasattr(node, "nu"):
+            return node
+        if isinstance(node, tuple):
+            for v in node:
+                r = find_adam(v)
+                if r is not None:
+                    return r
+        return None
+
+    adam = find_adam(trainer.state.opt_state)
+    assert int(adam.count) == 9
+    # a generator-head moment: exported (out, in) torch layout -> our (in, out)
+    gi = names.index("generators.0.weight")
+    np.testing.assert_allclose(
+        np.asarray(adam.mu["generators"][0]["w"]),
+        opt_state["state"][gi]["exp_avg"].numpy().T,
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(adam.mu["prefix_tokens"]),
+        opt_state["state"][names.index("prefix_tokens")]["exp_avg"].numpy(),
+        rtol=1e-6,
+    )
