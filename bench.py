@@ -94,9 +94,9 @@ def _load_or_record_baseline(metric: str, value: float) -> float:
     return value
 
 
-def _probe_backend_subprocess(timeout_s: float) -> bool:
-    """True iff a CHILD interpreter can initialize the default backend
-    within timeout_s.  A wedged relay makes PJRT client creation HANG
+def _probe_backend_subprocess(timeout_s: float) -> str:
+    """The default backend a CHILD interpreter reports within timeout_s,
+    or "" on hang/crash.  A wedged relay makes PJRT client creation HANG
     (observed: >9 min on a trivial op after queue abuse), which no
     in-process try/except can escape — so the liveness probe must run in a
     killable subprocess BEFORE this process commits to backend init."""
@@ -110,8 +110,8 @@ def _probe_backend_subprocess(timeout_s: float) -> bool:
             timeout=timeout_s, capture_output=True, text=True,
         )
     except subprocess.TimeoutExpired:
-        return False
-    return r.returncode == 0 and r.stdout.strip() in ("tpu", "axon")
+        return ""
+    return r.stdout.strip() if r.returncode == 0 else ""
 
 
 def _ensure_tpu_or_retry() -> str:
@@ -132,15 +132,21 @@ def _ensure_tpu_or_retry() -> str:
     if os.environ.get("_DMI_BENCH_FORCE_CPU") == "1":
         jax.config.update("jax_platforms", "cpu")
         return jax.default_backend()
-    if not _probe_backend_subprocess(
+    probed = _probe_backend_subprocess(
         float(os.environ.get("DMI_BENCH_PROBE_TIMEOUT", "150"))
+    )
+    # a healthy CPU-only child is a valid outcome for small smokes (no
+    # detour through the force-CPU re-exec); anything else non-live is
+    # treated as relay trouble
+    if probed in ("tpu", "axon") or (
+        probed == "cpu" and os.environ.get("DMI_BENCH_SMALL") == "1"
     ):
-        backend = "uninitialized"  # hang or crash in the probe child
-    else:
         try:
             backend = jax.default_backend()
         except RuntimeError:
             backend = "uninitialized"  # e.g. "Backend 'axon' is not ... known"
+    else:
+        backend = "uninitialized"  # hang or crash in the probe child
     if backend == "tpu":
         return backend
     if backend == "cpu" and os.environ.get("DMI_BENCH_SMALL") == "1":

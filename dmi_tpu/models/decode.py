@@ -449,7 +449,10 @@ def _decode_step_bl(cfg, params, h, caches, pos, bias, s_window=None,
     # layer scan so XLA may software-pipeline the next layer's weight
     # stream against the current layer's compute (the loop runs at 69-79%
     # of HBM peak, BASELINE.md).  Token-exact: unroll only duplicates the
-    # body lexically.
+    # body lexically.  NOTE the enclosing greedy_generate_bl jit caches its
+    # trace for the process lifetime — flipping the env after the first
+    # call is ignored unless jax.clear_caches() runs first
+    # (scripts/profile_layer_unroll.py does).
     layer_unroll = int(os.environ.get("DMI_DECODE_LAYER_UNROLL", "1"))
     (h, kv_cache), _ = jax.lax.scan(body, (h, kv_cache), xs, unroll=layer_unroll)
     h = _rms_norm_bl(h, params["final_norm"], cfg.rms_norm_eps)

@@ -689,20 +689,32 @@ def forward(
     backward pass (activation memory ~O(1) in depth — trades FLOPs for
     HBM when training through the frozen LLM at large batch/seq)."""
     B, T, H = inputs_embeds.shape
-    x = inputs_embeds.astype(cfg.dtype)
-    if cfg.embedding_normalizer is not None:
-        # gemma scales inputs_embeds (soft prefixes included) by sqrt(H)
-        # quantized to the model dtype (HF Gemma2Model.forward)
-        x = x * jnp.asarray(cfg.embedding_normalizer, cfg.dtype)
+    # gemma scales inputs_embeds (soft prefixes included) by sqrt(H),
+    # quantized to the model dtype (HF Gemma2Model.forward)
+    x = scale_embeds(cfg, inputs_embeds.astype(cfg.dtype))
+    explicit_positions = positions is not None
     if positions is None:
         positions = jnp.arange(T)
     cos, sin = rope_tables(cfg, positions)
 
     # sliding windows bind only when some key could fall OUT of the window;
-    # with positions < window every sliding mask equals the causal mask, so
-    # the interleaved-bias machinery is statically skipped (caption budgets
-    # sit far below gemma-2's 4096 window)
-    sliding_on = sliding_effective(cfg, T)
+    # with contiguous arange positions < window every sliding mask equals
+    # the causal mask, so the interleaved-bias machinery is statically
+    # skipped (caption budgets sit far below gemma-2's 4096 window).
+    # Caller-supplied positions may be non-contiguous (gaps > window at
+    # any T), so they force the overlay on — it is built from the actual
+    # position values either way.
+    sliding_on = sliding_effective(cfg, T if not explicit_positions else 0) or (
+        explicit_positions
+        and cfg.sliding_window is not None
+        and cfg.layer_sliding is not None
+        and any(cfg.layer_sliding)
+    )
+    if sliding_on and explicit_positions and jnp.ndim(positions) != 1:
+        raise ValueError(
+            "sliding-window models require 1-D positions (the window "
+            "overlay broadcasts positions[:, None] - positions[None, :])"
+        )
 
     seg_ids = None
     bias = bias_sw = None

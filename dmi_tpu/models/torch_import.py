@@ -403,14 +403,28 @@ def adamw_moments_to_pytrees(
     the next update.
     """
     names = [k for k in sd if k not in _BUFFER_KEYS]
-    if len(names) != len(moments):
+    if len(moments) > len(names):
         raise ValueError(
             f"optimizer has {len(moments)} param slots but the state dict "
-            f"has {len(names)} parameters: {names}"
+            f"has only {len(names)} parameters: {names}"
         )
-    mu_sd = {n: np.asarray(moments[i]["exp_avg"]) for i, n in enumerate(names)}
-    nu_sd = {n: np.asarray(moments[i]["exp_avg_sq"]) for i, n in enumerate(names)}
-    steps = {moments[i]["step"] for i in range(len(names))}
+    # torch AdamW creates state slots LAZILY — params whose grad stayed
+    # None have no entry.  Genuine reference stage-2 checkpoints hit this:
+    # lora_forward's zip truncation (dmi/model/projector.py:124) never
+    # consumes generator head 1's outputs, so its params have no moments.
+    # A missing slot means "never updated": mu = nu = 0, exactly the init
+    # state.  Indices still map positionally onto parameters() order.
+    mu_sd = {
+        n: (np.asarray(moments[i]["exp_avg"]) if i in moments
+            else np.zeros_like(sd[n], dtype=np.float32))
+        for i, n in enumerate(names)
+    }
+    nu_sd = {
+        n: (np.asarray(moments[i]["exp_avg_sq"]) if i in moments
+            else np.zeros_like(sd[n], dtype=np.float32))
+        for i, n in enumerate(names)
+    }
+    steps = {m["step"] for m in moments.values()}
     if len(steps) != 1:
         raise ValueError(f"per-param torch steps differ: {sorted(steps)}")
     return {

@@ -90,6 +90,15 @@ def _hf_to_config(hf_cfg, dtype, tokenizer) -> llama.LlamaConfig:
         hf_cfg, "sliding_window", None
     ):
         layer_types = ["sliding_attention"] * hf_cfg.num_hidden_layers
+    if layer_types is None and family == "gemma2":
+        # transformers < ~4.54 Gemma2Config has no layer_types; the
+        # alternation is fixed in the architecture: sliding on even
+        # layers, full on odd (HF Gemma2Model) — silently dropping the
+        # window would give wrong logits past 4096 tokens
+        layer_types = [
+            "sliding_attention" if i % 2 == 0 else "full_attention"
+            for i in range(hf_cfg.num_hidden_layers)
+        ]
     layer_sliding = (
         tuple(t == "sliding_attention" for t in layer_types) if layer_types else None
     )

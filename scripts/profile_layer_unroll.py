@@ -92,8 +92,11 @@ def main():
     ref_tokens = {}
     for unroll in [int(u) for u in args.unrolls.split(",")]:
         os.environ["DMI_DECODE_LAYER_UNROLL"] = str(unroll)
+        # greedy_generate_bl is module-level-jitted: a fresh OUTER wrapper
+        # does NOT invalidate its inner trace cache, so without this every
+        # factor would silently re-measure the first one's program
+        jax.clear_caches()
 
-        # fresh function object per unroll: the env is read at trace time
         def pipe(pp, lp, e, pre, pre_params, _u=unroll):
             soft = proj.apply(pspec, pp, e, train=False)
             return mmmodel.caption_generate(cfg, lp, soft, pre, max_new, 0,

@@ -270,3 +270,53 @@ def test_lora_and_hypernet_moment_layouts(ref, tmp_path):
     assert jax.tree.structure(m["mu"]) == jax.tree.structure(want)
     for mom, p in zip(jax.tree.leaves(m["mu"]), jax.tree.leaves(want)):
         assert mom.shape == np.asarray(p).shape
+
+
+def test_missing_torch_state_slots_fill_zero_moments(ref, tmp_path):
+    """torch AdamW creates state slots LAZILY: params whose grad stayed
+    None have none.  Genuine reference stage-2 checkpoints hit this — the
+    lora_forward zip truncation (dmi/model/projector.py:124) never uses
+    generator head 1, so its params get no moments.  Conversion must fill
+    zeros (the init state) instead of crashing."""
+    hargs = ref.HypnetArgs(
+        hn_arch="attention",
+        hn_n_layers=1,
+        hn_n_heads=4,
+        hn_hypnet_dim=MM_DIM,
+        hn_rank=4,
+        hn_alpha=4,
+        hn_predict_bias=True,
+        hn_n_proj_layers=2,
+        hn_use_pos_encs=False,
+    )
+    torch.manual_seed(60)
+    net = ref.hypernet.HyperNetwork(hargs, LM_DIM, MM_DIM, 5, "cpu")
+    t_opt = torch.optim.AdamW(net.parameters(), lr=LR)
+    # loss touches everything EXCEPT generator head 1 (the truncated head)
+    s = sum(
+        p.square().sum()
+        for n, p in net.named_parameters()
+        if not n.startswith("generators.1.")
+    )
+    s.backward()
+    t_opt.step()
+    assert len(t_opt.state_dict()["state"]) == len(list(net.parameters())) - 2
+
+    path = str(tmp_path / "checkpoint-hypernet-best.pt")
+    torch.save(
+        {
+            "step_idx": 1,
+            "hypernet_state_dict": {
+                f"hypernet.{k}": v for k, v in net.state_dict().items()
+            },
+            "optimizer_state_dict": t_opt.state_dict(),
+            "loss": 0.0,
+        },
+        path,
+    )
+    m = ti.optax_moments_from_checkpoint(path, "hypernet", arch="attention")
+    assert m is not None and m["count"] == 1
+    # untouched head: zero moments; touched head 0: real moments
+    assert float(np.abs(np.asarray(m["mu"]["generators"][1]["w"])).max()) == 0.0
+    assert float(np.abs(np.asarray(m["nu"]["generators"][1]["b"])).max()) == 0.0
+    assert float(np.abs(np.asarray(m["mu"]["generators"][0]["w"])).max()) > 0.0

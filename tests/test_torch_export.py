@@ -111,6 +111,16 @@ def test_export_hypernet_reference_executes(ref, arch, use_pos_encs):
         k: torch.from_numpy(np.ascontiguousarray(v))
         for k, v in ti.export_hypernet_state_dict(params, spec).items()
     }
+    if use_pos_encs:
+        # the exported buffer must equal the reference's OWN table —
+        # strict-load would otherwise overwrite a correct table with a
+        # wrong one and the forward comparison below couldn't tell
+        np.testing.assert_allclose(
+            sd["pos_encs.pe"].numpy(),
+            net.pos_encs.pe.detach().numpy(),
+            rtol=1e-6,
+            atol=1e-7,
+        )
     net.load_state_dict(sd, strict=True)
     net.eval()
 
