@@ -369,13 +369,47 @@ def main() -> None:
     )
 
 
+def _arm_hang_watchdog():
+    """A relay that WEDGES mid-run leaves the process blocked inside a C
+    transfer call — SIGALRM handlers never run because the interpreter
+    never regains control, so the escape hatch is a watchdog THREAD that
+    re-execs the whole process pinned to CPU (os.execv from a secondary
+    thread replaces the image even while the main thread is stuck).
+    Deadline via DMI_BENCH_DEADLINE (default 3600 s — remote compiles
+    alone can take 4-480 s each and the triple companion compiles four
+    programs; the bound exists to beat 'forever', not to be tight)."""
+    if os.environ.get("_DMI_BENCH_FORCE_CPU") == "1":
+        return None
+    import sys
+    import threading
+
+    deadline = float(os.environ.get("DMI_BENCH_DEADLINE", "3600"))
+
+    def fire():
+        sys.stderr.write(
+            f"bench exceeded {deadline:.0f}s (relay hang?); "
+            "re-exec pinned to CPU\n"
+        )
+        sys.stderr.flush()
+        os.environ["_DMI_BENCH_FORCE_CPU"] = "1"
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+    t = threading.Timer(deadline, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def _main_with_last_resort():
     """A relay that dies MID-RUN (after winning registration) surfaces as
     an arbitrary runtime error after _ensure_tpu_or_retry passed.  One
     JSON line must still be printed: re-exec pinned to CPU once; if the
     CPU run itself fails, that's a real bug — crash loudly."""
+    watchdog = _arm_hang_watchdog()
     try:
         main()
+        if watchdog is not None:
+            watchdog.cancel()
     except (NameError, AttributeError, TypeError, ImportError, KeyError):
         # programming errors are NOT relay deaths: a CPU fallback here
         # would mask a real bug behind a quiet _cpu_fallback metric
