@@ -103,5 +103,6 @@ def test_graft_dryrun_multichip(capsys):
 
     ge.dryrun_multichip(8)
     out = capsys.readouterr().out
-    # projector, hypernet, decode, stage-3 fewshot, grad-accum, checkpoint
-    assert out.count("dryrun_multichip OK") == 6
+    # projector, hypernet, decode, stage-3 fewshot, grad-accum, checkpoint,
+    # orbax sharded checkpoint (round-3 path 7)
+    assert out.count("dryrun_multichip OK") == 7
