@@ -28,6 +28,13 @@ batching, shaped for XLA:
     the batch loop.)
   * per-slot early-exit: a slot is live until EOS or budget; dead slots
     compute masked pad work until harvested (lanes are not resized)
+  * sliding-window families (gemma-2): ring rows don't map to positions,
+    so SlotState.row_pos stamps each written row with its absolute
+    position and the per-layer lookback mask is rebuilt from it —
+    token-exact vs the batch path even when prompt+budget > window
+  * multi-chip: constrain_state shards the pool over a mesh's 'data'
+    axis (weights over 'model' via parallel.shard_llm_params) — dp x tp
+    serving on the same (data, model) mesh as the batch decode
 
 Decode math is shared with dmi_tpu/models/decode.py (same _mm_bl /
 _rms_norm_bl / _decode_attention_bl contract, f32-accumulated attention)
@@ -65,24 +72,28 @@ class SlotState(NamedTuple):
     n: jax.Array         # [B] i32: tokens generated so far
     live: jax.Array      # [B] bool
     tokens: jax.Array    # [B, budget] i32 output buffer (pad-filled)
+    row_pos: jax.Array   # [S, B] i32: ABSOLUTE position held by each row
+    #   (per slot).  Prompt rows are always 0..T-1 (uniform prompts, set
+    #   once at init); generated ring rows are stamped at write time.
+    #   Read only by sliding-window models — ring rows don't correspond
+    #   to positions, so the lookback mask (q_pos - k_pos < window) needs
+    #   this row->position map.  Invalid rows are masked before it's read.
 
 
 def init_state(cfg: LlamaConfig, pool: int, prompt_len: int, budget: int,
                pad_token_id: int) -> SlotState:
     total = prompt_len + budget
-    if llama.sliding_effective(cfg, total):
-        # the ring reuses storage rows, so a sliding-window lookback mask
-        # would need per-slot row->position bookkeeping nothing needs yet:
-        # caption budgets sit far below gemma-2's 4096 window
-        raise NotImplementedError(
-            "continuous-batching engine: sliding-window layers with "
-            f"prompt+budget {total} > window {cfg.sliding_window}; "
-            "use the batch decode path"
-        )
     kv = jnp.zeros(
         (cfg.num_hidden_layers, 2, cfg.num_key_value_heads, total,
          cfg.head_dim, pool),
         cfg.dtype,
+    )
+    # prompt rows hold positions 0..T-1 for EVERY tenant (uniform-length
+    # prompts); the generated-region init value is arbitrary (rows are
+    # invalid until their first write stamps them)
+    row_pos = jnp.broadcast_to(
+        jnp.minimum(jnp.arange(total), prompt_len - 1)[:, None].astype(jnp.int32),
+        (total, pool),
     )
     return SlotState(
         kv=kv,
@@ -92,6 +103,37 @@ def init_state(cfg: LlamaConfig, pool: int, prompt_len: int, budget: int,
         n=jnp.zeros((pool,), jnp.int32),
         live=jnp.zeros((pool,), bool),
         tokens=jnp.full((pool, budget), pad_token_id, jnp.int32),
+        row_pos=row_pos,
+    )
+
+
+def constrain_state(state: SlotState, mesh) -> SlotState:
+    """Pin the slot pool's sharding on a (data, model) mesh: every per-slot
+    axis (the LAST dim of kv/valid/row_pos, the batch dims of the small
+    bookkeeping arrays) shards over 'data'; the scalar cursor replicates.
+    With the LLM weights sharded over 'model' (parallel.shard_llm_params),
+    the engine then runs dp x tp exactly like the batch decode.  No-op for
+    mesh=None.  Works both eagerly (device_put, the host-loop engine) and
+    inside jit (with_sharding_constraint, bulk_caption)."""
+    if mesh is None:
+        return state
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def pin(x, spec):
+        s = NamedSharding(mesh, spec)
+        if isinstance(x, jax.core.Tracer):
+            return jax.lax.with_sharding_constraint(x, s)
+        return jax.device_put(x, s)
+
+    return SlotState(
+        kv=pin(state.kv, P(None, None, None, None, None, "data")),
+        valid=pin(state.valid, P(None, "data")),
+        cursor=pin(state.cursor, P()),
+        last=pin(state.last, P("data")),
+        n=pin(state.n, P("data")),
+        live=pin(state.live, P("data")),
+        tokens=pin(state.tokens, P("data", None)),
+        row_pos=pin(state.row_pos, P(None, "data")),
     )
 
 
@@ -121,9 +163,23 @@ def _stream_one_step(cfg, params, state: SlotState, T: int, budget: int,
     )
     bias = jnp.where(valid, 0.0, jnp.finfo(jnp.float32).min)  # [S, B]
 
+    row_pos = state.row_pos
+    bias_sw = None
+    if llama.sliding_effective(cfg, T + budget):  # trace-time static
+        # stamp the written row with its absolute position (dead slots
+        # stamp garbage under an invalid row — never read), then build the
+        # lookback mask exactly like the batch loop's
+        # (key_pos <= pos) & (pos - key_pos < window), with `valid`
+        # standing in for causality and row_pos for key_pos
+        row_pos = jax.lax.dynamic_update_slice(
+            row_pos, pos[None, :].astype(jnp.int32), (row, 0)
+        )
+        in_win = (pos[None, :] - row_pos) < cfg.sliding_window
+        bias_sw = jnp.where(valid & in_win, 0.0, jnp.finfo(jnp.float32).min)
+
     logits, kv = dec._decode_step_bl(
         cfg, params, h, state.kv, pos, bias,
-        rope=(cos.T, sin.T), write_row=row,
+        rope=(cos.T, sin.T), write_row=row, bias_sw=bias_sw,
     )
 
     batch_iota = jnp.arange(B)
@@ -140,7 +196,7 @@ def _stream_one_step(cfg, params, state: SlotState, T: int, budget: int,
     last = jnp.where(state.live, tok, state.last)
     cursor = jnp.asarray((state.cursor + 1) % budget, jnp.int32)
     return SlotState(kv=kv, valid=valid, cursor=cursor, last=last, n=n,
-                     live=live, tokens=tokens)
+                     live=live, tokens=tokens, row_pos=row_pos)
 
 
 @partial(jax.jit, static_argnames=("cfg", "T", "budget", "pad_token_id", "k_steps"))
@@ -196,6 +252,9 @@ def _admit_core(cfg, params, prefill_params, pspec, pparams, state, embs,
     return SlotState(
         kv=kv,
         valid=new_valid,
+        # row_pos untouched: prompt rows are position-identical for every
+        # tenant and generated rows are stamped (under `valid`) at write
+        row_pos=state.row_pos,
         cursor=state.cursor,
         last=state.last.at[slots].set(jnp.where(valid, tok0, state.last[slots])),
         n=state.n.at[slots].set(jnp.where(valid, 1, state.n[slots])),
@@ -214,9 +273,10 @@ def admit_chunk(cfg, params, prefill_params, pspec, pparams, state, embs,
 
 
 @partial(jax.jit, static_argnames=("cfg", "pspec", "T", "budget",
-                                   "pad_token_id", "chunk", "pool"))
+                                   "pad_token_id", "chunk", "pool", "mesh"))
 def bulk_caption(cfg, params, prefill_params, pspec, pparams, queue,
-                 prefix_ids, n_real, T, budget, pad_token_id, chunk, pool):
+                 prefix_ids, n_real, T, budget, pad_token_id, chunk, pool,
+                 mesh=None):
     """FULLY ON-DEVICE continuous batching for offline bulk captioning —
     the reference's actual serving shape (caption a whole eval split).
 
@@ -234,7 +294,9 @@ def bulk_caption(cfg, params, prefill_params, pspec, pparams, queue,
     """
     Nq, mm_dim = queue.shape
     eos = jnp.asarray(cfg.eos_token_ids)
-    state = init_state(cfg, pool, T, budget, pad_token_id)
+    # pin the pool's dp sharding on the INITIAL carry: GSPMD propagates it
+    # through the while_loop, so the whole engine runs sharded
+    state = constrain_state(init_state(cfg, pool, T, budget, pad_token_id), mesh)
     out = jnp.full((Nq + 1, budget), pad_token_id, jnp.int32)
     slot_req = jnp.full((pool,), Nq, jnp.int32)  # trash row until assigned
 
@@ -286,7 +348,11 @@ class StreamingCaptioner:
     def __init__(self, cfg: LlamaConfig, llm_params: dict, pspec, pparams,
                  prefix_ids: np.ndarray, budget: int, pad_token_id: int,
                  pool: int = 256, admit: int = 64, k_steps: int = 8,
-                 prefill_params: Optional[dict] = None):
+                 prefill_params: Optional[dict] = None, mesh=None):
+        # mesh: optional (data, model) jax.sharding.Mesh — the slot pool
+        # shards over 'data' (constrain_state); pass weights already
+        # sharded over 'model' for full dp x tp serving
+        self.mesh = mesh
         self.cfg = cfg
         self.params = llm_params
         self.prefill_params = prefill_params
@@ -327,8 +393,10 @@ class StreamingCaptioner:
         driven off host-tracked occupancy."""
         N = embeddings.shape[0]
         if self.state is None:
-            self.state = init_state(self.cfg, self.pool, self.T, self.budget,
-                                    self.pad)
+            self.state = constrain_state(
+                init_state(self.cfg, self.pool, self.T, self.budget, self.pad),
+                self.mesh,
+            )
         out = np.full((N, self.budget), self.pad, np.int32)
         next_req = 0
         prefix_chunk = jnp.tile(self.prefix[None, :], (self.admit, 1))
@@ -407,7 +475,7 @@ class StreamingCaptioner:
             self.cfg, self.params, self.prefill_params, self.pspec,
             self.pparams, jnp.asarray(q), prefix_chunk,
             jnp.asarray(N, jnp.int32), self.T, self.budget, self.pad,
-            M, self.pool,
+            M, self.pool, mesh=self.mesh,
         )
         self.dispatches += 1
         return np.asarray(out)[:N]

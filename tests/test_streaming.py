@@ -150,8 +150,8 @@ def test_bulk_on_device_quantized():
 
 def test_bulk_on_device_under_tp_mesh():
     """bulk_caption with tensor-parallel-sharded LLM weights on the
-    virtual 8-device mesh: GSPMD partitions the engine like the batch tp
-    decode (state replicated, weights model-sharded) and tokens match the
+    virtual 8-device mesh AND the slot pool sharded over 'data'
+    (mesh= -> constrain_state): full dp x tp serving, tokens match the
     single-device run."""
     from dmi_tpu.parallel import make_mesh, shard_llm_params
 
@@ -165,9 +165,13 @@ def test_bulk_on_device_under_tp_mesh():
     mesh = make_mesh((2, 4))  # (data, model): 4-way tensor parallel
     sharded = shard_llm_params(mesh, llm_params)
     eng = StreamingCaptioner(cfg, sharded, pspec, pparams, prefix, budget,
-                             PAD, pool=4, admit=2, k_steps=2)
+                             PAD, pool=4, admit=2, k_steps=2, mesh=mesh)
     got = eng.run_bulk(embs)
     np.testing.assert_array_equal(got, want)
+    # the host-loop engine under the same mesh (eager state device_put)
+    eng2 = StreamingCaptioner(cfg, sharded, pspec, pparams, prefix, budget,
+                              PAD, pool=4, admit=2, k_steps=2, mesh=mesh)
+    np.testing.assert_array_equal(eng2.run(embs), want)
 
 
 @pytest.mark.parametrize("family", ["qwen2", "gemma2"])
@@ -195,13 +199,41 @@ def test_streaming_families_match_batch_path(family):
     np.testing.assert_array_equal(eng.run_bulk(embs), want)
 
 
-def test_streaming_sliding_window_guard():
-    """A sliding-window model whose window can bind inside prompt+budget
-    must be rejected (the ring has no lookback bookkeeping); a window
-    larger than prompt+budget is accepted and matches the batch path."""
+@pytest.mark.parametrize("eos", [(), (5,)])
+def test_streaming_sliding_window_binds(eos):
+    """prompt+budget (4+8) > window (4) with interleaved sliding/full
+    layers: the ring's row->position bookkeeping (SlotState.row_pos) must
+    reproduce the batch path's lookback mask token for token — including
+    slot RECYCLING (N > pool re-tenants rows whose stale positions would
+    poison the window mask if not re-stamped/invalidated).  EOS on makes
+    tenures staggered so ring phase differs per slot."""
     cfg = llama.tiny_gemma2_config(vocab_size=64, hidden_size=32, n_layers=2,
                                    n_heads=4, n_kv=2, intermediate=64,
                                    sliding_window=4)
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, eos_token_ids=eos)
+    llm_params = llama.init(jax.random.key(41), cfg)
+    pspec = proj.ProjectorSpec(mm_dim=16, lm_dim=32, n_layers=2, dropout=0.0)
+    pparams = proj.init(jax.random.key(42), pspec)
+    prefix = np.asarray([3, 7, 9], np.int32)
+    budget = 8
+    embs = np.random.default_rng(43).normal(size=(11, 16)).astype(np.float32)
+
+    want = batch_reference(cfg, llm_params, pspec, pparams, prefix, embs, budget)
+    eng = StreamingCaptioner(cfg, llm_params, pspec, pparams, prefix, budget,
+                             PAD, pool=4, admit=2, k_steps=2)
+    np.testing.assert_array_equal(eng.run(embs), want)
+    np.testing.assert_array_equal(eng.run_bulk(embs), want)
+
+
+def test_streaming_sliding_window_wide_no_overhead():
+    """A window larger than prompt+budget never binds: sliding_effective
+    is False at trace time, so the engine takes the plain-causal path and
+    still matches the batch decode."""
+    cfg = llama.tiny_gemma2_config(vocab_size=64, hidden_size=32, n_layers=2,
+                                   n_heads=4, n_kv=2, intermediate=64,
+                                   sliding_window=64)
     import dataclasses
 
     cfg = dataclasses.replace(cfg, eos_token_ids=())
@@ -209,14 +241,8 @@ def test_streaming_sliding_window_guard():
     pspec = proj.ProjectorSpec(mm_dim=16, lm_dim=32, n_layers=2, dropout=0.0)
     pparams = proj.init(jax.random.key(42), pspec)
     prefix = np.asarray([3, 7, 9], np.int32)
-    with pytest.raises(NotImplementedError):
-        StreamingCaptioner(cfg, llm_params, pspec, pparams, prefix, 8, PAD,
-                           pool=4, admit=2, k_steps=2).run(
-            np.zeros((2, 16), np.float32))
-
-    wide = dataclasses.replace(cfg, sliding_window=64)
     embs = np.random.default_rng(43).normal(size=(5, 16)).astype(np.float32)
-    want = batch_reference(wide, llm_params, pspec, pparams, prefix, embs, 4)
-    eng = StreamingCaptioner(wide, llm_params, pspec, pparams, prefix, 4, PAD,
+    want = batch_reference(cfg, llm_params, pspec, pparams, prefix, embs, 4)
+    eng = StreamingCaptioner(cfg, llm_params, pspec, pparams, prefix, 4, PAD,
                              pool=4, admit=2, k_steps=2)
     np.testing.assert_array_equal(eng.run(embs), want)
