@@ -104,5 +104,6 @@ def test_graft_dryrun_multichip(capsys):
     ge.dryrun_multichip(8)
     out = capsys.readouterr().out
     # projector, hypernet, decode, stage-3 fewshot, grad-accum, checkpoint,
-    # orbax sharded checkpoint (round-3 path 7)
-    assert out.count("dryrun_multichip OK") == 7
+    # orbax sharded checkpoint (round-3 path 7), continuous-batching engine
+    # dp x tp (round-4 path 8)
+    assert out.count("dryrun_multichip OK") == 8
