@@ -3,10 +3,10 @@
 # the right training CLI by its contents (hypernet configs carry hn_*,
 # LoRA configs carry lora_rank), so any directory layout works:
 #
-#   ./run.sh configs/projector/v1:....json     # stage 1: projector pretrain
-#   ./run.sh configs/hypernet/v4:....json      # stage 2: hypernet training
-#   ./run.sh configs/hypernet/v6:....json      # stage 3: few-shot sweeps
-#   ./run.sh configs/lora/v3:....json          # LoRA baseline
+#   ./run.sh configs/experiments/projector/v1:....json     # stage 1: projector pretrain
+#   ./run.sh configs/experiments/hypernet/v4:....json      # stage 2: hypernet training
+#   ./run.sh configs/experiments/hypernet/v6:....json      # stage 3: few-shot sweeps
+#   ./run.sh configs/experiments/lora/v3:....json          # LoRA baseline
 set -euo pipefail
 
 if [[ $# -lt 1 ]]; then

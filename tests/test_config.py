@@ -61,6 +61,71 @@ def test_sydney_rn50_config_values():
     assert proj_args.proj_n_layers == 2
 
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+EXP_DIR = os.path.join(REPO, "configs", "experiments")
+
+
+def _groups_for(path):
+    if "/hypernet/" in path:
+        return HYPERNET_GROUPS
+    if "/lora/" in path:
+        return LORA_GROUPS
+    return PROJECTOR_GROUPS
+
+
+def _exp_paths():
+    paths = glob.glob(os.path.join(EXP_DIR, "**", "*.json"), recursive=True)
+    return sorted(p for p in paths if not p.endswith("sweeps.json"))
+
+
+def test_vendored_configs_parse_and_count():
+    """The vendored experiment surface (configs/experiments) must parse
+    through the config system with the reference unmounted — the sweeps
+    are reproducible from this repo alone."""
+    paths = _exp_paths()
+    assert len(paths) == 74, len(paths)
+    for path in paths:
+        groups = _groups_for(path)
+        parsed = parse_config(path, groups)
+        assert len(parsed) == len(groups)
+
+
+def test_vendored_configs_generator_idempotent():
+    """scripts/gen_experiment_configs.py --check: checked-in JSONs are
+    exactly the expansion of sweeps.json (no hand-edit drift)."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "gen_experiment_configs.py"),
+         "--check"],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+
+
+@requires_reference
+def test_vendored_configs_match_reference():
+    """File-set and semantic (parsed-JSON) equality with the mounted
+    reference sweep surface."""
+    import json
+
+    cfg_root = os.path.join(REFERENCE_ROOT, "dmi", "configs")
+    ref_paths = glob.glob(os.path.join(cfg_root, "**", "*.json"), recursive=True)
+    ref_rel = sorted(
+        os.path.relpath(p, cfg_root) for p in ref_paths
+        if not p.endswith("config.json")
+    )
+    exp_rel = sorted(os.path.relpath(p, EXP_DIR) for p in _exp_paths())
+    assert ref_rel == exp_rel
+    for rel in ref_rel:
+        with open(os.path.join(cfg_root, rel)) as f:
+            want = json.load(f)
+        with open(os.path.join(EXP_DIR, rel)) as f:
+            got = json.load(f)
+        assert got == want, rel
+
+
 def test_unknown_key_rejected():
     with pytest.raises(ValueError):
         parse_config({"output_dir": "x", "bogus_key": 1}, (TrainArgs,))
