@@ -38,6 +38,11 @@ def eval_environment(dataset_name: Optional[str] = None) -> Dict:
         "coco_meteor_stages": m_cfg.active_stages(),
         "generic_meteor_impl": "nltk-style-exact+stem",
         "ngram_core": "cpp" if get_lib() is not None else "python",
+        # clean-room PTB3 model of the Java PTBTokenizer+wrapper pipeline;
+        # documented divergences: no americanize, no \/ \* escapes, single
+        # initials split (dmi_tpu/evals/tokenize.py docstring; adversarial
+        # suite: tests/test_ptb_tokenizer.py)
+        "ptb_tokenizer_impl": "ptb3-clean-room",
     }
     if dataset_name == "chebi20":
         env["chebi_tokenizer"] = _chebi_tokenizer_kind()
