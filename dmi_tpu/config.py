@@ -76,6 +76,11 @@ class TrainArgs:
     n_components: Optional[int] = None
     # --- TPU-native extensions (absent from reference configs; defaulted) ---
     mesh_shape: Optional[List[int]] = None  # e.g. [8, 1] -> (data, model)
+    # coalesce k same-loader grad-accum micro-batches into one dispatch
+    # (k*B rows through the frozen LLM — fills the MXU that stage-2's
+    # B=8 micro-shape underfills; numerics equal up to summation order,
+    # test_hypernet_e2e.py::test_coalesced_micro_steps_match_sequential)
+    micro_batch_coalesce: int = 1
     use_pallas: bool = True
     profile_dir: Optional[str] = None
     output_root: str = "../outputs"  # results JSON root (reference hardcodes ../outputs)

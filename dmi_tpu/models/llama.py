@@ -806,3 +806,24 @@ def causal_lm_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
     token_ll = jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
     n_valid = jnp.maximum(valid.sum(), 1)
     return -(token_ll * valid).sum() / n_valid
+
+
+def causal_lm_loss_grouped(logits: jax.Array, labels: jax.Array,
+                           groups: int) -> jax.Array:
+    """causal_lm_loss of G stacked micro-batches in one [G*B, T] forward:
+    returns [G] per-group token-mean losses, each mathematically equal to
+    causal_lm_loss on that group's rows alone.  Rows padded past their own
+    micro-batch length must carry -100 labels (extension positions are
+    causally invisible to real positions and excluded here), so grad-accum
+    micro-steps can be coalesced with per-group numerics intact."""
+    shift_logits = logits[:, :-1, :].astype(jnp.float32)
+    shift_labels = labels[:, 1:]
+    valid = shift_labels != -100
+    safe_labels = jnp.where(valid, shift_labels, 0)
+    logp = jax.nn.log_softmax(shift_logits, axis=-1)
+    token_ll = jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    gb, t = token_ll.shape
+    token_ll = token_ll.reshape(groups, gb // groups, t)
+    valid = valid.reshape(groups, gb // groups, t)
+    n_valid = jnp.maximum(valid.sum(axis=(1, 2)), 1)
+    return -(token_ll * valid).sum(axis=(1, 2)) / n_valid

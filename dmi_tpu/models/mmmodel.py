@@ -76,6 +76,35 @@ def caption_loss(
     return llama.causal_lm_loss(logits, labels)
 
 
+def caption_loss_grouped(
+    cfg: LlamaConfig,
+    llm_params: dict,
+    soft_tokens: jax.Array,   # [G*B, lm_dim]
+    input_ids: jax.Array,     # [G*B, T]
+    attention_mask: jax.Array,
+    labels: jax.Array,
+    groups: int,
+    mask_padding: bool = False,
+) -> jax.Array:
+    """caption_loss of G stacked micro-batches in ONE LLM forward,
+    returning [G] per-group losses (llama.causal_lm_loss_grouped).
+
+    Enables grad-accum coalescing: stage-2's B=8 micro-batches underfill
+    the MXU (BASELINE.md round-3 MFU decomposition), so k of them run as
+    one k*B-row dispatch.  Groups padded to a common T must extend labels
+    with -100 / mask with 0 — causal attention makes the extension
+    invisible to real positions, so each group's loss equals its solo
+    caption_loss run (summation order aside)."""
+    inputs_embeds, attention_mask, labels = assemble_inputs(
+        cfg, llm_params, soft_tokens, input_ids, attention_mask, labels
+    )
+    logits = llama.forward(
+        cfg, llm_params, inputs_embeds,
+        attention_mask if mask_padding else None,
+    )
+    return llama.causal_lm_loss_grouped(logits, labels, groups)
+
+
 def assemble_prompt(
     cfg: LlamaConfig,
     llm_params: dict,

@@ -223,6 +223,67 @@ class HypernetTrainer:
             accum = jax.tree.map(jnp.zeros_like, accum)
             return TrainState(params, opt_state, accum, jnp.asarray(step, jnp.int32)), loss, gstats
 
+        # --- grad-accum coalescing (TrainArgs.micro_batch_coalesce) -----
+        # k same-loader micro-batches run as ONE k*B-row dispatch through
+        # the frozen LLM (the stage-2 MFU lever: B=8 underfills the MXU,
+        # BASELINE.md round-3 decomposition).  Per-group rotation keys,
+        # dropout rngs, and token-mean losses are derived from the GLOBAL
+        # step indices exactly like the sequential path (fold_in is
+        # deterministic), so grads match sequential accumulation up to
+        # summation order.
+        self.coalesce = max(1, int(getattr(args, "micro_batch_coalesce", 1)))
+        base_key = self._base_key
+
+        @partial(jax.jit, static_argnames=("can_rotate",))
+        def micro_step_k(state, llm_params, mm_k, subset_k, ids_k, mask_k,
+                         labels_k, steps_k, can_rotate=True):
+            def group_loss(params):
+                def per_group(mm, subset, step):
+                    rot_key = jax.random.fold_in(base_key, 2 * step)
+                    hn_rng = jax.random.fold_in(base_key, 2 * step + 1)
+                    mm2, z = process_embeddings(
+                        mm, subset, feed_txt_embs=feed,
+                        augment=augment and can_rotate,
+                        rotate_key=rot_key, pad_to=self.pad_to,
+                    )
+                    return self._soft_from_hypernet(params, mm2, z, hn_rng,
+                                                    train=True)
+
+                soft = jax.vmap(per_group)(mm_k, subset_k, steps_k)
+                k, B, H = soft.shape
+                T = ids_k.shape[-1]
+                losses = mmmodel.caption_loss_grouped(
+                    cfg, llm_params, soft.reshape(k * B, H),
+                    ids_k.reshape(k * B, T), mask_k.reshape(k * B, T),
+                    labels_k.reshape(k * B, T), k,
+                )
+                # same scale as k sequential micro-steps' loss/accum adds
+                return jnp.sum(losses) / accum_steps
+
+            loss, grads = jax.value_and_grad(group_loss)(state.params)
+            accum = jax.tree.map(jnp.add, state.accum, grads)
+            return state._replace(accum=accum), loss
+
+        @jax.jit
+        def update_step(state, step):
+            """The update branch of micro_step, standalone — the coalesced
+            loop accumulates out of order within a window, then applies
+            once (gradient summation is order-free up to fp)."""
+            from dmi_tpu.utils.grad_stats import grad_summary
+
+            gstats = grad_summary(state.accum)
+            lr = self.lr_fn(state.sched_step)
+            opt_state = set_lr(state.opt_state, lr)
+            updates, opt_state = self.opt.update(state.accum, opt_state, state.params)
+            params = jax.tree.map(jnp.add, state.params, updates)
+            accum = jax.tree.map(jnp.zeros_like, state.accum)
+            return TrainState(
+                params, opt_state, accum, jnp.asarray(step, jnp.int32)
+            ), gstats
+
+        self._micro_step_k = micro_step_k
+        self._update_step = update_step
+
         @jax.jit
         def eval_loss(params, llm_params, mm, subset, ids, mask, labels):
             mm2, z = process_embeddings(
@@ -305,10 +366,133 @@ class HypernetTrainer:
         loader = self.loaders[idx]
         return idx, loader.train_batch(step), loader.subset_batch(step, "train")
 
+    def _stack_chunk(self, chunk, mgr):
+        """Host-side packing of k same-loader micro-batches: pad each to
+        the chunk's max seq length with labels=-100 / mask=0 (the extension
+        is causally invisible and loss-excluded — caption_loss_grouped),
+        stack, and L2-normalize mm/subset stacks in one device call each."""
+        steps = np.asarray([s for s, _, _, _ in chunk], np.int32)
+        T = max(b["input_ids"].shape[1] for _, _, b, _ in chunk)
+
+        def padded(b, key, fill):
+            x = b[key]
+            if x.shape[1] < T:
+                ext = np.full((x.shape[0], T - x.shape[1]), fill, x.dtype)
+                x = np.concatenate([x, ext], axis=1)
+            return x
+
+        ids = np.stack([padded(b, "input_ids", 0) for _, _, b, _ in chunk])
+        mask = np.stack([padded(b, "attention_mask", 0) for _, _, b, _ in chunk])
+        labels = np.stack([padded(b, "labels", -100) for _, _, b, _ in chunk])
+        mm = mgr.get_embeddings(np.stack([b["embs"] for _, _, b, _ in chunk]))
+        raw0 = chunk[0][3]
+        if isinstance(raw0, (tuple, list)):
+            subset = mgr.get_embeddings(tuple(
+                np.stack([c[3][j] for c in chunk]) for j in range(len(raw0))
+            ))
+        else:
+            subset = mgr.get_embeddings(np.stack([c[3] for c in chunk]))
+        dev = (jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(labels))
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            s = NamedSharding(self.mesh, P(None, "data", None))
+            dev = tuple(jax.device_put(x, s) for x in dev)
+        return mm, subset, dev, jnp.asarray(steps)
+
+    def _run_window(self, window):
+        """Execute one accumulation window's micro-batches: group by
+        loader, run full-k same-loader chunks coalesced, the rest through
+        the sequential micro (grad order within a window is free).
+        Returns the window's accumulated loss (device scalar)."""
+        from collections import defaultdict
+
+        per = defaultdict(list)
+        for item in window:
+            per[item[1]].append(item)
+        loss_sum = 0.0
+        for idx, items in per.items():
+            mgr = self.emb_mgrs[idx]
+            pos = 0
+            while pos < len(items):
+                chunk = items[pos:pos + self.coalesce]
+                if len(chunk) == self.coalesce and self.coalesce > 1:
+                    mm, subset, (ids, mask, labels), steps = self._stack_chunk(chunk, mgr)
+                    self.state, loss = self._micro_step_k(
+                        self.state, self.llm_params, mm, subset, ids, mask,
+                        labels, steps, can_rotate=True,
+                    )
+                    loss_sum = loss_sum + loss
+                    pos += len(chunk)
+                else:  # remainder: the sequential micro, one at a time
+                    step, _, batch, subset_raw = items[pos]
+                    subset = mgr.get_embeddings(subset_raw)
+                    mm = mgr.get_embeddings(batch["embs"])
+                    ids, mask, labels = self._device_batch(batch)
+                    rot_key = jax.random.fold_in(self._base_key, 2 * step)
+                    hn_rng = jax.random.fold_in(self._base_key, 2 * step + 1)
+                    self.state, loss, _ = self._micro_step(
+                        self.state, self.llm_params, mm, subset, ids, mask,
+                        labels, rot_key, hn_rng, step, False, can_rotate=True,
+                    )
+                    loss_sum = loss_sum + loss
+                    pos += 1
+        return loss_sum
+
+    def _train_coalesced(self, start_step: int):
+        """train() with micro_batch_coalesce > 1: buffer each accumulation
+        window, execute it via _run_window, then apply the update — the
+        same step-indexed batches/keys/schedule as the sequential loop,
+        equal up to gradient summation order."""
+        from dmi_tpu.data.prefetch import Prefetcher
+        from dmi_tpu.utils.logging import MetricLogger
+
+        total = self.total_steps
+        cur_eval_loss = float("inf")
+        mlog = MetricLogger(self.name, f"dmi_{self.TRAINER_TYPE}")
+        grad_stats = None
+        prefetcher = Prefetcher(self.fetch_batch, depth=2 * self.coalesce)
+        window = []
+        for step, (idx, batch, subset_raw) in prefetcher.run(start_step, total):
+            window.append((step, idx, batch, subset_raw))
+            if not self.cond.grad_acc(step, total):
+                continue
+            accumulated = self._run_window(window)
+            window = []
+            self.state, gstats = self._update_step(self.state, step)
+            grad_stats = gstats
+            if (step + 1) % self.train_args.logging_steps == 0 and step > 0:
+                log.info("Step: %d/%d Train Loss: %.3f", step, total, float(accumulated))
+                rec = {"train_loss": float(accumulated)}
+                if grad_stats is not None:
+                    from dmi_tpu.utils.grad_stats import host_grad_summary
+
+                    rec.update(host_grad_summary(grad_stats))
+                mlog.log(rec, step)
+            if self.cond.evaluate(step, total):
+                cur_eval_loss = self.evaluate()
+                log.info("Step: %d Eval Loss: %.3f", step, cur_eval_loss)
+                mlog.log({"eval_loss": cur_eval_loss}, step)
+            if self.cond.generate(step, total, include_final=False):
+                all_metrics, _, _, _ = self.generate(mode="eval")
+                log.info("Step: %d Metrics: %s", step, all_metrics)
+                for mname, ms in all_metrics.items():
+                    mlog.log({f"{k} - {mname}": v for k, v in ms.items()}, step)
+            if self.cond.save(step, total):
+                self.ckpt.save(
+                    step, cur_eval_loss, "loss", self.state.params,
+                    optimizer_state=self.state.opt_state
+                    if self.train_args.save_state else None,
+                )
+        return cur_eval_loss
+
     def train(self, start_step: int = 0):
         from dmi_tpu.data.prefetch import Prefetcher
 
         from dmi_tpu.utils.logging import MetricLogger
+
+        if self.coalesce > 1:
+            return self._train_coalesced(start_step)
 
         total = self.total_steps
         accumulated = 0.0

@@ -134,3 +134,48 @@ def test_stage2_multi_dataset_training(workdir):
     assert osp.exists(
         osp.join("checkpoints", "cfg_hn_multi-checkpoint-hypernet-best.pt")
     )
+
+
+def test_coalesced_micro_steps_match_sequential(workdir):
+    """micro_batch_coalesce (the stage-2 MFU lever): identical config run
+    with sequential accumulation vs 2-way coalescing must land on the same
+    trained hypernet — same step-indexed batches, rotation keys and dropout
+    rngs; only gradient summation order differs (fp-reassociation drift
+    bound pinned here)."""
+    import os
+
+    import numpy as np
+
+    from dmi_tpu.training.checkpoint import load_pytree
+
+    run_projector(make_config(workdir, mm_dim=MM))
+    proj_ckpt = osp.join(
+        "checkpoints", "cfg_projector_smoke-dszfull-seed7-checkpoint-projector-best.pt"
+    )
+
+    paths = {}
+    for name, coalesce in (("cfg_hn_seq", 1), ("cfg_hn_coal", 2)):
+        cfg = hypernet_config(
+            workdir, proj_ckpt, "train",
+            gradient_accumulation_steps=4,
+            micro_batch_coalesce=coalesce,
+        )
+        new = str(workdir / f"{name}.json")
+        os.rename(cfg, new)
+        run_hypernet(new)
+        paths[name] = osp.join(
+            "checkpoints", f"{name}-checkpoint-hypernet-best.pt"
+        )
+        assert osp.exists(paths[name])
+
+    seq = load_pytree(paths["cfg_hn_seq"])["hypernet_state_dict"]
+    coal = load_pytree(paths["cfg_hn_coal"])["hypernet_state_dict"]
+    import jax
+
+    leaves_s = jax.tree.leaves(seq)
+    leaves_c = jax.tree.leaves(coal)
+    assert len(leaves_s) == len(leaves_c) and len(leaves_s) > 0
+    for a, b in zip(leaves_s, leaves_c):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-6
+        )
