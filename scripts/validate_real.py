@@ -44,7 +44,9 @@ REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 LM_NAME = "meta-llama/Llama-3.2-1B-Instruct"
-SYDNEY_CONFIG = "configs/projector/v2:llama1b_sydney_rn50_mlp2.json"
+# the vendored experiment surface (semantic-parity-tested vs the mounted
+# reference; tests/test_config.py)
+SYDNEY_CONFIG = "configs/experiments/projector/v2:llama1b_sydney_rn50_mlp2.json"
 
 AUTO_BEGIN = "<!-- validate_real:begin -->"
 AUTO_END = "<!-- validate_real:end -->"
@@ -272,6 +274,28 @@ def main():
         ran_any = True
     else:
         print("[validate_real] SKIP e2e: data/sydney/*_embs_RemoteCLIP-RN50.pkl absent")
+
+    # same-hardware decode ratio vs the reference's torch path (the
+    # runnable stand-in for the impossible CUDA-side measurement; see
+    # BASELINE.md "Measured same-hardware software ratio").  Needs no
+    # artifacts, but only piggybacks on a run that found some (or the
+    # fixture smoke) — a bare environment still "exits cleanly".
+    if ran_any:
+        import subprocess
+
+        ratio_args = ["--tiny"] if os.environ.get(
+            "DMI_VALIDATE_REAL_FIXTURE") == "1" else []
+        r = subprocess.run(
+            [sys.executable, osp.join(REPO, "scripts", "cpu_decode_ratio.py"),
+             *ratio_args],
+            capture_output=True, text=True, timeout=3600,
+        )
+        if r.returncode == 0:
+            rows["cpu_decode_ratio"] = json.loads(
+                r.stdout.strip().splitlines()[-1]
+            )
+        else:
+            print("[validate_real] SKIP cpu ratio:", r.stderr[-200:])
 
     if ran_any:
         update_baseline_md(args.out, rows)

@@ -35,6 +35,10 @@ def test_fixture_path_runs_all_stages(tmp_path):
     assert payload["hf_parity"]["logits_ok"] is True
     assert "coco_cider" in payload["sydney_v2_rn50"]
     assert payload["decode_bench"]["unit"] == "captions/s/chip"
+    # the same-hardware torch-vs-ours ratio stage (tiny shape in fixture
+    # mode) must run and certify token-exact decode before timing
+    assert payload["cpu_decode_ratio"]["tokens_equal"] is True
+    assert payload["cpu_decode_ratio"]["dmi_over_hf_same_cpu"] > 0
 
     # idempotent: a second run replaces the AUTO block instead of appending
     r2 = subprocess.run(
