@@ -103,14 +103,26 @@ def install_reference_stubs() -> WandbRecorder:
     rec = WandbRecorder()
     if "timm" not in sys.modules:
         _stub_module("timm")
-    wandb = _stub_module(
-        "wandb",
-        log=rec.log,
-        watch=rec.watch,
-        Table=rec.Table,
-        init=lambda **k: wandb,
-        finish=lambda: None,
-    )
+    # rebind IN PLACE when the stub already exists: reference modules hold
+    # `import wandb` bindings from their first import, so replacing the
+    # sys.modules entry would leave them logging into a discarded recorder
+    # (bit the multi-run stochastic harness: seed 2+ recorded nothing)
+    existing = sys.modules.get("wandb")
+    if existing is not None and getattr(existing, "_dmi_stub", False):
+        wandb = existing
+        wandb.log = rec.log
+        wandb.watch = rec.watch
+        wandb.Table = rec.Table
+    else:
+        wandb = _stub_module(
+            "wandb",
+            log=rec.log,
+            watch=rec.watch,
+            Table=rec.Table,
+            finish=lambda: None,
+        )
+        wandb.init = lambda **k: wandb
+        wandb._dmi_stub = True
     _stub_module("evaluate", load=None)
     _stub_module("cococap")
     _stub_module("cococap.pycocotools")

@@ -61,6 +61,13 @@ SUBSET_BS = 8  # = hypernet n_tokens; z rows = 2*8+1 (+2 prefix tokens)
 EVAL_BS = 5
 LR = 1e-3
 WARMUP = 4
+# knobs the STOCHASTIC harness (ref_equivalence_stochastic.py) flips —
+# defaults reproduce this deterministic leg exactly
+AUGMENT = False       # rotation augmentation (scipy ortho_group vs QR-Haar)
+ATTN_DROPOUT = 0.0    # hypernet MHSA weight dropout (reference hardcodes 0.05)
+EVAL_STEPS = 1
+GEN_STEPS = 8
+SAVE_STEPS = 8
 
 
 def build_fixture_data_hyp(workdir: str) -> str:
@@ -156,13 +163,13 @@ def _train_args_common():
         warmup_steps=WARMUP,
         scheduler="cosine_warmup",
         logging_steps=1,
-        save_steps=8,
-        eval_steps=1,
-        generate_steps=8,
+        save_steps=SAVE_STEPS,
+        eval_steps=EVAL_STEPS,
+        generate_steps=GEN_STEPS,
         seed=SEED,
         gradient_accumulation_steps=1,
         feed_txt_embs=True,
-        augment_emb_space=False,  # rotation OFF (see module docstring)
+        augment_emb_space=AUGMENT,  # rotation OFF here (see docstring)
         debug=False,
     )
 
@@ -218,7 +225,7 @@ def run_reference(workdir, lm_dir, data_root, name, proj_ckpt) -> dict:
     class DumpingWrapper(ref_th.HyperNetWrapper):
         def __init__(self, *a, **k):
             super().__init__(*a, **k)
-            self.hypernet.hypnet.dropout.p = 0.0
+            self.hypernet.hypnet.dropout.p = ATTN_DROPOUT
             torch.save(
                 {"step_idx": -1, "hypernet_state_dict": self.state_dict()},
                 init_dump,
@@ -306,7 +313,7 @@ def run_ours(workdir, lm_dir, data_root, name, init_dump, proj_ckpt) -> dict:
         seeds=None,
         **c,
     )
-    hn_args = HypnetArgs(**_hn_kwargs(), hn_attn_dropout=0.0)
+    hn_args = HypnetArgs(**_hn_kwargs(), hn_attn_dropout=ATTN_DROPOUT)
     data_args = DatasetArgs(
         dataset_names_or_paths=["sydney"],
         fewshot_dataset_names_or_paths=["sydney"],
