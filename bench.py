@@ -13,9 +13,11 @@ later rounds track improvement; the reference publishes no decode numbers
 (BASELINE.md).
 
 Env knobs: DMI_BENCH_SMALL=1 (tiny model for CPU smokes),
-DMI_BENCH_BATCH (default 256), DMI_BENCH_NEW_TOKENS (default 22),
+DMI_BENCH_MODEL=1b|3b|8b (body size; default 1b — batch defaults scale),
+DMI_BENCH_BATCH (default 256 at 1b), DMI_BENCH_NEW_TOKENS (default 22),
 DMI_BENCH_INT8=1 (quantized weights),
-DMI_BENCH_MODE=train (projector train-step throughput instead of decode).
+DMI_BENCH_MODE=train (projector train-step throughput instead of decode),
+DMI_BENCH_RETRY_UNTIL / --retry-until <s> (ride out a relay outage).
 """
 
 from __future__ import annotations
@@ -220,9 +222,17 @@ def main() -> None:
         # TPU baselines
         small = True
         os.environ["_DMI_BENCH_CPU_FALLBACK"] = "1"
-    # batch 256 saturates the weight-read-bound decode on v5e (64 -> 376,
-    # 256 -> 750, 1024 -> 776 captions/s measured)
-    batch = int(os.environ.get("DMI_BENCH_BATCH", "16" if small else "256"))
+    # DMI_BENCH_MODEL: the LM slot is any decoder size (the reference's is
+    # AutoModelForCausalLM); 3b proves the decode stack isn't overfit to
+    # the 1B shape (VERDICT r3 #9)
+    model = os.environ.get("DMI_BENCH_MODEL", "1b")
+    if model not in ("1b", "3b", "8b"):
+        raise SystemExit(f"DMI_BENCH_MODEL must be 1b/3b/8b, got {model!r}")
+    # batch 256 saturates the weight-read-bound decode on v5e at 1B
+    # (64 -> 376, 256 -> 750, 1024 -> 776 captions/s measured); larger
+    # bodies halve the default so weights + triple companions + KV fit HBM
+    default_batch = {"1b": "256", "3b": "128", "8b": "64"}[model]
+    batch = int(os.environ.get("DMI_BENCH_BATCH", "16" if small else default_batch))
     max_new = int(os.environ.get("DMI_BENCH_NEW_TOKENS", "22"))
     prefix_len = 15  # typical chat-template instruction prompt
 
@@ -231,7 +241,9 @@ def main() -> None:
                                 n_heads=8, n_kv=4, intermediate=256)
         mm_dim = 64
     else:
-        cfg = llama.llama32_1b()
+        maker = {"1b": llama.llama32_1b, "3b": llama.llama32_3b,
+                 "8b": llama.llama31_8b}[model]
+        cfg = maker()
         mm_dim = 1024
     # disable EOS early-exit: decode the full budget every time
     cfg = dataclasses.replace(cfg, eos_token_ids=())
@@ -265,10 +277,11 @@ def main() -> None:
     if os.environ.get("DMI_BENCH_MODE") == "train":
         if "DMI_BENCH_BATCH" not in os.environ and not small:
             # the recorded train baseline is batch 64 (B=256 fwd+bwd
-            # activations through the 1B body exceed the 16G HBM)
-            batch = 64
+            # activations through the 1B body exceed the 16G HBM);
+            # larger bodies scale it down
+            batch = {"1b": 64, "3b": 32, "8b": 16}[model]
         r = bench_train(cfg, llm_params, pspec, pparams, batch)
-        metric = "train_samples_per_sec_per_chip_1b" if not small else "train_samples_per_sec_small"
+        metric = f"train_samples_per_sec_per_chip_{model}" if not small else "train_samples_per_sec_small"
         if os.environ.get("_DMI_BENCH_CPU_FALLBACK") == "1":
             metric += "_cpu_fallback"
         value = r["samples_per_sec"]
@@ -369,8 +382,8 @@ def main() -> None:
                 )
         except Exception as e:  # pragma: no cover - relay-dependent
             extra["companion_error"] = str(e)[:120]
-    metric = "decode_captions_per_sec_per_chip_1b" if not small else "decode_captions_per_sec_small"
-    if not small and batch != 256:
+    metric = f"decode_captions_per_sec_per_chip_{model}" if not small else "decode_captions_per_sec_small"
+    if not small and batch != int(default_batch):
         metric += f"_b{batch}"  # keep non-default batches off the headline baseline
     if not small and max_new != 22:
         metric += f"_n{max_new}"  # likewise non-default decode budgets

@@ -5,7 +5,8 @@
 #      validates the family-generalized decode tree on hardware
 #   2. DMI_DECODE_LAYER_UNROLL A/B (promote on a clear same-process win,
 #      else delete the knob)
-#   3. stage-2 grad-accum coalescing A/B (micro_batch_coalesce; expect
+#   3. 3B-scale decode proof (VERDICT r3 #9)
+#   4. stage-2 grad-accum coalescing A/B (micro_batch_coalesce; expect
 #      >= ~1.09x from the MXU-underfill attribution, BASELINE.md)
 # Afterwards: record rows in BASELINE.md, set defaults, commit.
 set -u
@@ -28,6 +29,9 @@ timeout 3000 python scripts/profile_layer_unroll.py --unrolls 1,2,4 --modes w8a8
 
 echo "== layer-unroll A/B (bf16) =="
 timeout 3000 python scripts/profile_layer_unroll.py --unrolls 1,4 --modes bf16 | tee /tmp/unroll_bf16.json
+
+echo "== 3B decode proof (bf16 + companions, B=128) =="
+timeout 3000 env DMI_BENCH_MODEL=3b python bench.py | tee /tmp/bench_3b.json
 
 echo "== stage-2 coalesce A/B (k=5,8) =="
 timeout 3000 python scripts/profile_coalesce.py --ks 5,8 | tee /tmp/coalesce.json
