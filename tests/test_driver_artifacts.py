@@ -30,7 +30,7 @@ def _run_bench(tmp_path, extra_env):
     )
     r = subprocess.run(
         [sys.executable, str(tmp_path / "bench.py")],
-        capture_output=True, text=True, env=env, timeout=600, cwd=tmp_path,
+        capture_output=True, text=True, env=env, timeout=900, cwd=tmp_path,
     )
     assert r.returncode == 0, r.stderr[-2000:]
     line = r.stdout.strip().splitlines()[-1]
@@ -60,10 +60,14 @@ def test_bench_mid_run_crash_recovery(tmp_path):
     env = dict(
         os.environ, PYTHONPATH=REPO,
         _DMI_BENCH_CRASH_TEST="1", DMI_BENCH_SMALL="1",
+        # a dead relay must not add 150s probe stalls to this test, and a
+        # fully loaded 1-core host needs headroom for the fresh compile
+        # (no persistent cache in the subprocess) — seen flaking at 600s
+        DMI_BENCH_PROBE_TIMEOUT="5",
     )
     r = subprocess.run(
         [sys.executable, str(tmp_path / "bench.py")],
-        capture_output=True, text=True, env=env, timeout=600, cwd=tmp_path,
+        capture_output=True, text=True, env=env, timeout=900, cwd=tmp_path,
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "simulated mid-run relay death" in r.stderr
