@@ -249,6 +249,15 @@ def _rope_bl(x, cos, sin):
     return (xf * c + _rotate_half_rows(xf) * s).astype(x.dtype)
 
 
+def _rms_norm_head_bl(x, scale, eps):
+    """rms_norm over the head axis (-2) of batch-last per-head tensors
+    ([..., hd, B]); scale [hd] (qwen3 q/k norms)."""
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-2, keepdims=True)
+    normed = xf * jax.lax.rsqrt(var + eps)
+    return (normed * scale.astype(jnp.float32)[:, None]).astype(x.dtype)
+
+
 def _rms_norm_bl(x, scale, eps):
     """rms_norm over the leading (feature) axis of a batch-last [H, B]."""
     xf = x.astype(jnp.float32)
@@ -408,8 +417,13 @@ def _decode_step_bl(cfg, params, h, caches, pos, bias, s_window=None,
                 q = q + lw["bq"][:, None]
                 k = k + lw["bk"][:, None]
                 v = v + lw["bv"][:, None]
-        q = _rope_bl(q.reshape(nkv, g, hd, B), cos, sin)
-        k = _rope_bl(k.reshape(nkv, hd, B), cos, sin)
+        q = q.reshape(nkv, g, hd, B)
+        k = k.reshape(nkv, hd, B)
+        if cfg.qk_norm:  # qwen3: per-head RMSNorm before rope
+            q = _rms_norm_head_bl(q, lw["q_norm"], cfg.rms_norm_eps)
+            k = _rms_norm_head_bl(k, lw["k_norm"], cfg.rms_norm_eps)
+        q = _rope_bl(q, cos, sin)
+        k = _rope_bl(k, cos, sin)
         v = v.reshape(nkv, hd, B)
         kvcache = jax.lax.dynamic_update_slice(
             kvcache,

@@ -6,9 +6,9 @@ soft-prefix-extended ``inputs_embeds`` (dmi/model/mmmodel.py:112-147) and
 (b) greedy decode from ``inputs_embeds`` (dmi/model/mmmodel.py:149-169).
 Here the decoder is a TPU-first re-implementation covering the mainstream
 decoder families — llama-3.x (the reference's production LM), mistral,
-qwen2 (qkv biases), gemma-2 (GeGLU, (1+w) norms, post-block norms,
-softcapping, sqrt(H) embedding scale, interleaved sliding attention) —
-behind one config + one stacked-layer pytree:
+qwen2 (qkv biases), qwen3 (per-head q/k RMSNorm), gemma-2 (GeGLU, (1+w)
+norms, post-block norms, softcapping, sqrt(H) embedding scale, interleaved
+sliding attention) — behind one config + one stacked-layer pytree:
 
   * pytree params with **stacked per-layer weights** so the transformer body
     is a single ``lax.scan`` over layers (fast compiles, one fused kernel
@@ -77,6 +77,7 @@ class LlamaConfig:
     norm_plus_one: bool = False           # gemma RMSNorm scale is (1 + w); folded at import
     sliding_window: Optional[int] = None
     layer_sliding: Optional[Tuple[bool, ...]] = None  # per-layer sliding flags
+    qk_norm: bool = False                 # qwen3: per-head RMSNorm on q/k before rope
 
 
 def llama32_1b(dtype=jnp.bfloat16) -> LlamaConfig:
@@ -119,6 +120,14 @@ def tiny_qwen2_config(**kw) -> LlamaConfig:
     import dataclasses
 
     return dataclasses.replace(tiny_config(**kw), attention_bias=True)
+
+
+def tiny_qwen3_config(**kw) -> LlamaConfig:
+    """Qwen3-family tiny config: per-head q/k RMSNorm before rope, no qkv
+    biases (HF Qwen3Attention)."""
+    import dataclasses
+
+    return dataclasses.replace(tiny_config(**kw), qk_norm=True)
 
 
 def tiny_gemma2_config(sliding_window=None, **kw) -> LlamaConfig:
@@ -183,6 +192,9 @@ def init(key: jax.Array, cfg: LlamaConfig) -> dict:
     if cfg.post_block_norms:
         params["layers"]["ln_post_attn"] = jnp.ones((L, H), cfg.dtype)
         params["layers"]["ln_post_mlp"] = jnp.ones((L, H), cfg.dtype)
+    if cfg.qk_norm:
+        params["layers"]["q_norm"] = jnp.ones((L, hd), cfg.dtype)
+        params["layers"]["k_norm"] = jnp.ones((L, hd), cfg.dtype)
     if not cfg.tie_word_embeddings:
         params["lm_head"] = w(next(keys), (H, cfg.vocab_size))
     return params
@@ -279,6 +291,9 @@ def from_hf_state_dict(state_dict, cfg: LlamaConfig) -> dict:
         params["layers"]["ln_post_mlp"] = norm(
             "model.layers.{}.post_feedforward_layernorm.weight"
         )
+    if cfg.qk_norm:
+        params["layers"]["q_norm"] = norm("model.layers.{}.self_attn.q_norm.weight")
+        params["layers"]["k_norm"] = norm("model.layers.{}.self_attn.k_norm.weight")
     if not cfg.tie_word_embeddings:
         params["lm_head"] = jnp.asarray(get("lm_head.weight").T, cfg.dtype)
     return params
@@ -628,6 +643,9 @@ def _block(cfg: LlamaConfig, x, lw, cos, sin, bias, cache_kv=None, cache_index=N
     q = q.reshape(B, T, nh, hd).transpose(0, 2, 1, 3)
     k = k.reshape(B, T, nkv, hd).transpose(0, 2, 1, 3)
     v = v.reshape(B, T, nkv, hd).transpose(0, 2, 1, 3)
+    if cfg.qk_norm:  # qwen3: per-head RMSNorm before rope
+        q = rms_norm(q, lw["q_norm"], cfg.rms_norm_eps)
+        k = rms_norm(k, lw["k_norm"], cfg.rms_norm_eps)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 

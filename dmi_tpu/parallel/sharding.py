@@ -56,6 +56,9 @@ def llm_param_specs() -> Dict[str, Any]:
             "bv": P(None, "model"),
             "ln_post_attn": P(None, None),
             "ln_post_mlp": P(None, None),
+            # qwen3 per-head q/k norms: tiny [L, hd] vectors, replicated
+            "q_norm": P(None, None),
+            "k_norm": P(None, None),
         },
         "final_norm": P(None),
         "lm_head": P(None, "model"),

@@ -59,16 +59,16 @@ def build_tokenizer(lm_args):
     return tokenizer
 
 
-_SUPPORTED_FAMILIES = ("llama", "mistral", "qwen2", "gemma2")
+_SUPPORTED_FAMILIES = ("llama", "mistral", "qwen2", "gemma2", "qwen3")
 
 
 def _hf_to_config(hf_cfg, dtype, tokenizer) -> llama.LlamaConfig:
     """Map an HF config onto the generic stacked-scan decoder config.
     The reference is family-agnostic (AutoModelForCausalLM,
     dmi/utils/model_utils.py:17-20); supported here: llama (3.x rope
-    scaling), mistral, qwen2 (qkv biases), gemma2 (GeGLU, (1+w) norms,
-    post-block norms, softcapping, sqrt(H) embed scale, interleaved
-    sliding/full attention)."""
+    scaling), mistral, qwen2 (qkv biases), qwen3 (per-head q/k RMSNorm),
+    gemma2 (GeGLU, (1+w) norms, post-block norms, softcapping, sqrt(H)
+    embed scale, interleaved sliding/full attention)."""
     family = getattr(hf_cfg, "model_type", "llama")
     if family not in _SUPPORTED_FAMILIES:
         raise ValueError(
@@ -113,6 +113,11 @@ def _hf_to_config(hf_cfg, dtype, tokenizer) -> llama.LlamaConfig:
     kw = {}
     if family == "qwen2":
         kw["attention_bias"] = True
+    elif family == "qwen3":
+        # per-head q/k RMSNorm before rope; qkv biases off by default but
+        # honored if a checkpoint sets them (HF Qwen3Config.attention_bias)
+        kw["qk_norm"] = True
+        kw["attention_bias"] = bool(getattr(hf_cfg, "attention_bias", False))
     elif family == "gemma2":
         if getattr(hf_cfg, "attention_bias", False):
             # released gemma-2 checkpoints are all bias-free; the o_proj

@@ -48,6 +48,11 @@ def _hf_config(family, tie=True, sliding_window=None):
         return transformers.Qwen2Config(
             **_COMMON, tie_word_embeddings=tie, use_sliding_window=False
         )
+    if family == "qwen3":
+        return transformers.Qwen3Config(
+            **_COMMON, tie_word_embeddings=tie, head_dim=16,
+            use_sliding_window=False,
+        )
     if family == "mistral":
         return transformers.MistralConfig(
             **_COMMON,
@@ -81,7 +86,7 @@ def make_pair(family, seed=0, tie=True, sliding_window=None):
     return hf, cfg, params
 
 
-FAMILIES = ["qwen2", "gemma2", "mistral"]
+FAMILIES = ["qwen2", "gemma2", "mistral", "qwen3"]
 
 
 @pytest.mark.parametrize("family", FAMILIES)
@@ -99,6 +104,10 @@ def test_config_mapping(family):
         assert params["layers"]["ln_attn"].dtype == jnp.float32
     if family == "mistral":
         assert not cfg.attention_bias and cfg.sliding_window is None
+    if family == "qwen3":
+        assert cfg.qk_norm and "q_norm" in params["layers"]
+        assert not cfg.attention_bias
+        assert params["layers"]["q_norm"].shape == (2, 16)
 
 
 @pytest.mark.parametrize("family", FAMILIES)
