@@ -259,15 +259,33 @@ def from_hf_state_dict(state_dict, cfg: LlamaConfig) -> dict:
         if cfg.post_block_norms
         else "model.layers.{}.post_attention_layernorm.weight"
     )
+    nh, nkv, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                   cfg.head_dim)
+    if "model.layers.0.self_attn.qkv_proj.weight" in state_dict:
+        # phi-3 layout: the checkpoint ITSELF ships fused qkv / gate_up
+        # projections (q|k|v rows, gate|up rows) — split into the unfused
+        # stacked layout (shardable; fuse_projections re-fuses for serving)
+        qkv = stack("model.layers.{}.self_attn.qkv_proj.weight")
+        wq, wk, wv = (qkv[:, :, : nh * hd],
+                      qkv[:, :, nh * hd : nh * hd + nkv * hd],
+                      qkv[:, :, nh * hd + nkv * hd :])
+        gu = stack("model.layers.{}.mlp.gate_up_proj.weight")
+        w_gate, w_up = jnp.split(gu, 2, axis=-1)
+    else:
+        wq = stack("model.layers.{}.self_attn.q_proj.weight")
+        wk = stack("model.layers.{}.self_attn.k_proj.weight")
+        wv = stack("model.layers.{}.self_attn.v_proj.weight")
+        w_gate = stack("model.layers.{}.mlp.gate_proj.weight")
+        w_up = stack("model.layers.{}.mlp.up_proj.weight")
     params = {
         "embed": jnp.asarray(get("model.embed_tokens.weight"), cfg.dtype),
         "layers": {
-            "wq": stack("model.layers.{}.self_attn.q_proj.weight"),
-            "wk": stack("model.layers.{}.self_attn.k_proj.weight"),
-            "wv": stack("model.layers.{}.self_attn.v_proj.weight"),
+            "wq": wq,
+            "wk": wk,
+            "wv": wv,
             "wo": stack("model.layers.{}.self_attn.o_proj.weight"),
-            "w_gate": stack("model.layers.{}.mlp.gate_proj.weight"),
-            "w_up": stack("model.layers.{}.mlp.up_proj.weight"),
+            "w_gate": w_gate,
+            "w_up": w_up,
             "w_down": stack("model.layers.{}.mlp.down_proj.weight"),
             "ln_attn": norm("model.layers.{}.input_layernorm.weight"),
             "ln_mlp": norm(pre_mlp_key),

@@ -59,7 +59,7 @@ def build_tokenizer(lm_args):
     return tokenizer
 
 
-_SUPPORTED_FAMILIES = ("llama", "mistral", "qwen2", "gemma2", "qwen3")
+_SUPPORTED_FAMILIES = ("llama", "mistral", "qwen2", "gemma2", "qwen3", "phi3")
 
 
 def _hf_to_config(hf_cfg, dtype, tokenizer) -> llama.LlamaConfig:
@@ -86,9 +86,10 @@ def _hf_to_config(hf_cfg, dtype, tokenizer) -> llama.LlamaConfig:
     # mistral has no layer_types: a configured window applies to EVERY
     # layer (HF MistralModel semantics)
     layer_types = getattr(hf_cfg, "layer_types", None)
-    if layer_types is None and family == "mistral" and getattr(
+    if layer_types is None and family in ("mistral", "phi3") and getattr(
         hf_cfg, "sliding_window", None
     ):
+        # a configured window applies to EVERY layer (HF Mistral/Phi3Model)
         layer_types = ["sliding_attention"] * hf_cfg.num_hidden_layers
     if layer_types is None and family == "gemma2":
         # transformers < ~4.54 Gemma2Config has no layer_types; the
@@ -118,6 +119,13 @@ def _hf_to_config(hf_cfg, dtype, tokenizer) -> llama.LlamaConfig:
         # honored if a checkpoint sets them (HF Qwen3Config.attention_bias)
         kw["qk_norm"] = True
         kw["attention_bias"] = bool(getattr(hf_cfg, "attention_bias", False))
+    elif family == "phi3":
+        # llama math, fused-checkpoint layout (split at import); the
+        # 128k longrope variants rescale rope in ways not modeled here
+        if getattr(hf_cfg, "rope_scaling", None):
+            raise ValueError("phi3 longrope rope_scaling is not supported")
+        if getattr(hf_cfg, "partial_rotary_factor", 1.0) != 1.0:
+            raise ValueError("phi3 partial_rotary_factor != 1 is not supported")
     elif family == "gemma2":
         if getattr(hf_cfg, "attention_bias", False):
             # released gemma-2 checkpoints are all bias-free; the o_proj

@@ -53,6 +53,11 @@ def _hf_config(family, tie=True, sliding_window=None):
             **_COMMON, tie_word_embeddings=tie, head_dim=16,
             use_sliding_window=False,
         )
+    if family == "phi3":
+        return transformers.Phi3Config(
+            **_COMMON, tie_word_embeddings=tie,
+            sliding_window=sliding_window,
+        )
     if family == "mistral":
         return transformers.MistralConfig(
             **_COMMON,
@@ -86,7 +91,7 @@ def make_pair(family, seed=0, tie=True, sliding_window=None):
     return hf, cfg, params
 
 
-FAMILIES = ["qwen2", "gemma2", "mistral", "qwen3"]
+FAMILIES = ["qwen2", "gemma2", "mistral", "qwen3", "phi3"]
 
 
 @pytest.mark.parametrize("family", FAMILIES)
@@ -108,6 +113,11 @@ def test_config_mapping(family):
         assert cfg.qk_norm and "q_norm" in params["layers"]
         assert not cfg.attention_bias
         assert params["layers"]["q_norm"].shape == (2, 16)
+    if family == "phi3":
+        # fused checkpoint split into the shardable unfused layout
+        assert params["layers"]["wq"].shape == (2, 64, 64)
+        assert params["layers"]["wk"].shape == (2, 64, 32)
+        assert params["layers"]["w_gate"].shape == (2, 64, 128)
 
 
 @pytest.mark.parametrize("family", FAMILIES)
@@ -216,7 +226,9 @@ def _sliding_pair(seed, family, window):
 
 
 @pytest.mark.parametrize(
-    "family,flags", [("gemma2", (True, False)), ("mistral", (True, True))]
+    "family,flags",
+    [("gemma2", (True, False)), ("mistral", (True, True)),
+     ("phi3", (True, True))],
 )
 def test_sliding_window_logits_match_hf(family, flags):
     """Sliding-window masks (gemma-2 interleaved / mistral all-layers) at
@@ -243,7 +255,7 @@ def test_sliding_window_logits_match_hf(family, flags):
         )
 
 
-@pytest.mark.parametrize("family", ["gemma2", "mistral"])
+@pytest.mark.parametrize("family", ["gemma2", "mistral", "phi3"])
 def test_sliding_window_greedy_matches_hf(family):
     hf, cfg, params = _sliding_pair(9, family, window=4)
     rng = np.random.default_rng(9)
