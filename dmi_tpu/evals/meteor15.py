@@ -134,7 +134,19 @@ def load_paraphrase_table(path: str) -> Dict[Tuple[str, ...], set]:
 
 
 def default_config() -> Meteor15Config:
-    return Meteor15Config(synonyms=wordnet_synonyms())
+    """Stages activate from what the environment supplies (the data-drop
+    procedure in BASELINE.md): the synonym stage from nltk wordnet corpus
+    data when present, the paraphrase stage from a TSV table at
+    $DMI_METEOR_PARAPHRASES (meteor-1.5's paraphrase-en.gz, gunzipped to
+    phrase<TAB>paraphrase lines).  eval_environment() records the active
+    stages in every results JSON."""
+    import os
+
+    paras = None
+    path = os.environ.get("DMI_METEOR_PARAPHRASES")
+    if path and os.path.exists(path):
+        paras = load_paraphrase_table(path)
+    return Meteor15Config(synonyms=wordnet_synonyms(), paraphrases=paras)
 
 
 # ---------------------------------------------------------------------------

@@ -217,3 +217,18 @@ def test_align_prefers_fewer_chunks_over_distance():
     got = m15.align(["x", "y"], ["y", "x", "x", "y"], CFG)
     assert _objective(got)[1] == -1, got
     assert [(m[0], m[2]) for m in got] == [(0, 2), (1, 3)]
+
+
+def test_default_config_paraphrase_env_drop(tmp_path, monkeypatch):
+    """The BASELINE.md data-drop procedure: DMI_METEOR_PARAPHRASES points
+    at a TSV and default_config activates the paraphrase stage."""
+    from dmi_tpu.evals.meteor15 import default_config
+
+    tsv = tmp_path / "paraphrase-en.tsv"
+    tsv.write_text("depart\tleave\nbig dog\tlarge hound\n")
+    monkeypatch.setenv("DMI_METEOR_PARAPHRASES", str(tsv))
+    cfg = default_config()
+    assert "paraphrase" in cfg.active_stages()
+    assert ("depart",) in cfg.paraphrases
+    monkeypatch.delenv("DMI_METEOR_PARAPHRASES")
+    assert "paraphrase" not in default_config().active_stages()
