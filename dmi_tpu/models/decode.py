@@ -205,6 +205,114 @@ def sample_generate(
     return tokens
 
 
+def _req_keys(base_key, req_ids, budget, n):
+    """Per-request sampling keys: fold_in(base, req*budget + n).  Keyed by
+    the REQUEST id and its own decode age — independent of batch
+    composition or slot assignment, so continuous-batching engines and the
+    batch loop draw identical tokens for the same request."""
+    n = jnp.broadcast_to(n, req_ids.shape)  # scalar age (batch loop) or
+    # per-slot ages (continuous batching)
+    return jax.vmap(
+        lambda r, nn: jax.random.fold_in(base_key, r * budget + nn)
+    )(req_ids, n)
+
+
+def _sample_pick_bl(logits_vb, keys, temperature, top_k):
+    """Per-row categorical over batch-last [V, B] logits with per-row keys
+    [B]; temperature/top_k are trace-time constants (match sample_generate's
+    filter semantics)."""
+    scaled = logits_vb.astype(jnp.float32) / max(temperature, 1e-6)
+    if top_k > 0:
+        kth = jnp.sort(scaled, axis=0)[-top_k, :][None, :]
+        scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
+    return jax.vmap(lambda k, l: jax.random.categorical(k, l))(
+        keys, scaled.T
+    ).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "pad_token_id",
+                                   "temperature", "top_k"))
+def sample_generate_bl(
+    cfg: LlamaConfig,
+    params: dict,
+    inputs_embeds: jax.Array,
+    max_new_tokens: int,
+    pad_token_id: int,
+    base_key: jax.Array,
+    temperature: float = 1.0,
+    top_k: int = 0,
+    req_ids: jax.Array | None = None,
+    prefill_params: dict | None = None,
+) -> jax.Array:
+    """Batch-last stochastic decode with REQUEST-INDEXED rng: row r's
+    token at age n is drawn with fold_in(base_key, req_ids[r]*budget + n),
+    so the draw stream is a pure function of (request, age) — the
+    continuous-batching engine (dmi_tpu/streaming.py, sampling mode)
+    produces bit-identical tokens for the same requests regardless of slot
+    assignment, admission order, or pool size.  Shares _decode_step_bl
+    (and therefore bit-identical logits) with the greedy serving path.
+    EOS/pad semantics as greedy_generate_bl."""
+    B, T, _ = inputs_embeds.shape
+    if max_new_tokens == 0:
+        return jnp.zeros((B, 0), jnp.int32)
+    if req_ids is None:
+        req_ids = jnp.arange(B, dtype=jnp.int32)
+    total = T + max_new_tokens
+    caches = init_cache(cfg, B, total)
+    eos = jnp.asarray(cfg.eos_token_ids)
+
+    logits0, caches = prefill(
+        cfg, params if prefill_params is None else prefill_params,
+        inputs_embeds, caches,
+    )
+    kv_cache = jnp.stack(
+        [caches[0].transpose(0, 2, 3, 4, 1), caches[1].transpose(0, 2, 3, 4, 1)],
+        axis=1,
+    )
+    logits = logits0.T  # [V, B]
+    tokens0 = jnp.full((B, max_new_tokens), pad_token_id, jnp.int32)
+    done0 = jnp.zeros((B,), bool)
+    key_pos = jnp.arange(total)
+    sliding_on = llama.sliding_effective(cfg, total)
+
+    def pick(logits, step):
+        keys = _req_keys(base_key, req_ids, max_new_tokens, step)
+        return _sample_pick_bl(logits, keys, temperature, top_k)
+
+    def cond(state):
+        step, _, _, done, _ = state
+        return (step < max_new_tokens - 1) & ~jnp.all(done)
+
+    def body(state):
+        step, logits, kv_cache, done, tokens = state
+        next_tok = jnp.where(done, pad_token_id, pick(logits, step))
+        tokens = jax.lax.dynamic_update_slice(tokens, next_tok[:, None], (0, step))
+        done = done | jnp.isin(next_tok, eos)
+        h = llama.scale_embeds(
+            cfg, llama.embed_tokens(cfg, params, next_tok).T.astype(cfg.dtype)
+        )
+        pos = T + step
+        bias = jnp.where(key_pos <= pos, 0.0, jnp.finfo(jnp.float32).min)
+        bias_sw = None
+        if sliding_on:
+            bias_sw = jnp.where(
+                (key_pos <= pos) & (pos - key_pos < cfg.sliding_window),
+                0.0,
+                jnp.finfo(jnp.float32).min,
+            )
+        logits, kv_cache = _decode_step_bl(
+            cfg, params, h, kv_cache, pos, bias, bias_sw=bias_sw
+        )
+        return step + 1, logits, kv_cache, done, tokens
+
+    step, logits, _, done, tokens = jax.lax.while_loop(
+        cond, body, (0, logits, kv_cache, done0, tokens0)
+    )
+    last = jnp.where(done, pad_token_id, pick(logits, step))
+    tokens = jax.lax.dynamic_update_slice(tokens, last[:, None], (0, step))
+    return tokens
+
+
 # ---------------------------------------------------------------------------
 # Batch-last decode loop
 # ---------------------------------------------------------------------------

@@ -122,6 +122,34 @@ def assemble_prompt(
     return embeds
 
 
+def caption_sample(
+    cfg: LlamaConfig,
+    llm_params: dict,
+    soft_tokens: jax.Array,
+    prefix_ids: Optional[jax.Array],
+    max_new_tokens: int,
+    pad_token_id: int,
+    base_key: jax.Array,
+    temperature: float = 1.0,
+    top_k: int = 0,
+    req_ids: Optional[jax.Array] = None,
+    prefill_params: Optional[dict] = None,
+) -> jax.Array:
+    """Stochastic caption decode with request-indexed rng (serving
+    surface; the reference only decodes greedily).  Tokens for a given
+    (request id, age) are a pure function of base_key — the
+    continuous-batching engine reproduces them bit-exactly under any slot
+    assignment (dec.sample_generate_bl)."""
+    embeds = assemble_prompt(
+        cfg, llm_params if prefill_params is None else prefill_params,
+        soft_tokens, prefix_ids,
+    )
+    return dec.sample_generate_bl(
+        cfg, llm_params, embeds, max_new_tokens, pad_token_id, base_key,
+        temperature, top_k, req_ids, prefill_params=prefill_params,
+    )
+
+
 def caption_generate(
     cfg: LlamaConfig,
     llm_params: dict,

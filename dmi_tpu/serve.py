@@ -171,11 +171,12 @@ class Captioner:
         )
 
     def _dispatch_batch(self, chunk: np.ndarray, temperature, top_k, seed,
-                        bi: int):
+                        row_start: int):
         """Pad one chunk to the compiled batch shape and dispatch it
-        (async on device); returns (tokens, real_row_count)."""
-        from dmi_tpu.models import decode as dec
-
+        (async on device); returns (tokens, real_row_count).  row_start:
+        the chunk's global workload row — sampling keys are
+        request-indexed (fold_in(key(seed), row*budget + age)), identical
+        to the continuous-batching engine's draws for the same rows."""
         real = chunk.shape[0]
         if real < self.batch_size:  # pad the tail to the compiled shape
             chunk = np.concatenate(
@@ -202,23 +203,23 @@ class Captioner:
         else:
             soft = proj.apply(self.proj_spec, self.proj_params, embs,
                               train=False)
-            # same bf16-prompt / quantized-loop split as the greedy path
-            inputs = mmmodel.assemble_prompt(
-                self.llm_cfg, self.llm_params_prefill or self.llm_params,
-                soft, self._prefix,
-            )
-            tokens = dec.sample_generate(
-                self.llm_cfg, self.llm_params, inputs, self.max_new_tokens,
-                self.tokenizer.pad_token_id,
-                jax.random.fold_in(jax.random.key(seed), bi),
-                temperature=temperature, top_k=top_k,
+            # request-indexed sampling (same bf16-prompt / quantized-loop
+            # split as the greedy path)
+            tokens = mmmodel.caption_sample(
+                self.llm_cfg, self.llm_params, soft, self._prefix,
+                self.max_new_tokens, self.tokenizer.pad_token_id,
+                jax.random.key(seed), temperature=temperature, top_k=top_k,
+                req_ids=jnp.arange(row_start, row_start + self.batch_size,
+                                   dtype=jnp.int32),
                 prefill_params=self.llm_params_prefill,
             )
         return tokens, real
 
-    def _caption_bulk(self, embeddings: np.ndarray) -> List[str]:
+    def _caption_bulk(self, embeddings: np.ndarray, temperature=None,
+                      top_k=0, seed=0, req_base=0) -> List[str]:
         """The on-device continuous-batching engine over a whole workload
-        (greedy-only; see dmi_tpu/streaming.py)."""
+        (greedy, or request-indexed sampling when temperature is set; see
+        dmi_tpu/streaming.py)."""
         from dmi_tpu.streaming import StreamingCaptioner
 
         prefix_np = np.asarray(self._prefix[0])
@@ -230,6 +231,8 @@ class Captioner:
             self.tokenizer.pad_token_id, pool=max(2, self.batch_size),
             admit=max(1, min(64, self.batch_size // 4)),
             prefill_params=self.llm_params_prefill,
+            temperature=temperature, top_k=top_k,
+            sample_key=jax.random.key(seed), req_base=req_base,
         )
         toks = eng.run_bulk(
             np.asarray(l2_normalize(jnp.asarray(embeddings, jnp.float32)))
@@ -263,15 +266,17 @@ class Captioner:
         its 1.25-1.47x regime), the remainder runs on the bulk engine,
         otherwise it stays on the batch path (bulk's eos-free overhead is
         0.977x).  The decision and its reason land in
-        self.engine_decision."""
+        self.engine_decision.
+
+        Sampling outputs are engine-INVARIANT: both paths draw with
+        request-indexed keys, so batch/bulk/auto return identical captions
+        for the same (seed, workload)."""
         n = embeddings.shape[0]
         if engine not in ("auto", "batch", "bulk"):
             raise ValueError(f"unknown engine {engine!r}")
         decision, reason, probe = engine, "explicit", False
         if engine == "auto":
-            if temperature is not None:
-                decision, reason = "batch", "sampling (bulk is greedy-only)"
-            elif n <= self.batch_size:
+            if n <= self.batch_size:
                 decision, reason = "batch", "single batch (nothing to amortize)"
             elif self.batch_size > _BULK_MAX_POOL:
                 decision, reason = "batch", (
@@ -280,9 +285,9 @@ class Captioner:
                 )
             else:
                 decision, probe = "batch", True
-        if decision == "bulk" and temperature is None and n > 0:
+        if decision == "bulk" and n > 0:
             self.engine_decision = ("bulk", reason)
-            return self._caption_bulk(embeddings)
+            return self._caption_bulk(embeddings, temperature, top_k, seed)
 
         out: List[str] = []
         start = 0
@@ -290,7 +295,7 @@ class Captioner:
             # decide from the first batch, measured on the batch path (a
             # synchronous fetch; costs pipelining on batch #1 only)
             tokens, real = self._dispatch_batch(
-                embeddings[: self.batch_size], None, top_k, seed, 0
+                embeddings[: self.batch_size], temperature, top_k, seed, 0
             )
             toks_np = np.asarray(tokens)
             out.extend(
@@ -306,7 +311,10 @@ class Captioner:
                     "bulk", f"probe: mean-length ratio {ratio:.2f} < "
                     f"{_BULK_LEN_RATIO} (idle-lane waste; bulk regime)"
                 )
-                out.extend(self._caption_bulk(embeddings[start:]))
+                out.extend(self._caption_bulk(
+                    embeddings[start:], temperature, top_k, seed,
+                    req_base=start,
+                ))
                 return out
             self.engine_decision = (
                 "batch", f"probe: mean-length ratio {ratio:.2f} >= "
@@ -317,10 +325,10 @@ class Captioner:
         # two-phase pipeline: dispatch every batch (async), then fetch in
         # order — host prep and detokenization overlap device decode
         pending = []
-        for bi, s in enumerate(range(start, n, self.batch_size)):
+        for s in range(start, n, self.batch_size):
             pending.append(self._dispatch_batch(
                 embeddings[s : s + self.batch_size], temperature, top_k,
-                seed, bi,
+                seed, s,
             ))
         for tokens, real in pending:
             out.extend(

@@ -35,6 +35,11 @@ batching, shaped for XLA:
   * multi-chip: constrain_state shards the pool over a mesh's 'data'
     axis (weights over 'model' via parallel.shard_llm_params) — dp x tp
     serving on the same (data, model) mesh as the batch decode
+  * sampling (temperature/top-k) with REQUEST-INDEXED rng: every token
+    is drawn with fold_in(key, request*budget + age), so outputs are a
+    pure function of (key, request) — reproducible under continuous
+    batching regardless of slot assignment, admission order or pool
+    size, and bit-identical to the batch oracle mmmodel.caption_sample
 
 Decode math is shared with dmi_tpu/models/decode.py (same _mm_bl /
 _rms_norm_bl / _decode_attention_bl contract, f32-accumulated attention)
@@ -72,6 +77,9 @@ class SlotState(NamedTuple):
     n: jax.Array         # [B] i32: tokens generated so far
     live: jax.Array      # [B] bool
     tokens: jax.Array    # [B, budget] i32 output buffer (pad-filled)
+    req: jax.Array       # [B] i32: tenant's REQUEST id (sampling rng is
+    #   keyed by (request, age) — dec._req_keys — so drawn tokens are
+    #   independent of slot assignment; -1 on never-used slots)
     row_pos: jax.Array   # [S, B] i32: ABSOLUTE position held by each row
     #   (per slot).  Prompt rows are always 0..T-1 (uniform prompts, set
     #   once at init); generated ring rows are stamped at write time.
@@ -103,6 +111,7 @@ def init_state(cfg: LlamaConfig, pool: int, prompt_len: int, budget: int,
         n=jnp.zeros((pool,), jnp.int32),
         live=jnp.zeros((pool,), bool),
         tokens=jnp.full((pool, budget), pad_token_id, jnp.int32),
+        req=jnp.full((pool,), -1, jnp.int32),
         row_pos=row_pos,
     )
 
@@ -133,12 +142,14 @@ def constrain_state(state: SlotState, mesh) -> SlotState:
         n=pin(state.n, P("data")),
         live=pin(state.live, P("data")),
         tokens=pin(state.tokens, P("data", None)),
+        req=pin(state.req, P("data")),
         row_pos=pin(state.row_pos, P(None, "data")),
     )
 
 
 def _stream_one_step(cfg, params, state: SlotState, T: int, budget: int,
-                     pad_token_id: int, eos: jax.Array) -> SlotState:
+                     pad_token_id: int, eos: jax.Array, sample=None,
+                     sample_key=None) -> SlotState:
     """One decode step for every live slot (dead slots do masked pad work).
 
     Mirrors the batch loop's semantics: the step writes the KV of token
@@ -183,7 +194,15 @@ def _stream_one_step(cfg, params, state: SlotState, T: int, budget: int,
     )
 
     batch_iota = jnp.arange(B)
-    tok = jnp.argmax(logits, axis=0).astype(jnp.int32)
+    if sample is None:
+        tok = jnp.argmax(logits, axis=0).astype(jnp.int32)
+    else:
+        # request-indexed sampling: this step draws each live slot's token
+        # number `n` (its age) with fold_in(key, req*budget + n) — the
+        # exact keys the batch oracle (dec.sample_generate_bl) uses
+        temperature, top_k = sample
+        keys = dec._req_keys(sample_key, state.req, budget, state.n)
+        tok = dec._sample_pick_bl(logits, keys, temperature, top_k)
     tok = jnp.where(state.live, tok, pad_token_id)
     idx = jnp.clip(state.n, 0, budget - 1)
     # fully-decoded (n == budget) slots must not overwrite their last real
@@ -196,27 +215,32 @@ def _stream_one_step(cfg, params, state: SlotState, T: int, budget: int,
     last = jnp.where(state.live, tok, state.last)
     cursor = jnp.asarray((state.cursor + 1) % budget, jnp.int32)
     return SlotState(kv=kv, valid=valid, cursor=cursor, last=last, n=n,
-                     live=live, tokens=tokens, row_pos=row_pos)
+                     live=live, tokens=tokens, req=state.req, row_pos=row_pos)
 
 
-@partial(jax.jit, static_argnames=("cfg", "T", "budget", "pad_token_id", "k_steps"))
+@partial(jax.jit, static_argnames=("cfg", "T", "budget", "pad_token_id",
+                                   "k_steps", "sample"))
 def stream_steps(cfg: LlamaConfig, params: dict, state: SlotState, T: int,
-                 budget: int, pad_token_id: int, k_steps: int) -> SlotState:
+                 budget: int, pad_token_id: int, k_steps: int, sample=None,
+                 sample_key=None) -> SlotState:
     """K decode steps for the whole pool in one dispatch."""
     eos = jnp.asarray(cfg.eos_token_ids)
 
     def body(i, st):
-        return _stream_one_step(cfg, params, st, T, budget, pad_token_id, eos)
+        return _stream_one_step(cfg, params, st, T, budget, pad_token_id,
+                                eos, sample, sample_key)
 
     return jax.lax.fori_loop(0, k_steps, body, state)
 
 
 def _admit_core(cfg, params, prefill_params, pspec, pparams, state, embs,
-                prefix_ids, slots, valid, T, budget, pad_token_id):
+                prefix_ids, slots, valid, T, budget, pad_token_id,
+                req=None, sample=None, sample_key=None):
     """Prefill a fixed-size chunk of new prompts and install them into
     `slots` (invalid rows — final-chunk padding — install dead slots).
 
-    embs [M, mm_dim]; prefix_ids [M, T-1]; slots [M] i32; valid [M] bool.
+    embs [M, mm_dim]; prefix_ids [M, T-1]; slots [M] i32; valid [M] bool;
+    req [M] i32 request ids (None -> -1; required when sampling).
     """
     from dmi_tpu.models import mmmodel
 
@@ -227,7 +251,16 @@ def _admit_core(cfg, params, prefill_params, pspec, pparams, state, embs,
     M = inputs.shape[0]
     caches = dec.init_cache(cfg, M, T)
     logits0, caches = dec.prefill(cfg, pp, inputs, caches)
-    tok0 = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
+    if req is None:
+        req = jnp.full((M,), -1, jnp.int32)
+    if sample is None:
+        tok0 = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
+    else:
+        # token 0 (age 0) draws with the same (request, age) keys the
+        # batch oracle uses
+        temperature, top_k = sample
+        keys0 = dec._req_keys(sample_key, req, budget, 0)
+        tok0 = dec._sample_pick_bl(logits0.T, keys0, temperature, top_k)
 
     # [L, M, nkv, T, hd] x2 -> [L, 2, nkv, T, hd, M]
     chunk_kv = jnp.stack(
@@ -260,23 +293,28 @@ def _admit_core(cfg, params, prefill_params, pspec, pparams, state, embs,
         n=state.n.at[slots].set(jnp.where(valid, 1, state.n[slots])),
         live=state.live.at[slots].set(live0),
         tokens=tokens,
+        req=state.req.at[slots].set(jnp.where(valid, req, state.req[slots])),
     )
 
 
 @partial(jax.jit,
-         static_argnames=("cfg", "pspec", "T", "budget", "pad_token_id"))
+         static_argnames=("cfg", "pspec", "T", "budget", "pad_token_id",
+                          "sample"))
 def admit_chunk(cfg, params, prefill_params, pspec, pparams, state, embs,
-                prefix_ids, slots, valid, T, budget, pad_token_id):
+                prefix_ids, slots, valid, T, budget, pad_token_id,
+                req=None, sample=None, sample_key=None):
     """Host-loop entry for _admit_core (see StreamingCaptioner.run)."""
     return _admit_core(cfg, params, prefill_params, pspec, pparams, state,
-                       embs, prefix_ids, slots, valid, T, budget, pad_token_id)
+                       embs, prefix_ids, slots, valid, T, budget, pad_token_id,
+                       req, sample, sample_key)
 
 
 @partial(jax.jit, static_argnames=("cfg", "pspec", "T", "budget",
-                                   "pad_token_id", "chunk", "pool", "mesh"))
+                                   "pad_token_id", "chunk", "pool", "mesh",
+                                   "sample"))
 def bulk_caption(cfg, params, prefill_params, pspec, pparams, queue,
                  prefix_ids, n_real, T, budget, pad_token_id, chunk, pool,
-                 mesh=None):
+                 mesh=None, sample=None, sample_key=None, req_base=0):
     """FULLY ON-DEVICE continuous batching for offline bulk captioning —
     the reference's actual serving shape (caption a whole eval split).
 
@@ -308,10 +346,10 @@ def bulk_caption(cfg, params, prefill_params, pspec, pparams, queue,
         out2 = out.at[slot_req[slots]].set(state.tokens[slots])
         embs = jax.lax.dynamic_slice(queue, (qptr, 0), (chunk, mm_dim))
         valid = (qptr + jnp.arange(chunk)) < n_real
+        req = jnp.where(valid, qptr + jnp.arange(chunk), Nq).astype(jnp.int32)
         st2 = _admit_core(cfg, params, prefill_params, pspec, pparams, state,
                           embs, prefix_ids, slots, valid, T, budget,
-                          pad_token_id)
-        req = jnp.where(valid, qptr + jnp.arange(chunk), Nq)
+                          pad_token_id, req_base + req, sample, sample_key)
         slot_req2 = slot_req.at[slots].set(req)
         return st2, out2, slot_req2, qptr + chunk
 
@@ -327,7 +365,7 @@ def bulk_caption(cfg, params, prefill_params, pspec, pparams, queue,
             do_admit, admit, lambda c: c, (state, out, slot_req, qptr)
         )
         state = _stream_one_step(cfg, params, state, T, budget,
-                                 pad_token_id, eos)
+                                 pad_token_id, eos, sample, sample_key)
         return state, out, slot_req, qptr
 
     state, out, slot_req, qptr = jax.lax.while_loop(
@@ -348,11 +386,25 @@ class StreamingCaptioner:
     def __init__(self, cfg: LlamaConfig, llm_params: dict, pspec, pparams,
                  prefix_ids: np.ndarray, budget: int, pad_token_id: int,
                  pool: int = 256, admit: int = 64, k_steps: int = 8,
-                 prefill_params: Optional[dict] = None, mesh=None):
+                 prefill_params: Optional[dict] = None, mesh=None,
+                 temperature: Optional[float] = None, top_k: int = 0,
+                 sample_key: Optional[jax.Array] = None, req_base: int = 0):
         # mesh: optional (data, model) jax.sharding.Mesh — the slot pool
         # shards over 'data' (constrain_state); pass weights already
         # sharded over 'model' for full dp x tp serving
         self.mesh = mesh
+        # temperature=None -> greedy (the reference's only mode).  A float
+        # enables request-indexed sampling: tokens are a pure function of
+        # (sample_key, request index, age) — bit-identical to
+        # mmmodel.caption_sample on the same requests, regardless of slot
+        # assignment / admission order / pool size
+        self.sample = (float(temperature), int(top_k)) if temperature is not None else None
+        self.sample_key = (
+            sample_key if sample_key is not None else jax.random.key(0)
+        )
+        # request ids used for sampling keys = req_base + workload row —
+        # lets a caller splitting one workload across engines keep ids global
+        self.req_base = int(req_base)
         self.cfg = cfg
         self.params = llm_params
         self.prefill_params = prefill_params
@@ -435,11 +487,15 @@ class StreamingCaptioner:
                 valid[:take] = True
                 chunk = np.zeros((self.admit, embeddings.shape[1]), np.float32)
                 chunk[:take] = embeddings[next_req : next_req + take]
+                req = np.full(self.admit, -1, np.int32)
+                req[:take] = self.req_base + np.arange(next_req, next_req + take)
                 self.state = admit_chunk(
                     self.cfg, self.params, self.prefill_params, self.pspec,
                     self.pparams, self.state, jnp.asarray(chunk), prefix_chunk,
                     jnp.asarray(slots), jnp.asarray(valid),
                     self.T, self.budget, self.pad,
+                    req=jnp.asarray(req), sample=self.sample,
+                    sample_key=self.sample_key,
                 )
                 self.dispatches += 1
                 self._occupied[free[:take]] = True
@@ -449,7 +505,8 @@ class StreamingCaptioner:
             if self._occupied[: self.scratch].any() and (admitted or live.any()):
                 self.state = stream_steps(
                     self.cfg, self.params, self.state, self.T, self.budget,
-                    self.pad, self.k,
+                    self.pad, self.k, sample=self.sample,
+                    sample_key=self.sample_key,
                 )
                 self.dispatches += 1
             live = fetch_and_harvest()
@@ -475,7 +532,9 @@ class StreamingCaptioner:
             self.cfg, self.params, self.prefill_params, self.pspec,
             self.pparams, jnp.asarray(q), prefix_chunk,
             jnp.asarray(N, jnp.int32), self.T, self.budget, self.pad,
-            M, self.pool, mesh=self.mesh,
+            M, self.pool, mesh=self.mesh, sample=self.sample,
+            sample_key=self.sample_key,
+            req_base=jnp.asarray(self.req_base, jnp.int32),
         )
         self.dispatches += 1
         return np.asarray(out)[:N]

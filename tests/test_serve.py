@@ -178,13 +178,16 @@ class TestAutoEngine:
             **kw,
         )
 
-    def test_sampling_stays_batch(self, trained):
+    def test_sampling_engine_invariant(self, trained):
+        """Request-indexed draws make sampling outputs identical across
+        the batch path, the bulk engine, and auto — the engine decision
+        cannot change what a user sees."""
         cap = self._cap(trained)
         embs = np.random.default_rng(0).normal(size=(6, 32)).astype(np.float32)
-        out = cap.caption(embs, temperature=1.5, engine="auto")
-        assert len(out) == 6
-        assert cap.engine_decision[0] == "batch"
-        assert "sampling" in cap.engine_decision[1]
+        a = cap.caption(embs, temperature=1.5, seed=3, engine="batch")
+        b = cap.caption(embs, temperature=1.5, seed=3, engine="bulk")
+        c = cap.caption(embs, temperature=1.5, seed=3, engine="auto")
+        assert len(a) == 6 and a == b == c
 
     def test_single_batch_stays_batch(self, trained):
         cap = self._cap(trained)

@@ -247,3 +247,41 @@ def test_streaming_sliding_window_wide_no_overhead():
     eng = StreamingCaptioner(cfg, llm_params, pspec, pparams, prefix, 4, PAD,
                              pool=4, admit=2, k_steps=2)
     np.testing.assert_array_equal(eng.run(embs), want)
+
+
+def test_streaming_sampling_matches_batch_oracle():
+    """Request-indexed sampling: the engine's drawn tokens equal
+    mmmodel.caption_sample's for the same requests — bit-identical keys
+    (fold_in(base, req*budget + age)) and bit-identical logits (shared
+    _decode_step_bl) — across slot recycling and for BOTH engine modes."""
+    cfg, llm_params, pspec, pparams, prefix = make_setup(seed=24, vocab=64)
+    budget = 7
+    N = 13
+    embs = np.random.default_rng(25).normal(size=(N, 16)).astype(np.float32)
+    key = jax.random.key(42)
+    temperature, top_k = 0.8, 8
+
+    soft = proj.apply(pspec, pparams, jnp.asarray(embs), train=False)
+    prefix_ids = jnp.tile(jnp.asarray(prefix)[None, :], (N, 1))
+    want = np.asarray(mmmodel.caption_sample(
+        cfg, llm_params, soft, prefix_ids, budget, PAD, key,
+        temperature=temperature, top_k=top_k,
+    ))
+    # sampling actually happened (a greedy run differs)
+    greedy = batch_reference(cfg, llm_params, pspec, pparams, prefix, embs, budget)
+    assert (want != greedy).any()
+
+    eng = StreamingCaptioner(cfg, llm_params, pspec, pparams, prefix, budget,
+                             PAD, pool=4, admit=2, k_steps=3,
+                             temperature=temperature, top_k=top_k,
+                             sample_key=key)
+    np.testing.assert_array_equal(eng.run(embs), want)
+    np.testing.assert_array_equal(eng.run_bulk(embs), want)
+
+    # slot-assignment independence: a different pool/admit shape draws the
+    # SAME tokens (the rng is keyed by request, not slot)
+    eng2 = StreamingCaptioner(cfg, llm_params, pspec, pparams, prefix, budget,
+                              PAD, pool=9, admit=4, k_steps=1,
+                              temperature=temperature, top_k=top_k,
+                              sample_key=key)
+    np.testing.assert_array_equal(eng2.run(embs), want)
