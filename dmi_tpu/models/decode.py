@@ -217,21 +217,34 @@ def _req_keys(base_key, req_ids, budget, n):
     )(req_ids, n)
 
 
-def _sample_pick_bl(logits_vb, keys, temperature, top_k):
+def _sample_pick_bl(logits_vb, keys, temperature, top_k, top_p=1.0):
     """Per-row categorical over batch-last [V, B] logits with per-row keys
-    [B]; temperature/top_k are trace-time constants (match sample_generate's
-    filter semantics)."""
+    [B]; temperature/top_k/top_p are trace-time constants.  Warper order
+    matches HF generate: temperature -> top_k -> top_p (nucleus keeps the
+    smallest prefix of descending-prob tokens whose mass reaches top_p;
+    filter semantics pinned against HF's TopPLogitsWarper)."""
     scaled = logits_vb.astype(jnp.float32) / max(temperature, 1e-6)
     if top_k > 0:
         kth = jnp.sort(scaled, axis=0)[-top_k, :][None, :]
         scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
+    if top_p < 1.0:
+        desc = jnp.sort(scaled, axis=0)[::-1, :]
+        probs = jax.nn.softmax(desc, axis=0)
+        exceeded = jnp.cumsum(probs, axis=0) > top_p
+        # keep every token up to AND INCLUDING the one that crosses top_p
+        # (HF keeps the crossing token); min kept logit = the cutoff
+        keep = jnp.concatenate(
+            [jnp.ones_like(exceeded[:1]), ~exceeded[:-1]], axis=0
+        )
+        kth_p = jnp.min(jnp.where(keep, desc, jnp.inf), axis=0)[None, :]
+        scaled = jnp.where(scaled < kth_p, -jnp.inf, scaled)
     return jax.vmap(lambda k, l: jax.random.categorical(k, l))(
         keys, scaled.T
     ).astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "pad_token_id",
-                                   "temperature", "top_k"))
+                                   "temperature", "top_k", "top_p"))
 def sample_generate_bl(
     cfg: LlamaConfig,
     params: dict,
@@ -241,6 +254,7 @@ def sample_generate_bl(
     base_key: jax.Array,
     temperature: float = 1.0,
     top_k: int = 0,
+    top_p: float = 1.0,
     req_ids: jax.Array | None = None,
     prefill_params: dict | None = None,
 ) -> jax.Array:
@@ -277,7 +291,7 @@ def sample_generate_bl(
 
     def pick(logits, step):
         keys = _req_keys(base_key, req_ids, max_new_tokens, step)
-        return _sample_pick_bl(logits, keys, temperature, top_k)
+        return _sample_pick_bl(logits, keys, temperature, top_k, top_p)
 
     def cond(state):
         step, _, _, done, _ = state

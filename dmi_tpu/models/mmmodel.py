@@ -132,6 +132,7 @@ def caption_sample(
     base_key: jax.Array,
     temperature: float = 1.0,
     top_k: int = 0,
+    top_p: float = 1.0,
     req_ids: Optional[jax.Array] = None,
     prefill_params: Optional[dict] = None,
 ) -> jax.Array:
@@ -146,7 +147,7 @@ def caption_sample(
     )
     return dec.sample_generate_bl(
         cfg, llm_params, embeds, max_new_tokens, pad_token_id, base_key,
-        temperature, top_k, req_ids, prefill_params=prefill_params,
+        temperature, top_k, top_p, req_ids, prefill_params=prefill_params,
     )
 
 

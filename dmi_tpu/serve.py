@@ -171,7 +171,7 @@ class Captioner:
         )
 
     def _dispatch_batch(self, chunk: np.ndarray, temperature, top_k, seed,
-                        row_start: int):
+                        row_start: int, top_p: float = 1.0):
         """Pad one chunk to the compiled batch shape and dispatch it
         (async on device); returns (tokens, real_row_count).  row_start:
         the chunk's global workload row — sampling keys are
@@ -209,6 +209,7 @@ class Captioner:
                 self.llm_cfg, self.llm_params, soft, self._prefix,
                 self.max_new_tokens, self.tokenizer.pad_token_id,
                 jax.random.key(seed), temperature=temperature, top_k=top_k,
+                top_p=top_p,
                 req_ids=jnp.arange(row_start, row_start + self.batch_size,
                                    dtype=jnp.int32),
                 prefill_params=self.llm_params_prefill,
@@ -216,7 +217,7 @@ class Captioner:
         return tokens, real
 
     def _caption_bulk(self, embeddings: np.ndarray, temperature=None,
-                      top_k=0, seed=0, req_base=0) -> List[str]:
+                      top_k=0, seed=0, req_base=0, top_p=1.0) -> List[str]:
         """The on-device continuous-batching engine over a whole workload
         (greedy, or request-indexed sampling when temperature is set; see
         dmi_tpu/streaming.py)."""
@@ -231,7 +232,7 @@ class Captioner:
             self.tokenizer.pad_token_id, pool=max(2, self.batch_size),
             admit=max(1, min(64, self.batch_size // 4)),
             prefill_params=self.llm_params_prefill,
-            temperature=temperature, top_k=top_k,
+            temperature=temperature, top_k=top_k, top_p=top_p,
             sample_key=jax.random.key(seed), req_base=req_base,
         )
         toks = eng.run_bulk(
@@ -245,6 +246,7 @@ class Captioner:
         embeddings: np.ndarray,
         temperature: Optional[float] = None,
         top_k: int = 0,
+        top_p: float = 1.0,
         seed: int = 0,
         engine: str = "auto",
     ) -> List[str]:
@@ -287,7 +289,8 @@ class Captioner:
                 decision, probe = "batch", True
         if decision == "bulk" and n > 0:
             self.engine_decision = ("bulk", reason)
-            return self._caption_bulk(embeddings, temperature, top_k, seed)
+            return self._caption_bulk(embeddings, temperature, top_k, seed,
+                                      top_p=top_p)
 
         out: List[str] = []
         start = 0
@@ -295,7 +298,8 @@ class Captioner:
             # decide from the first batch, measured on the batch path (a
             # synchronous fetch; costs pipelining on batch #1 only)
             tokens, real = self._dispatch_batch(
-                embeddings[: self.batch_size], temperature, top_k, seed, 0
+                embeddings[: self.batch_size], temperature, top_k, seed, 0,
+                top_p=top_p,
             )
             toks_np = np.asarray(tokens)
             out.extend(
@@ -313,7 +317,7 @@ class Captioner:
                 )
                 out.extend(self._caption_bulk(
                     embeddings[start:], temperature, top_k, seed,
-                    req_base=start,
+                    req_base=start, top_p=top_p,
                 ))
                 return out
             self.engine_decision = (
@@ -328,7 +332,7 @@ class Captioner:
         for s in range(start, n, self.batch_size):
             pending.append(self._dispatch_batch(
                 embeddings[s : s + self.batch_size], temperature, top_k,
-                seed, s,
+                seed, s, top_p=top_p,
             ))
         for tokens, real in pending:
             out.extend(
@@ -375,6 +379,8 @@ def main(argv=None) -> None:
         help="int8 weights (dequant matmuls); w8a8 = native int8 MXU; "
              "w4a8 = int4 loop weights (bandwidth-bound serving)",
     )
+    ap.add_argument("--top-p", type=float, default=1.0,
+                    help="nucleus sampling mass (with --temperature)")
     ap.add_argument("--temperature", type=float, default=None,
                     help="stochastic decoding (default: greedy)")
     ap.add_argument("--top-k", type=int, default=0)
@@ -391,7 +397,8 @@ def main(argv=None) -> None:
     )
     ids, embs = _load_embs(args.embs)
     captions = cap.caption(
-        embs, temperature=args.temperature, top_k=args.top_k, seed=args.seed,
+        embs, temperature=args.temperature, top_k=args.top_k,
+        top_p=args.top_p, seed=args.seed,
         engine=args.engine,
     )
     if cap.engine_decision is not None:

@@ -200,9 +200,9 @@ def _stream_one_step(cfg, params, state: SlotState, T: int, budget: int,
         # request-indexed sampling: this step draws each live slot's token
         # number `n` (its age) with fold_in(key, req*budget + n) — the
         # exact keys the batch oracle (dec.sample_generate_bl) uses
-        temperature, top_k = sample
+        temperature, top_k, top_p = sample
         keys = dec._req_keys(sample_key, state.req, budget, state.n)
-        tok = dec._sample_pick_bl(logits, keys, temperature, top_k)
+        tok = dec._sample_pick_bl(logits, keys, temperature, top_k, top_p)
     tok = jnp.where(state.live, tok, pad_token_id)
     idx = jnp.clip(state.n, 0, budget - 1)
     # fully-decoded (n == budget) slots must not overwrite their last real
@@ -258,9 +258,9 @@ def _admit_core(cfg, params, prefill_params, pspec, pparams, state, embs,
     else:
         # token 0 (age 0) draws with the same (request, age) keys the
         # batch oracle uses
-        temperature, top_k = sample
+        temperature, top_k, top_p = sample
         keys0 = dec._req_keys(sample_key, req, budget, 0)
-        tok0 = dec._sample_pick_bl(logits0.T, keys0, temperature, top_k)
+        tok0 = dec._sample_pick_bl(logits0.T, keys0, temperature, top_k, top_p)
 
     # [L, M, nkv, T, hd] x2 -> [L, 2, nkv, T, hd, M]
     chunk_kv = jnp.stack(
@@ -388,6 +388,7 @@ class StreamingCaptioner:
                  pool: int = 256, admit: int = 64, k_steps: int = 8,
                  prefill_params: Optional[dict] = None, mesh=None,
                  temperature: Optional[float] = None, top_k: int = 0,
+                 top_p: float = 1.0,
                  sample_key: Optional[jax.Array] = None, req_base: int = 0):
         # mesh: optional (data, model) jax.sharding.Mesh — the slot pool
         # shards over 'data' (constrain_state); pass weights already
@@ -398,7 +399,10 @@ class StreamingCaptioner:
         # (sample_key, request index, age) — bit-identical to
         # mmmodel.caption_sample on the same requests, regardless of slot
         # assignment / admission order / pool size
-        self.sample = (float(temperature), int(top_k)) if temperature is not None else None
+        self.sample = (
+            (float(temperature), int(top_k), float(top_p))
+            if temperature is not None else None
+        )
         self.sample_key = (
             sample_key if sample_key is not None else jax.random.key(0)
         )

@@ -285,3 +285,74 @@ def test_streaming_sampling_matches_batch_oracle():
                               temperature=temperature, top_k=top_k,
                               sample_key=key)
     np.testing.assert_array_equal(eng2.run(embs), want)
+
+
+def test_nucleus_filter_matches_hf_warper():
+    """_sample_pick_bl's temperature->top_k->top_p filter chain keeps
+    exactly the token set HF's logits warpers keep (the published
+    semantics our sampling claims)."""
+    import torch
+    from transformers.generation.logits_process import (
+        TemperatureLogitsWarper, TopKLogitsWarper, TopPLogitsWarper,
+    )
+
+    from dmi_tpu.models import decode as dec
+
+    rng = np.random.default_rng(7)
+    for temperature, top_k, top_p in [(0.7, 0, 0.9), (1.3, 5, 0.8),
+                                      (1.0, 0, 0.5), (0.9, 3, 1.0)]:
+        logits = rng.normal(size=(4, 32)).astype(np.float32) * 2.0  # [B, V]
+        t = torch.tensor(logits)
+        t = TemperatureLogitsWarper(temperature)(None, t)
+        if top_k > 0:
+            t = TopKLogitsWarper(top_k)(None, t)
+        if top_p < 1.0:
+            t = TopPLogitsWarper(top_p)(None, t)
+        hf_kept = torch.isfinite(t).numpy()
+
+        # replicate the filter via the pick helper: a kept token must be
+        # drawable, a filtered one never — recover the mask by reading the
+        # scaled logits the helper would sample from
+        scaled = jnp.asarray(logits.T, jnp.float32) / max(temperature, 1e-6)
+        if top_k > 0:
+            kth = jnp.sort(scaled, axis=0)[-top_k, :][None, :]
+            scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
+        if top_p < 1.0:
+            desc = jnp.sort(scaled, axis=0)[::-1, :]
+            probs = jax.nn.softmax(desc, axis=0)
+            exceeded = jnp.cumsum(probs, axis=0) > top_p
+            keep = jnp.concatenate(
+                [jnp.ones_like(exceeded[:1]), ~exceeded[:-1]], axis=0
+            )
+            kth_p = jnp.min(jnp.where(keep, desc, jnp.inf), axis=0)[None, :]
+            scaled = jnp.where(scaled < kth_p, -jnp.inf, scaled)
+        ours_kept = np.isfinite(np.asarray(scaled).T)
+        np.testing.assert_array_equal(
+            ours_kept, hf_kept, err_msg=f"{temperature},{top_k},{top_p}"
+        )
+        # and the real helper draws only kept tokens
+        keys = dec._req_keys(jax.random.key(0), jnp.arange(4), 8, 0)
+        toks = np.asarray(dec._sample_pick_bl(
+            jnp.asarray(logits.T), keys, temperature, top_k, top_p
+        ))
+        assert all(hf_kept[b, toks[b]] for b in range(4))
+
+
+def test_streaming_sampling_top_p_matches_oracle():
+    """Engine sampling with nucleus filtering still equals the batch
+    oracle (the filter runs on bit-identical logits both sides)."""
+    cfg, llm_params, pspec, pparams, prefix = make_setup(seed=28, vocab=64)
+    budget = 5
+    embs = np.random.default_rng(29).normal(size=(7, 16)).astype(np.float32)
+    key = jax.random.key(11)
+    soft = proj.apply(pspec, pparams, jnp.asarray(embs), train=False)
+    prefix_ids = jnp.tile(jnp.asarray(prefix)[None, :], (7, 1))
+    want = np.asarray(mmmodel.caption_sample(
+        cfg, llm_params, soft, prefix_ids, budget, PAD, key,
+        temperature=1.1, top_p=0.85,
+    ))
+    eng = StreamingCaptioner(cfg, llm_params, pspec, pparams, prefix, budget,
+                             PAD, pool=3, admit=2, k_steps=2,
+                             temperature=1.1, top_p=0.85, sample_key=key)
+    np.testing.assert_array_equal(eng.run(embs), want)
+    np.testing.assert_array_equal(eng.run_bulk(embs), want)
