@@ -285,3 +285,96 @@ def test_hypernet_load_checkpoint_restores_torch_adamw_moments(tmp_path, monkeyp
         opt_state["state"][names.index("prefix_tokens")]["exp_avg"].numpy(),
         rtol=1e-6,
     )
+
+
+def test_lora_trainer_resume_restores_torch_adamw_moments(pieces, tmp_path):
+    """LoraTrainer inherits resume(); a reference torch LoRA checkpoint
+    (loras.{i}.A|B + torch AdamW state) must restore adapters AND splice
+    the moments (converter exactness pinned in test_optimizer_interop;
+    this covers the lora_model trainer wiring end to end)."""
+    import torch
+
+    from dmi_tpu.config import TrainArgs
+    from dmi_tpu.data.loader import DatasetLoader
+    from dmi_tpu.data.tok_fixture import build_test_tokenizer
+    from dmi_tpu.models import lora
+    from dmi_tpu.registry import dataset_spec
+    from dmi_tpu.training.embeddings import EmbeddingManager
+    from dmi_tpu.training.lora_trainer import LoraTrainer
+
+    tok = build_test_tokenizer()
+    args = TrainArgs(
+        output_dir="x", train_batch_size=4, eval_batch_size=4, epochs=2,
+        dataset_size="full", seed=3, learning_rate=1e-3, warmup_steps=2,
+        save_steps=1000, eval_steps=1000, generate_steps=1000,
+    )
+    cfg = llama.tiny_config(vocab_size=tok.vocab_size + 8, hidden_size=64)
+    llm = llama.init(jax.random.key(0), cfg)
+    pspec = proj.ProjectorSpec(mm_dim=32, lm_dim=64, n_layers=2)
+    pparams = proj.init(jax.random.key(1), pspec)
+    lspec = lora.LoraSpec(rank=4, alpha=4, n_proj_layers=2)
+    lparams = lora.init(jax.random.key(2), lspec, pspec)
+    loader = DatasetLoader(dataset_spec("sydney"), tok, args,
+                           "RemoteCLIP-RN50-Unchanged", True, "data")
+    mgr = EmbeddingManager("chendelong/RemoteCLIP-RN50-Unchanged")
+    tr = LoraTrainer(
+        name="lora_resume_test", llm_cfg=cfg, llm_params=llm, proj_spec=pspec,
+        lora_spec=lspec, lora_params=lparams, frozen_proj_params=pparams,
+        loaders=[loader], emb_mgrs=[mgr], tokenizer=tok, train_args=args,
+    )
+
+    # a reference-layout torch checkpoint: ParameterList order A0,B0,A1,B1
+    rng = np.random.default_rng(17)
+    flat = []
+    sd = {}
+    for i, ad in enumerate(lparams):
+        for tkey, okey in (("A", "a"), ("B", "b")):
+            arr = rng.normal(size=np.asarray(ad[okey]).shape).astype(np.float32)
+            sd[f"loras.{i}.{tkey}"] = torch.tensor(arr)
+            flat.append(arr)
+    opt_state = {
+        "state": {
+            j: {
+                "step": torch.tensor(5.0),
+                "exp_avg": torch.tensor(rng.normal(size=a.shape).astype(np.float32)),
+                "exp_avg_sq": torch.tensor(np.abs(rng.normal(size=a.shape)).astype(np.float32)),
+            }
+            for j, a in enumerate(flat)
+        },
+        "param_groups": [{"lr": 1e-3, "params": list(range(len(flat)))}],
+    }
+    path = str(tmp_path / "ref-checkpoint-lora_model-best.pt")
+    torch.save({"step_idx": 5, "lora_model_state_dict": sd,
+                "optimizer_state_dict": opt_state, "loss": 0.1}, path)
+
+    start = tr.resume(path)
+    assert start == 6
+
+    def find_adam(node):
+        if hasattr(node, "mu") and hasattr(node, "nu"):
+            return node
+        if isinstance(node, tuple):
+            for v in node:
+                r = find_adam(v)
+                if r is not None:
+                    return r
+        return None
+
+    adam = find_adam(tr.state.opt_state)
+    assert int(adam.count) == 5
+    # lora A/B carry no transpose: mu mirrors exp_avg directly, in
+    # ParameterList order
+    np.testing.assert_allclose(
+        np.asarray(adam.mu[0]["a"]), opt_state["state"][0]["exp_avg"].numpy(),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(adam.nu[1]["b"]),
+        opt_state["state"][3]["exp_avg_sq"].numpy(), rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(tr.state.params[0]["a"]), sd["loras.0.A"].numpy(), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(tr.state.params[1]["b"]), sd["loras.1.B"].numpy(), rtol=1e-6
+    )
