@@ -119,8 +119,8 @@ def _probe_backend_subprocess(timeout_s: float) -> str:
 def _retry_budget() -> float:
     """Wall-clock seconds to wait for relay RECOVERY before accepting the
     CPU fallback: `--retry-until <s>` / `--retry-until=<s>` flag (argv
-    survives the re-execs) or DMI_BENCH_RETRY_UNTIL env.  0 = today's
-    behavior (bounded quick retries, then CPU).  The round-3 postmortem:
+    survives the re-execs) or DMI_BENCH_RETRY_UNTIL env (default 900).
+    0 = bounded quick retries, then CPU.  The round-3 postmortem:
     a 2h relay wedge at round end turned the whole round's bench into a
     _cpu_fallback line — with a budget, the wedge degrades to 'late'."""
     import sys
@@ -131,7 +131,10 @@ def _retry_budget() -> float:
             return float(a.split("=", 1)[1])
         if a == "--retry-until" and i + 1 < len(argv):
             return float(argv[i + 1])
-    return float(os.environ.get("DMI_BENCH_RETRY_UNTIL", "0"))
+    # default 900s: the DRIVER invokes `python bench.py` bare at round end,
+    # so the insurance must be on by default (the probe loop only engages
+    # when the relay is actually dead; a healthy relay costs nothing)
+    return float(os.environ.get("DMI_BENCH_RETRY_UNTIL", "900"))
 
 
 def _ensure_tpu_or_retry() -> str:

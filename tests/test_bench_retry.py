@@ -36,7 +36,10 @@ def clean_env(monkeypatch):
 
 def test_retry_budget_flag_parsing(clean_env):
     bench = _load_bench()
+    assert bench._retry_budget() == 900.0  # driver-default insurance
+    clean_env.setenv("DMI_BENCH_RETRY_UNTIL", "0")
     assert bench._retry_budget() == 0.0
+    clean_env.delenv("DMI_BENCH_RETRY_UNTIL")
     clean_env.setenv("DMI_BENCH_RETRY_UNTIL", "120")
     assert bench._retry_budget() == 120.0
     clean_env.setattr(sys, "argv", ["bench.py", "--retry-until=7200"])
