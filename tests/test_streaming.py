@@ -226,6 +226,15 @@ def test_streaming_sliding_window_binds(eos):
                              PAD, pool=4, admit=2, k_steps=2)
     np.testing.assert_array_equal(eng.run(embs), want)
     np.testing.assert_array_equal(eng.run_bulk(embs), want)
+    if eos == ():  # sliding + dp x tp mesh combo (one extra compile)
+        from dmi_tpu.parallel import make_mesh, shard_llm_params
+
+        mesh = make_mesh((2, 4))
+        eng_m = StreamingCaptioner(
+            cfg, shard_llm_params(mesh, llm_params), pspec, pparams, prefix,
+            budget, PAD, pool=4, admit=2, k_steps=2, mesh=mesh,
+        )
+        np.testing.assert_array_equal(eng_m.run_bulk(embs), want)
 
 
 def test_streaming_sliding_window_wide_no_overhead():
