@@ -258,8 +258,8 @@ class Captioner:
         finished lanes refilled with new requests; 1.25x over fixed
         batches on chip when caption lengths vary.  Composes with
         tensor-parallel meshes (GSPMD partitions the engine like the
-        batch tp decode; tokens pinned equal in tests).  Greedy-only —
-        falls back to the batch path for temperature sampling.
+        batch tp decode; tokens pinned equal in tests).  Sampling runs
+        here too (request-indexed rng; see below).
 
         engine="auto" (default): pick per workload.  Multi-batch greedy
         workloads at moderate pools probe the FIRST batch on the batch
