@@ -1,0 +1,611 @@
+"""Speculative (draft-verify) greedy decode — batch-last, token-exact.
+
+The decode loop is HBM-bandwidth bound below pool saturation (BASELINE.md
+binding-limit analysis: the per-step weight stream costs the same bytes
+at B=32 as at B=256).  Speculative decoding attacks exactly that term: a
+cheap DRAFT model proposes k tokens, then the target verifies all k in
+ONE forward over k+1 positions — one loop weight-stream read per
+accepted run instead of one per token.  Greedy rejection sampling makes
+the output provably identical to plain greedy decode for ANY draft:
+a proposal is accepted iff it equals the target's own argmax at that
+position, and the first mismatch is replaced by the target's argmax
+(which the verify forward already computed), so every emitted token is
+the target-greedy token given its prefix.
+
+The reference decodes greedily through HF generate with no speculation
+(dmi/model/mmmodel.py:149-169); this is framework serving surface, like
+the continuous-batching engine (dmi_tpu/streaming.py).
+
+TPU-first shape discipline (all static):
+
+  * Per-sequence acceptance counts differ, so slot positions diverge —
+    the same problem the streaming engine solves with its row->position
+    bookkeeping.  Same solution here: every round writes k+1 PHYSICAL
+    cache rows shared by the whole batch (one contiguous
+    dynamic_update_slice per layer, no scatter); per-slot LOGICAL
+    positions live in a row_pos [S, B] map and rejected proposals are
+    simply re-masked in a valid [S, B] bitmap.  The attention bias is
+    rebuilt per query from (valid, row_pos), so staggered slots are
+    token-exact.
+  * Cache rows are never compacted or reused: S = T + (k+1) * (budget-1)
+    worst case (a slot that accepts nothing).  High acceptance writes
+    few rounds and stays near the greedy cache footprint; the memory
+    trade (vs the batch loop's T + budget) is the price of scatter-free
+    verification.
+  * The verify forward flattens the (position, slot) grid into one
+    batch-last lane axis [H, (k+1)*B] for every matmul — the weight
+    stream is read ONCE for all k+1 positions, which is the entire
+    point.  Attention vmaps the single-position batch-last kernel
+    (dec._decode_attention_bl, f32-accumulated) over the k+1 queries.
+  * The draft runs k+1 ordinary single-token batch-last steps
+    (dec._decode_step_bl with per-slot rope + [S, B] bias — the
+    streaming engine's calling convention), maintaining its own
+    row_pos/valid cache of the same design.
+
+Acceptance economics (what to measure, scripts/profile_speculative.py):
+a verify round costs ~1 weight-stream read + (k+1)x the per-token MXU
+compute + (k+1)x the VPU attention, and emits between 1 and k+1 tokens.
+Speculation therefore pays in the bandwidth-bound regime (small/medium
+batch, weight stream >> compute) with a draft whose acceptance is high,
+and cannot pay at MXU-saturated batch sizes where decode is already
+compute-bound.  The oracle entry point below measures the verify-side
+ceiling as a function of acceptance without needing a trained draft.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dmi_tpu.models import decode as dec
+from dmi_tpu.models import llama
+from dmi_tpu.models.llama import LlamaConfig
+
+NEG = jnp.finfo(jnp.float32).min
+
+
+def _rotate_half_ax(x, axis):
+    """_rotate_half over an arbitrary axis."""
+    half = x.shape[axis] // 2
+    lo = jax.lax.slice_in_dim(x, 0, half, axis=axis)
+    hi = jax.lax.slice_in_dim(x, half, None, axis=axis)
+    return jnp.concatenate([-hi, lo], axis=axis)
+
+
+def _rope_pb(x, cos, sin):
+    """Rope with the head dim at axis -3: x [..., hd, P, B];
+    cos/sin [hd, P, B]."""
+    c = cos.astype(jnp.float32)
+    s = sin.astype(jnp.float32)
+    xf = x.astype(jnp.float32)
+    return (xf * c + _rotate_half_ax(xf, -3) * s).astype(x.dtype)
+
+
+def _rms_norm_head_pb(x, scale, eps):
+    """Per-head RMSNorm over axis -3 of [..., hd, P, B] (qwen3 q/k norm)."""
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-3, keepdims=True)
+    normed = xf * jax.lax.rsqrt(var + eps)
+    return (normed * scale.astype(jnp.float32)[:, None, None]).astype(x.dtype)
+
+
+def _verify_step_bl(cfg, params, h, kv_cache, qpos, bias, rt, bias_sw=None):
+    """Target forward over P = k+1 speculative positions, batch-last.
+
+    h [H, P, B] (embeds of [last_emitted, d_1..d_k]); kv_cache
+    [L, 2, nkv, S, hd, B]; qpos [P, B] logical query positions;
+    bias/bias_sw [S, P, B]; rt: physical row where this round's P cache
+    rows land (shared by the batch).  Returns (argmax ids [P, B],
+    kv_cache).  Mirrors dec._decode_step_bl's layer body exactly (same
+    _mm_bl weight dispatch incl. W8A8/W4A8, same f32-accumulated
+    attention via a vmap of dec._decode_attention_bl, same family
+    branches), with the (position, slot) grid flattened to one lane axis
+    for every matmul so the per-layer weight stream is read once for all
+    P positions.  Skips final_logit_softcap like the greedy loop (every
+    consumer is an argmax; tanh rescaling is argmax-invariant)."""
+    nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    g = nh // nkv
+    H, P, B = h.shape
+    N = P * B
+    hn_flat = h.reshape(H, N)
+
+    cos, sin = llama.rope_tables(cfg, qpos.reshape(-1))  # [P*B, hd]
+    cos = cos.T.reshape(hd, P, B)
+    sin = sin.T.reshape(hd, P, B)
+    a_scale = llama.attn_score_scale(cfg)
+    a_cap = cfg.attn_logit_softcap
+
+    attend = jax.vmap(
+        partial(dec._decode_attention_bl, scale=a_scale, softcap=a_cap),
+        in_axes=(3, None, None, 1), out_axes=3,
+    )  # q [nkv,g,hd,P,B], kc/vc [nkv,S,hd,B], bias [S,P,B] -> [nkv,g,hd,P,B]
+
+    def body(carry, xs):
+        x, kvcache = carry
+        if bias_sw is not None:
+            lw, li, fl = xs
+            b = jnp.where(fl, bias_sw, bias)
+        else:
+            lw, li = xs
+            b = bias
+        hn = dec._rms_norm_bl(x, lw["ln_attn"], cfg.rms_norm_eps)
+        if "w_qkv" in lw:
+            qkv = dec._mm_bl(lw["w_qkv"], hn)
+            if "b_qkv" in lw:
+                qkv = qkv + lw["b_qkv"][:, None]
+            q, k, v = jnp.split(qkv, [nh * hd, nh * hd + nkv * hd], axis=0)
+        else:
+            q = dec._mm_bl(lw["wq"], hn)
+            k = dec._mm_bl(lw["wk"], hn)
+            v = dec._mm_bl(lw["wv"], hn)
+            if "bq" in lw:
+                q = q + lw["bq"][:, None]
+                k = k + lw["bk"][:, None]
+                v = v + lw["bv"][:, None]
+        q = q.reshape(nkv, g, hd, P, B)
+        k = k.reshape(nkv, hd, P, B)
+        if cfg.qk_norm:  # qwen3: per-head RMSNorm before rope
+            q = _rms_norm_head_pb(q, lw["q_norm"], cfg.rms_norm_eps)
+            k = _rms_norm_head_pb(k, lw["k_norm"], cfg.rms_norm_eps)
+        q = _rope_pb(q, cos, sin)
+        k = _rope_pb(k, cos, sin)
+        v = v.reshape(nkv, hd, P, B)
+        # write this round's P rows contiguously at the shared physical rt
+        kvcache = jax.lax.dynamic_update_slice(
+            kvcache,
+            jnp.stack(
+                [k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)]
+            )[None],  # [1, 2, nkv, P, hd, B]
+            (li, 0, 0, rt, 0, 0),
+        )
+        kvc = jax.lax.dynamic_slice(
+            kvcache, (li, 0, 0, 0, 0, 0), (1,) + kvcache.shape[1:]
+        )[0]
+        attn = attend(q, kvc[0], kvc[1], b).reshape(nh * hd, N)
+        attn_out = dec._mm_bl(lw["wo"], attn)
+        if cfg.post_block_norms:
+            attn_out = dec._rms_norm_bl(
+                attn_out, lw["ln_post_attn"], cfg.rms_norm_eps
+            )
+        x = x + attn_out
+        hn = dec._rms_norm_bl(x, lw["ln_mlp"], cfg.rms_norm_eps)
+        if "w_gu" in lw:
+            gu = dec._mm_bl(lw["w_gu"], hn)
+            gate, up = jnp.split(gu, 2, axis=0)
+            mlp_out = dec._mm_bl(lw["w_down"], llama.mlp_activation(cfg, gate) * up)
+        else:
+            gate = llama.mlp_activation(cfg, dec._mm_bl(lw["w_gate"], hn))
+            mlp_out = dec._mm_bl(lw["w_down"], gate * dec._mm_bl(lw["w_up"], hn))
+        if cfg.post_block_norms:
+            mlp_out = dec._rms_norm_bl(mlp_out, lw["ln_post_mlp"], cfg.rms_norm_eps)
+        x = x + mlp_out
+        return (x, kvcache), None
+
+    L = kv_cache.shape[0]
+    xs = (
+        (params["layers"], jnp.arange(L), jnp.asarray(cfg.layer_sliding))
+        if bias_sw is not None
+        else (params["layers"], jnp.arange(L))
+    )
+    (hf, kv_cache), _ = jax.lax.scan(body, (hn_flat, kv_cache), xs)
+    hf = dec._rms_norm_bl(hf, params["final_norm"], cfg.rms_norm_eps)
+    embed = params["embed"]
+    if cfg.tie_word_embeddings:
+        if isinstance(embed, dict) and "q8" in embed:
+            from dmi_tpu.models.quant import quantize_act
+
+            hq, a = quantize_act(hf, axis=0)
+            logits = (
+                jax.lax.dot_general(
+                    embed["q8"], hq, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                * embed["s"][:, 0][:, None]
+                * a
+            ).astype(hf.dtype)
+        elif isinstance(embed, dict) and "q" in embed:
+            logits = jax.lax.dot_general(
+                embed["q"].astype(hf.dtype), hf, (((1,), (0,)), ((), ()))
+            ) * embed["s"].astype(hf.dtype)[:, 0][:, None]
+        else:
+            logits = jax.lax.dot_general(embed, hf, (((1,), (0,)), ((), ())))
+    else:
+        logits = dec._mm_bl(params["lm_head"], hf)
+    ids = jnp.argmax(logits, axis=0).astype(jnp.int32).reshape(P, B)
+    return ids, kv_cache
+
+
+def _stamp_rows(valid, row_pos, r0, count, live, positions):
+    """Mark `count` rows starting at physical row r0 as provisionally
+    valid (live slots only) and stamp their logical positions.
+    positions: [count, B]."""
+    valid = jax.lax.dynamic_update_slice(
+        valid, jnp.broadcast_to(live[None, :], (count, live.shape[0])), (r0, 0)
+    )
+    row_pos = jax.lax.dynamic_update_slice(
+        row_pos, positions.astype(jnp.int32), (r0, 0)
+    )
+    return valid, row_pos
+
+
+def _retract_rows(valid, r0, k, n_acc):
+    """After acceptance, rows r0+1+n_acc_b .. r0+k (this round's rejected
+    proposals) become invalid for slot b; row r0 (the consumed emitted
+    token) stays."""
+    S = valid.shape[0]
+    j_of = jnp.arange(S)[:, None] - r0  # row -> in-round index
+    this_round = (j_of >= 1) & (j_of <= k)
+    keep = j_of <= n_acc[None, :]
+    return valid & jnp.where(this_round, keep, True)
+
+
+def _bias_from(valid, row_pos, qpos, cfg, sliding_on):
+    """[S, P, B] additive biases from the row bookkeeping: a key row is
+    attendable by query (p, b) iff it is valid for slot b and holds a
+    logical position <= qpos[p, b].  Sliding families additionally
+    require qpos - row_pos < window on flagged layers."""
+    ok = valid[:, None, :] & (row_pos[:, None, :] <= qpos[None, :, :])
+    bias = jnp.where(ok, 0.0, NEG)
+    bias_sw = None
+    if sliding_on:
+        in_win = (qpos[None, :, :] - row_pos[:, None, :]) < cfg.sliding_window
+        bias_sw = jnp.where(ok & in_win, 0.0, NEG)
+    return bias, bias_sw
+
+
+class _SpecCore(NamedTuple):
+    """Round-invariant target-side state threaded through the while loop."""
+
+    done: jax.Array      # [B]
+    last: jax.Array      # [B] last emitted token (KV not yet written)
+    out_pos: jax.Array   # [B] tokens emitted so far
+    tokens: jax.Array    # [B, budget]
+    kv: jax.Array        # [L, 2, nkv, S, hd, B]
+    valid: jax.Array     # [S, B]
+    row_pos: jax.Array   # [S, B]
+
+
+def _advance(cfg, core: _SpecCore, props, a_ids, k, T, budget, pad_token_id,
+             eos):
+    """Greedy-rejection acceptance + bookkeeping for one round.
+
+    props [k, B] draft proposals; a_ids [k+1, B] target argmaxes (a_i =
+    target's token after consuming prefix + d_1..d_i).  Returns
+    (core', n_acc [B]) where core' has tokens/out_pos/done/last/valid
+    advanced; the caller retracts its own draft rows with the same
+    n_acc."""
+    B = core.last.shape[0]
+    live = ~core.done
+
+    # acceptance: d_i accepted iff d_i == a_{i-1} and all previous accepted
+    if k > 0:
+        matches = (props == a_ids[:-1]).astype(jnp.int32)  # [k, B]
+        acc = jnp.cumprod(matches, axis=0)
+        n_acc = jnp.sum(acc, axis=0)  # [B] in [0, k]
+    else:
+        n_acc = jnp.zeros((B,), jnp.int32)
+
+    # emitted stream m_0..m_k: accepted drafts then the correction/bonus
+    i_idx = jnp.arange(k + 1)[:, None]
+    d_pad = (
+        jnp.concatenate([props, jnp.zeros((1, B), jnp.int32)], axis=0)
+        if k > 0
+        else jnp.zeros((1, B), jnp.int32)
+    )
+    a_at = jnp.take_along_axis(a_ids, n_acc[None, :], axis=0)  # [1, B]
+    m = jnp.where(i_idx < n_acc[None, :], d_pad, a_at)  # [k+1, B]
+
+    # truncate at the first EOS (inclusive) and at the budget
+    is_eos = jnp.isin(m, eos)
+    eos_before = jnp.cumsum(is_eos.astype(jnp.int32), axis=0) - is_eos.astype(
+        jnp.int32
+    )  # EOS strictly earlier in the stream
+    can_emit = (
+        (i_idx <= n_acc[None, :])
+        & (eos_before == 0)
+        & ((core.out_pos[None, :] + i_idx) < budget)
+        & live[None, :]
+    )
+    n_emit = jnp.sum(can_emit.astype(jnp.int32), axis=0)  # [B]
+
+    # scatter the emitted tokens into the output buffer
+    cols = core.out_pos[None, :] + i_idx  # [k+1, B]
+    onehot = (
+        (cols[:, :, None] == jnp.arange(budget)[None, None, :]) & can_emit[:, :, None]
+    )  # [k+1, B, budget]
+    upd = jnp.max(
+        jnp.where(onehot, m[:, :, None], jnp.iinfo(jnp.int32).min), axis=0
+    )
+    covered = jnp.any(onehot, axis=0)
+    tokens = jnp.where(covered, upd, core.tokens)
+
+    out_pos = core.out_pos + n_emit
+    emitted_eos = jnp.any(is_eos & can_emit, axis=0)
+    done = core.done | emitted_eos | (out_pos >= budget)
+    # next round consumes the newest emitted token
+    m_last = jnp.take_along_axis(
+        m, jnp.maximum(n_emit - 1, 0)[None, :], axis=0
+    )[0]
+    last = jnp.where(live & (n_emit > 0), m_last, core.last)
+
+    return (
+        core._replace(
+            done=done, last=last, out_pos=out_pos, tokens=tokens
+        ),
+        n_acc,
+    )
+
+
+def _spec_setup(cfg, params, prefill_params, inputs_embeds, max_new_tokens,
+                pad_token_id, k):
+    """Shared prefill + state init for both draft flavors."""
+    B, T, _ = inputs_embeds.shape
+    max_rounds = max(max_new_tokens - 1, 0)
+    S = T + (k + 1) * max_rounds
+    eos = jnp.asarray(cfg.eos_token_ids)
+
+    caches = dec.init_cache(cfg, B, S)
+    logits0, caches = dec.prefill(
+        cfg, params if prefill_params is None else prefill_params,
+        inputs_embeds, caches,
+    )
+    kv = jnp.stack(
+        [caches[0].transpose(0, 2, 3, 4, 1), caches[1].transpose(0, 2, 3, 4, 1)],
+        axis=1,
+    )
+    tok0 = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
+    tokens = jnp.full((B, max_new_tokens), pad_token_id, jnp.int32)
+    tokens = tokens.at[:, 0].set(tok0)
+    done0 = jnp.isin(tok0, eos) | (max_new_tokens <= 1)
+    valid = jnp.concatenate(
+        [jnp.ones((T, B), bool), jnp.zeros((S - T, B), bool)], axis=0
+    )
+    row_pos = jnp.broadcast_to(
+        jnp.minimum(jnp.arange(S), T - 1)[:, None].astype(jnp.int32), (S, B)
+    )
+    core = _SpecCore(
+        done=done0,
+        last=tok0,
+        out_pos=jnp.ones((B,), jnp.int32),
+        tokens=tokens,
+        kv=kv,
+        valid=valid,
+        row_pos=row_pos,
+    )
+    return core, eos, T, max_rounds
+
+
+def _verify_round(cfg, params, core, props, rnd, k, T, budget, pad_token_id,
+                  eos, sliding_on):
+    """Target side of one round: verify [last, props] and advance."""
+    B = core.last.shape[0]
+    live = ~core.done
+    pos = T + core.out_pos - 1  # [B] logical position of `last`
+    qpos = pos[None, :] + jnp.arange(k + 1)[:, None]  # [P, B]
+    rt = T + rnd * (k + 1)
+
+    in_tokens = jnp.concatenate([core.last[None, :], props], axis=0)  # [P, B]
+    h = llama.scale_embeds(
+        cfg,
+        llama.embed_tokens(cfg, params, in_tokens.reshape(-1))
+        .T.astype(cfg.dtype)
+        .reshape(-1, k + 1, B),
+    )  # [H, P, B]
+
+    valid, row_pos = _stamp_rows(core.valid, core.row_pos, rt, k + 1, live, qpos)
+    bias, bias_sw = _bias_from(valid, row_pos, qpos, cfg, sliding_on)
+    a_ids, kv = _verify_step_bl(
+        cfg, params, h, core.kv, qpos, bias, rt, bias_sw=bias_sw
+    )
+    core = core._replace(kv=kv, valid=valid, row_pos=row_pos)
+    core, n_acc = _advance(
+        cfg, core, props, a_ids, k, T, budget, pad_token_id, eos
+    )
+    core = core._replace(valid=_retract_rows(core.valid, rt, k, n_acc))
+    return core, n_acc
+
+
+@partial(jax.jit, static_argnames=(
+    "cfg", "draft_cfg", "max_new_tokens", "pad_token_id", "k"))
+def speculative_generate_bl(
+    cfg: LlamaConfig,
+    params: dict,
+    draft_cfg: LlamaConfig,
+    draft_params: dict,
+    inputs_embeds: jax.Array,
+    draft_inputs_embeds: jax.Array,
+    max_new_tokens: int,
+    pad_token_id: int,
+    k: int = 4,
+    prefill_params: Optional[dict] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Draft-model speculative greedy decode.
+
+    Token-identical to dec.greedy_generate_bl(cfg, params, ...) for ANY
+    draft model (the draft only steers which prefix lengths get verified
+    per round, never what is emitted) — pinned by
+    tests/test_speculative.py against random drafts.
+
+    draft_inputs_embeds: the prompt in the DRAFT model's embedding space
+    (the draft conditions on its own projection of the prompt; caption
+    prompts are soft-token + chat prefix, so callers typically embed the
+    prefix ids with the draft's table).  The draft must share the
+    target's tokenizer/vocab ids.
+
+    Returns (tokens [B, max_new_tokens], rounds []) — `rounds` is the
+    number of verify forwards executed, the quantity acceptance buys
+    down (rounds == budget-1 means the draft never helped; rounds ~=
+    budget/(k+1) at full acceptance).
+    """
+    B, T_, _ = inputs_embeds.shape
+    if max_new_tokens == 0:
+        return jnp.zeros((B, 0), jnp.int32), jnp.zeros((), jnp.int32)
+    budget = max_new_tokens
+    core, eos, T, max_rounds = _spec_setup(
+        cfg, params, prefill_params, inputs_embeds, max_new_tokens,
+        pad_token_id, k,
+    )
+    if max_rounds == 0:  # budget 1: token0 is the whole output
+        return core.tokens, jnp.zeros((), jnp.int32)
+    sliding_on = llama.sliding_effective(cfg, T + budget)
+
+    # draft-side state (same bookkeeping design, single-token steps)
+    Bd, Td, _ = draft_inputs_embeds.shape
+    Sd = Td + (k + 1) * max_rounds
+    d_caches = dec.init_cache(draft_cfg, B, Sd)
+    _, d_caches = dec.prefill(draft_cfg, draft_params, draft_inputs_embeds,
+                              d_caches)
+    kv_d = jnp.stack(
+        [d_caches[0].transpose(0, 2, 3, 4, 1),
+         d_caches[1].transpose(0, 2, 3, 4, 1)],
+        axis=1,
+    )
+    valid_d = jnp.concatenate(
+        [jnp.ones((Td, B), bool), jnp.zeros((Sd - Td, B), bool)], axis=0
+    )
+    rp_d = jnp.broadcast_to(
+        jnp.minimum(jnp.arange(Sd), Td - 1)[:, None].astype(jnp.int32), (Sd, B)
+    )
+    d_sliding = llama.sliding_effective(draft_cfg, Td + budget)
+
+    def draft_propose(core, kv_d, valid_d, rp_d, rnd):
+        """k+1 single-token draft steps: consume [last, p_1..p_k], write
+        their KVs at physical rows rd..rd+k, emit proposals p_1..p_k."""
+        live = ~core.done
+        dpos0 = Td + core.out_pos - 1  # [B]
+        rd = Td + rnd * (k + 1)
+        props0 = jnp.zeros((k, B), jnp.int32)
+
+        def step(j, carry):
+            cur, kv_d, valid_d, rp_d, props = carry
+            pos = dpos0 + j
+            row = rd + j
+            valid_d, rp_d = _stamp_rows(
+                valid_d, rp_d, row, 1, live, pos[None, :]
+            )
+            bias = jnp.where(
+                valid_d & (rp_d <= pos[None, :]), 0.0, NEG
+            )  # [Sd, B]
+            bias_sw = None
+            if d_sliding:
+                in_win = (pos[None, :] - rp_d) < draft_cfg.sliding_window
+                bias_sw = jnp.where(
+                    valid_d & (rp_d <= pos[None, :]) & in_win, 0.0, NEG
+                )
+            h = llama.scale_embeds(
+                draft_cfg,
+                llama.embed_tokens(draft_cfg, draft_params, cur)
+                .T.astype(draft_cfg.dtype),
+            )
+            cos, sin = llama.rope_tables(draft_cfg, pos)  # [B, hd]
+            logits, kv_d = dec._decode_step_bl(
+                draft_cfg, draft_params, h, kv_d, pos, bias,
+                rope=(cos.T, sin.T), write_row=row, bias_sw=bias_sw,
+            )
+            nxt = jnp.argmax(logits, axis=0).astype(jnp.int32)
+            props = jnp.where(
+                (jnp.arange(k)[:, None] == j), nxt[None, :], props
+            ) if k > 0 else props
+            return nxt, kv_d, valid_d, rp_d, props
+
+        _, kv_d, valid_d, rp_d, props = jax.lax.fori_loop(
+            0, k + 1, step, (core.last, kv_d, valid_d, rp_d, props0)
+        )
+        return props, kv_d, valid_d, rp_d, rd
+
+    def cond(state):
+        rnd, core, _, _, _ = state
+        return (rnd < max_rounds) & ~jnp.all(core.done)
+
+    def body(state):
+        rnd, core, kv_d, valid_d, rp_d = state
+        props, kv_d, valid_d, rp_d, rd = draft_propose(
+            core, kv_d, valid_d, rp_d, rnd
+        )
+        core, n_acc = _verify_round(
+            cfg, params, core, props, rnd, k, T, budget, pad_token_id, eos,
+            sliding_on,
+        )
+        valid_d = _retract_rows(valid_d, rd, k, n_acc)
+        return rnd + 1, core, kv_d, valid_d, rp_d
+
+    rnd, core, _, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.zeros((), jnp.int32), core, kv_d, valid_d, rp_d)
+    )
+    return core.tokens, rnd
+
+
+@partial(jax.jit, static_argnames=(
+    "cfg", "max_new_tokens", "pad_token_id", "k", "wrong_period"))
+def speculative_generate_oracle_bl(
+    cfg: LlamaConfig,
+    params: dict,
+    inputs_embeds: jax.Array,
+    oracle_tokens: jax.Array,
+    max_new_tokens: int,
+    pad_token_id: int,
+    k: int = 4,
+    wrong_period: int = 0,
+    prefill_params: Optional[dict] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Speculative decode with a free ORACLE draft, for measurement and
+    adversarial testing.
+
+    oracle_tokens [B, max_new_tokens]: a token stream to propose from
+    (e.g. a prior greedy run's output).  Proposal i for a slot at output
+    position q is oracle_tokens[b, q + i]; when wrong_period = m > 0,
+    every proposal whose absolute output index is a multiple of m is
+    corrupted (+1 mod vocab), forcing a rejection — sweeping m maps
+    throughput as a function of acceptance with ZERO draft cost, which
+    isolates the verify-side economics (the ceiling any real draft can
+    reach).  Output is token-identical to greedy decode REGARDLESS of
+    oracle content (the greedy-rejection invariant), which is exactly
+    what the tests exploit with garbage oracles.
+
+    Returns (tokens [B, max_new_tokens], rounds [])."""
+    B, T_, _ = inputs_embeds.shape
+    if max_new_tokens == 0:
+        return jnp.zeros((B, 0), jnp.int32), jnp.zeros((), jnp.int32)
+    budget = max_new_tokens
+    core, eos, T, max_rounds = _spec_setup(
+        cfg, params, prefill_params, inputs_embeds, max_new_tokens,
+        pad_token_id, k,
+    )
+    if max_rounds == 0:  # budget 1: token0 is the whole output
+        return core.tokens, jnp.zeros((), jnp.int32)
+    sliding_on = llama.sliding_effective(cfg, T + budget)
+    V = cfg.vocab_size
+
+    def propose(core):
+        # proposal i continues from output position out_pos + i - 1; the
+        # oracle stream is indexed by absolute output position
+        idx = jnp.clip(
+            core.out_pos[None, :] + jnp.arange(k)[:, None], 0, budget - 1
+        )  # [k, B]
+        props = jnp.take_along_axis(oracle_tokens.T, idx, axis=0)
+        if wrong_period > 0:
+            corrupt = (core.out_pos[None, :] + jnp.arange(k)[:, None]) \
+                % wrong_period == 0
+            props = jnp.where(corrupt, (props + 1) % V, props)
+        return props.astype(jnp.int32)
+
+    def cond(state):
+        rnd, core = state
+        return (rnd < max_rounds) & ~jnp.all(core.done)
+
+    def body(state):
+        rnd, core = state
+        props = propose(core)
+        core, _ = _verify_round(
+            cfg, params, core, props, rnd, k, T, budget, pad_token_id, eos,
+            sliding_on,
+        )
+        return rnd + 1, core
+
+    rnd, core = jax.lax.while_loop(
+        cond, body, (jnp.zeros((), jnp.int32), core)
+    )
+    return core.tokens, rnd

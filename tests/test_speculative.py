@@ -1,0 +1,234 @@
+"""Speculative (draft-verify) decode: token-exactness vs the greedy
+batch-last engine for ANY draft — the greedy-rejection invariant — plus
+round-count accounting (what acceptance actually buys).
+
+The reference decodes greedily with no speculation
+(dmi/model/mmmodel.py:149-169); dmi_tpu/models/speculative.py is serving
+surface whose only correctness contract is "identical tokens to
+dec.greedy_generate_bl, fewer target forwards".
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dmi_tpu.models import decode as dec
+from dmi_tpu.models import llama
+from dmi_tpu.models.speculative import (
+    speculative_generate_bl,
+    speculative_generate_oracle_bl,
+)
+
+PAD = 0
+
+
+def make_model(seed=0, eos=(5,), vocab=64, hidden=32, layers=2, heads=4,
+               kv=2, inter=64, cfg_fn=llama.tiny_config, **extra):
+    cfg = cfg_fn(vocab_size=vocab, hidden_size=hidden, n_layers=layers,
+                 n_heads=heads, n_kv=kv, intermediate=inter, **extra)
+    cfg = dataclasses.replace(cfg, eos_token_ids=tuple(eos))
+    params = llama.init(jax.random.key(seed), cfg)
+    return cfg, params
+
+
+def prompt_embeds(cfg, B, T, seed=0):
+    scale = 1.0 / np.sqrt(cfg.hidden_size)
+    return scale * jax.random.normal(
+        jax.random.key(seed), (B, T, cfg.hidden_size), jnp.float32
+    )
+
+
+def greedy(cfg, params, embeds, budget):
+    return np.asarray(
+        dec.greedy_generate_bl(cfg, params, embeds, budget, PAD)
+    )
+
+
+@pytest.mark.parametrize("k,budget,wrong_period", [
+    (3, 7, 0),    # perfect oracle
+    (3, 7, 1),    # every proposal wrong
+    (2, 8, 3),    # 2/3 acceptance
+    (4, 5, 2),
+    (1, 6, 0),
+])
+def test_oracle_draft_token_exact(k, budget, wrong_period):
+    """Oracle drafts of any quality produce exactly the greedy tokens."""
+    cfg, params = make_model(seed=1)
+    embeds = prompt_embeds(cfg, B=4, T=5, seed=2)
+    want = greedy(cfg, params, embeds, budget)
+    got, rounds = speculative_generate_oracle_bl(
+        cfg, params, embeds, jnp.asarray(want), budget, PAD, k=k,
+        wrong_period=wrong_period,
+    )
+    np.testing.assert_array_equal(np.asarray(got), want)
+    assert int(rounds) <= budget - 1
+
+
+def test_oracle_round_accounting():
+    """With EOS disabled: a perfect oracle needs ceil((budget-1)/(k+1))
+    verify rounds; an always-wrong oracle needs budget-1 (one emitted
+    token per round) — the quantity acceptance buys down."""
+    cfg, params = make_model(seed=3, eos=())
+    budget, k = 9, 3
+    embeds = prompt_embeds(cfg, B=3, T=4, seed=4)
+    want = greedy(cfg, params, embeds, budget)
+
+    got, rounds = speculative_generate_oracle_bl(
+        cfg, params, embeds, jnp.asarray(want), budget, PAD, k=k,
+        wrong_period=0,
+    )
+    np.testing.assert_array_equal(np.asarray(got), want)
+    assert int(rounds) == -(-(budget - 1) // (k + 1))  # 2
+
+    got, rounds = speculative_generate_oracle_bl(
+        cfg, params, embeds, jnp.asarray(want), budget, PAD, k=k,
+        wrong_period=1,
+    )
+    np.testing.assert_array_equal(np.asarray(got), want)
+    assert int(rounds) == budget - 1
+
+
+def test_oracle_garbage_stream():
+    """A garbage oracle (tokens unrelated to the model) still yields the
+    greedy output — only the round count suffers."""
+    cfg, params = make_model(seed=5)
+    budget, k = 6, 2
+    embeds = prompt_embeds(cfg, B=4, T=3, seed=6)
+    want = greedy(cfg, params, embeds, budget)
+    garbage = jax.random.randint(
+        jax.random.key(7), (4, budget), 0, cfg.vocab_size, jnp.int32
+    )
+    got, _ = speculative_generate_oracle_bl(
+        cfg, params, embeds, garbage, budget, PAD, k=k,
+    )
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_eos_staggering():
+    """Small vocab => EOS fires at staggered ages across the batch; pad
+    fill after EOS must match the greedy path exactly (HF semantics: the
+    EOS itself is written, then pads)."""
+    cfg, params = make_model(seed=2, vocab=11, eos=(5, 7))
+    budget, k = 8, 3
+    embeds = prompt_embeds(cfg, B=6, T=4, seed=102)
+    want = greedy(cfg, params, embeds, budget)
+    assert np.isin(want, (5, 7)).any(), "fixture should hit EOS somewhere"
+    got, _ = speculative_generate_oracle_bl(
+        cfg, params, embeds, jnp.asarray(want), budget, PAD, k=k,
+    )
+    np.testing.assert_array_equal(np.asarray(got), want)
+    # and with a hostile oracle
+    got, _ = speculative_generate_oracle_bl(
+        cfg, params, embeds, jnp.asarray(want), budget, PAD, k=k,
+        wrong_period=2,
+    )
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+@pytest.mark.parametrize("budget", [1, 2])
+def test_tiny_budgets(budget):
+    cfg, params = make_model(seed=10)
+    embeds = prompt_embeds(cfg, B=2, T=3, seed=11)
+    want = greedy(cfg, params, embeds, budget)
+    got, rounds = speculative_generate_oracle_bl(
+        cfg, params, embeds, jnp.asarray(want), budget, PAD, k=3,
+    )
+    np.testing.assert_array_equal(np.asarray(got), want)
+    assert int(rounds) <= max(budget - 1, 0)
+
+
+def test_model_draft_random():
+    """A random unrelated draft model: proposals are junk, output is
+    still exactly greedy."""
+    cfg, params = make_model(seed=12)
+    dcfg, dparams = make_model(seed=99, hidden=16, layers=1, heads=2, kv=1,
+                               inter=32, vocab=cfg.vocab_size)
+    budget, k = 7, 3
+    embeds = prompt_embeds(cfg, B=4, T=5, seed=13)
+    dembeds = prompt_embeds(dcfg, B=4, T=3, seed=14)
+    want = greedy(cfg, params, embeds, budget)
+    got, rounds = speculative_generate_bl(
+        cfg, params, dcfg, dparams, embeds, dembeds, budget, PAD, k=k,
+    )
+    np.testing.assert_array_equal(np.asarray(got), want)
+    assert int(rounds) <= budget - 1
+
+
+def test_model_draft_is_target():
+    """Draft == target on the same prompt accepts everything: the round
+    count collapses to ceil((budget-1)/(k+1))."""
+    cfg, params = make_model(seed=15, eos=())
+    budget, k = 9, 3
+    embeds = prompt_embeds(cfg, B=3, T=4, seed=16)
+    want = greedy(cfg, params, embeds, budget)
+    got, rounds = speculative_generate_bl(
+        cfg, params, cfg, params, embeds, embeds, budget, PAD, k=k,
+    )
+    np.testing.assert_array_equal(np.asarray(got), want)
+    assert int(rounds) == -(-(budget - 1) // (k + 1))
+
+
+@pytest.mark.parametrize("cfg_fn,extra", [
+    (llama.tiny_qwen2_config, {}),
+    (llama.tiny_qwen3_config, {}),
+])
+def test_families(cfg_fn, extra):
+    cfg, params = make_model(seed=17, cfg_fn=cfg_fn, **extra)
+    budget, k = 6, 2
+    embeds = prompt_embeds(cfg, B=3, T=4, seed=18)
+    want = greedy(cfg, params, embeds, budget)
+    got, _ = speculative_generate_oracle_bl(
+        cfg, params, embeds, jnp.asarray(want), budget, PAD, k=k,
+        wrong_period=3,
+    )
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_gemma2_sliding_window():
+    """Sliding-window family with prompt+budget > window: the row_pos
+    lookback masks must reproduce the batch loop's per-layer sliding
+    bias at per-slot positions."""
+    cfg, params = make_model(
+        seed=19, cfg_fn=llama.tiny_gemma2_config, sliding_window=4,
+    )
+    budget, k = 8, 3
+    embeds = prompt_embeds(cfg, B=3, T=5, seed=20)
+    assert llama.sliding_effective(cfg, 5 + budget)
+    want = greedy(cfg, params, embeds, budget)
+    got, _ = speculative_generate_oracle_bl(
+        cfg, params, embeds, jnp.asarray(want), budget, PAD, k=k,
+        wrong_period=2,
+    )
+    np.testing.assert_array_equal(np.asarray(got), want)
+    # model draft over the sliding family too (draft bookkeeping path)
+    dcfg, dparams = make_model(seed=21, hidden=16, layers=1, heads=2, kv=1,
+                               inter=32, vocab=cfg.vocab_size)
+    dembeds = prompt_embeds(dcfg, B=3, T=3, seed=22)
+    got, _ = speculative_generate_bl(
+        cfg, params, dcfg, dparams, embeds, dembeds, budget, PAD, k=k,
+    )
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+@pytest.mark.slow
+def test_quantized_weights():
+    """W8A8 loop weights + bf16 prefill shadow: speculative matches the
+    quantized greedy path (same weights both sides)."""
+    from dmi_tpu.models.quant import quantize_llama
+
+    cfg, params = make_model(seed=23)
+    qp = quantize_llama(params, native=True)
+    budget, k = 6, 2
+    embeds = prompt_embeds(cfg, B=3, T=4, seed=24)
+    want = np.asarray(
+        dec.greedy_generate_bl(cfg, qp, embeds, budget, PAD,
+                               prefill_params=params)
+    )
+    got, _ = speculative_generate_oracle_bl(
+        cfg, qp, embeds, jnp.asarray(want), budget, PAD, k=k,
+        wrong_period=3, prefill_params=params,
+    )
+    np.testing.assert_array_equal(np.asarray(got), want)
