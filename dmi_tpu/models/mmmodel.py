@@ -189,3 +189,48 @@ def caption_generate(
     )
     return dec.greedy_generate_bl(cfg, llm_params, embeds, max_new_tokens,
                                   pad_token_id, prefill_params=prefill_params)
+
+
+def caption_generate_speculative(
+    cfg: LlamaConfig,
+    llm_params: dict,
+    draft_cfg: LlamaConfig,
+    draft_params: dict,
+    soft_tokens: jax.Array,
+    prefix_ids: Optional[jax.Array],
+    max_new_tokens: int,
+    pad_token_id: int,
+    k: int = 4,
+    prefill_params: Optional[dict] = None,
+    draft_prefill_params: Optional[dict] = None,
+    draft_prompt_embeds: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Greedy caption decode through the draft-verify speculative loop
+    (dmi_tpu/models/speculative.py) — token-identical to caption_generate
+    for ANY draft (greedy rejection), faster when the draft is cheap and
+    usually right.
+
+    The production draft is a W4A8-quantized copy of the target (built by
+    serve.Captioner(speculative=k)): it shares the target's embedding
+    space, so the assembled soft-token ⊕ chat-prefix prompt is reused as
+    the draft prompt.  A heterogeneous draft model supplies its own
+    draft_prompt_embeds (it must share the tokenizer's vocab ids).
+
+    The reference decodes greedily with no speculation
+    (dmi/model/mmmodel.py:149-169); serving surface, like streaming.py.
+    """
+    from dmi_tpu.models.speculative import speculative_generate_bl
+
+    embeds = assemble_prompt(
+        cfg, llm_params if prefill_params is None else prefill_params,
+        soft_tokens, prefix_ids,
+    )
+    if draft_prompt_embeds is None:
+        draft_prompt_embeds = embeds
+    tokens, _ = speculative_generate_bl(
+        cfg, llm_params, draft_cfg, draft_params, embeds,
+        draft_prompt_embeds, max_new_tokens, pad_token_id, k=k,
+        prefill_params=prefill_params,
+        draft_prefill_params=draft_prefill_params,
+    )
+    return tokens

@@ -421,6 +421,7 @@ def speculative_generate_bl(
     pad_token_id: int,
     k: int = 4,
     prefill_params: Optional[dict] = None,
+    draft_prefill_params: Optional[dict] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Draft-model speculative greedy decode.
 
@@ -456,8 +457,11 @@ def speculative_generate_bl(
     Bd, Td, _ = draft_inputs_embeds.shape
     Sd = Td + (k + 1) * max_rounds
     d_caches = dec.init_cache(draft_cfg, B, Sd)
-    _, d_caches = dec.prefill(draft_cfg, draft_params, draft_inputs_embeds,
-                              d_caches)
+    _, d_caches = dec.prefill(
+        draft_cfg,
+        draft_params if draft_prefill_params is None else draft_prefill_params,
+        draft_inputs_embeds, d_caches,
+    )
     kv_d = jnp.stack(
         [d_caches[0].transpose(0, 2, 3, 4, 1),
          d_caches[1].transpose(0, 2, 3, 4, 1)],

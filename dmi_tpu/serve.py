@@ -69,6 +69,22 @@ def _caption_pipeline(cfg, pspec, pparams, llm_params, prefill_params, embs,
     )
 
 
+@partial(jax.jit, static_argnames=("cfg", "pspec", "max_new", "pad_id", "k"))
+def _caption_pipeline_spec(cfg, pspec, pparams, llm_params, prefill_params,
+                           draft_params, draft_prefill_params, embs,
+                           prefix_ids, max_new, pad_id, k):
+    """Speculative twin of _caption_pipeline: projector -> prompt assembly
+    -> draft-verify greedy decode as ONE program.  Token-identical to the
+    greedy pipeline (greedy-rejection invariant, speculative.py); the
+    draft is a W4A8 copy of the target so draft_cfg == cfg."""
+    soft = proj.apply(pspec, pparams, embs, train=False)
+    return mmmodel.caption_generate_speculative(
+        cfg, llm_params, cfg, draft_params, soft, prefix_ids, max_new,
+        pad_id, k=k, prefill_params=prefill_params,
+        draft_prefill_params=draft_prefill_params,
+    )
+
+
 class Captioner:
     def __init__(
         self,
@@ -82,6 +98,7 @@ class Captioner:
         batch_size: int = 256,
         int8: bool = False,
         mesh_shape: Optional[tuple] = None,
+        speculative: int = 0,
     ):
         if mesh_shape is None:
             # fused QKV/gate-up layout: +3.4% decode on v5e (token-exact);
@@ -99,6 +116,25 @@ class Captioner:
             self.mesh = make_mesh(tuple(mesh_shape))
             llm_params = shard_llm_params(self.mesh, llm_params)
         self.llm_params_prefill = None
+        self.spec_k = int(speculative)
+        self.draft_params = None
+        if self.spec_k:
+            # self-speculation: the draft is a W4A8 copy of the SAME
+            # weights (greedy rejection keeps the output token-identical
+            # regardless — speculative.py).  Its weight stream is ~1/4 of
+            # the bf16 target's, so each accepted run trades k+1 cheap
+            # draft steps for skipped full-priced loop steps.  The draft
+            # prefill rides the bf16 tree (prefill is compute-bound;
+            # keeps draft KV identical to the target's for acceptance).
+            if int8 == "w4a8":
+                raise ValueError(
+                    "speculative=k needs a draft cheaper than the target "
+                    "loop; the w4a8 target is already the cheapest flavor"
+                )
+            from dmi_tpu.models.quant import quantize_llama as _q
+
+            self.draft_params = _q(llm_params, bits=4)
+            self.draft_prefill_params = llm_params
         if int8:
             from dmi_tpu.models.quant import quantize_llama
 
@@ -188,7 +224,15 @@ class Captioner:
             from dmi_tpu.parallel import batch_sharding
 
             embs = jax.device_put(embs, batch_sharding(self.mesh, embs.ndim))
-        if temperature is None:
+        if temperature is None and self.spec_k:
+            tokens = _caption_pipeline_spec(
+                self.llm_cfg, self.proj_spec, self.proj_params,
+                self.llm_params, self.llm_params_prefill,
+                self.draft_params, self.draft_prefill_params, embs,
+                self._prefix, self.max_new_tokens,
+                self.tokenizer.pad_token_id, self.spec_k,
+            )
+        elif temperature is None:
             # one jitted program for projector -> assemble -> decode:
             # eager assembly costs ~25 ms/dispatch through the relay
             import os
@@ -276,6 +320,16 @@ class Captioner:
         n = embeddings.shape[0]
         if engine not in ("auto", "batch", "bulk"):
             raise ValueError(f"unknown engine {engine!r}")
+        if self.spec_k and temperature is None:
+            # the draft-verify loop is a batch-path program (speculative.py
+            # manages its own cache rows; the bulk engine's slot refill
+            # doesn't compose with it)
+            if engine == "bulk":
+                raise ValueError(
+                    "speculative=k serves on the batch path; engine='bulk' "
+                    "is not supported with a draft"
+                )
+            engine = "batch"
         decision, reason, probe = engine, "explicit", False
         if engine == "auto":
             if n <= self.batch_size:

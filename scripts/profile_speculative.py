@@ -22,8 +22,16 @@ toward <1x as B approaches MXU saturation (B=256 at 1B) where the
 same way bench.py does it (unreachable eos id) so every slot runs the
 full budget.
 
+--self-draft additionally measures the PRODUCTION configuration
+(serve.Captioner(speculative=k)): a W4A8 copy of the same weights as the
+draft, bf16 draft prefill — a real draft paying real forward passes,
+with whatever acceptance random-init weights yield (real checkpoints
+should accept more: quantization perturbs ties, trained logits are
+better separated).
+
 Usage: python scripts/profile_speculative.py [--batches 8,32,64]
        [--k 4] [--periods 0,3,1] [--budget 22] [--iters 5] [--small]
+       [--self-draft]
 Prints one JSON object.  Run with the host otherwise idle.
 """
 
@@ -49,6 +57,7 @@ def main():
     ap.add_argument("--budget", type=int, default=22)
     ap.add_argument("--prefix", type=int, default=32)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--self-draft", action="store_true")
     ap.add_argument("--small", action="store_true")
     args = ap.parse_args()
 
@@ -60,7 +69,10 @@ def main():
 
     from dmi_tpu.models import decode as dec
     from dmi_tpu.models import llama
-    from dmi_tpu.models.speculative import speculative_generate_oracle_bl
+    from dmi_tpu.models.speculative import (
+        speculative_generate_bl,
+        speculative_generate_oracle_bl,
+    )
 
     if args.small:
         cfg = llama.tiny_config(vocab_size=512, hidden_size=128, n_layers=2,
@@ -71,6 +83,11 @@ def main():
     # disable EOS early-exit like bench.py: unreachable id
     cfg = dataclasses.replace(cfg, eos_token_ids=(cfg.vocab_size - 1,))
     params = llama.init(jax.random.key(0), cfg)
+    draft_params = None
+    if args.self_draft:
+        from dmi_tpu.models.quant import quantize_llama
+
+        draft_params = quantize_llama(params, bits=4)
 
     batches = [int(b) for b in args.batches.split(",")]
     periods = [int(p) for p in args.periods.split(",")]
@@ -117,6 +134,26 @@ def main():
             out[f"b{B}_spec_p{p}_speedup"] = round(g_ms / t_ms, 3)
             out[f"b{B}_spec_p{p}_rounds"] = int(np.asarray(rounds))
             out[f"b{B}_spec_p{p}_exact"] = exact
+
+        if draft_params is not None:
+            t_ms, r = measure(
+                lambda: speculative_generate_bl(
+                    cfg, params, cfg, draft_params, embeds, embeds,
+                    budget, 0, k=k, draft_prefill_params=params,
+                )
+            )
+            toks, rounds = r
+            rounds = int(np.asarray(rounds))
+            out[f"b{B}_w4draft_cps"] = round(B / t_ms, 1)
+            out[f"b{B}_w4draft_speedup"] = round(g_ms / t_ms, 3)
+            out[f"b{B}_w4draft_rounds"] = rounds
+            # mean accepted proposals per round, batch-aggregate
+            out[f"b{B}_w4draft_tok_per_round"] = round(
+                (budget - 1) / max(rounds, 1), 2
+            )
+            out[f"b{B}_w4draft_exact"] = bool(
+                np.array_equal(np.asarray(toks), np.asarray(g_toks))
+            )
 
     print(json.dumps(out))
 

@@ -248,3 +248,51 @@ class TestAutoEngine:
         cap = self._cap(trained)
         with pytest.raises(ValueError):
             cap.caption(np.ones((2, 32), np.float32), engine="turbo")
+
+
+def test_captioner_speculative(trained):
+    """speculative=k serves through the draft-verify batch pipeline (W4A8
+    self-draft).  Captions are asserted deterministic but not equal to the
+    plain greedy path here: the briefly-trained tiny model has near-tied
+    logits and the speculative cache's different physical row layout
+    perturbs the f32 attention summation order (same caveat as
+    test_captioner_bulk_engine); token-exactness vs greedy is pinned with
+    well-separated logits in tests/test_speculative.py."""
+    _, ckpt = trained
+    cap = Captioner.from_checkpoint(
+        "test:tiny", ckpt, "sydney", lm_dtype="float32", batch_size=4,
+        speculative=3,
+    )
+    assert cap.draft_params is not None
+    assert "qp" in cap.draft_params["layers"]["wo"]  # packed int4 draft
+    embs = np.random.default_rng(21).normal(size=(6, 32)).astype(np.float32)
+    got = cap.caption(embs)
+    assert len(got) == 6 and all(isinstance(c, str) for c in got)
+    assert got == cap.caption(embs)  # deterministic
+    # sampling ignores the draft (stochastic path): still serves
+    assert len(cap.caption(embs[:4], temperature=2.0, seed=1)) == 4
+    with pytest.raises(ValueError, match="bulk"):
+        cap.caption(embs, engine="bulk")
+
+
+def test_captioner_speculative_w4a8_target_raises(trained):
+    _, ckpt = trained
+    with pytest.raises(ValueError, match="cheapest"):
+        Captioner.from_checkpoint(
+            "test:tiny", ckpt, "sydney", lm_dtype="float32", batch_size=4,
+            int8="w4a8", speculative=3,
+        )
+
+
+@pytest.mark.slow
+def test_captioner_speculative_mesh_compose(trained):
+    """speculative + tensor-parallel mesh: the draft quantizes the sharded
+    tree (shardings propagate through GSPMD like the int8 path)."""
+    _, ckpt = trained
+    cap = Captioner.from_checkpoint(
+        "test:tiny", ckpt, "sydney", lm_dtype="float32", batch_size=8,
+        mesh_shape=(4, 2), speculative=2,
+    )
+    out = cap.caption(
+        np.random.default_rng(22).normal(size=(10, 32)).astype(np.float32))
+    assert len(out) == 10

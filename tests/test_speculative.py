@@ -232,3 +232,26 @@ def test_quantized_weights():
         wrong_period=3, prefill_params=params,
     )
     np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_caption_level_speculative_self_draft():
+    """caption_generate_speculative with the production W4A8 self-draft
+    (serve.Captioner(speculative=k)'s configuration: bf16/f32 target,
+    W4A8 copy of the same weights as draft, shared prompt embeds, bf16
+    draft prefill) is token-identical to caption_generate."""
+    from dmi_tpu.models import mmmodel
+    from dmi_tpu.models.quant import quantize_llama
+
+    cfg, params = make_model(seed=31, vocab=96, hidden=64, inter=96)
+    draft_params = quantize_llama(params, bits=4)
+    B, budget, k = 3, 9, 3
+    soft = jax.random.normal(jax.random.key(32), (B, cfg.hidden_size),
+                             jnp.float32) / np.sqrt(cfg.hidden_size)
+    prefix = jnp.asarray(
+        np.tile(np.arange(1, 6, dtype=np.int32)[None], (B, 1)))
+    want = np.asarray(mmmodel.caption_generate(
+        cfg, params, soft, prefix, budget, PAD, batch_first=False))
+    got = np.asarray(mmmodel.caption_generate_speculative(
+        cfg, params, cfg, draft_params, soft, prefix, budget, PAD, k=k,
+        draft_prefill_params=params))
+    np.testing.assert_array_equal(got, want)
