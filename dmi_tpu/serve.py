@@ -433,6 +433,10 @@ def main(argv=None) -> None:
         help="int8 weights (dequant matmuls); w8a8 = native int8 MXU; "
              "w4a8 = int4 loop weights (bandwidth-bound serving)",
     )
+    ap.add_argument("--speculative", type=int, default=0, metavar="K",
+                    help="draft-verify greedy decode with a W4A8 self-draft "
+                         "proposing K tokens per round (token-identical to "
+                         "plain greedy; batch engine only)")
     ap.add_argument("--top-p", type=float, default=1.0,
                     help="nucleus sampling mass (with --temperature)")
     ap.add_argument("--temperature", type=float, default=None,
@@ -448,6 +452,7 @@ def main(argv=None) -> None:
     cap = Captioner.from_checkpoint(
         args.lm, args.projector_ckpt, args.dataset,
         batch_size=args.batch_size, int8=args.int8,
+        speculative=args.speculative,
     )
     ids, embs = _load_embs(args.embs)
     captions = cap.caption(

@@ -296,3 +296,21 @@ def test_captioner_speculative_mesh_compose(trained):
     out = cap.caption(
         np.random.default_rng(22).normal(size=(10, 32)).astype(np.float32))
     assert len(out) == 10
+
+
+def test_serve_cli_speculative(trained):
+    workdir, ckpt = trained
+    embs = np.random.default_rng(23).normal(size=(5, 32)).astype(np.float32)
+    np.save("embs_spec.npy", embs)
+    env = dict(__import__("os").environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "-m", "dmi_tpu.serve", "--lm", "test:tiny",
+         "--projector-ckpt", ckpt, "--dataset", "sydney",
+         "--embs", "embs_spec.npy", "--out", "caps_spec.json",
+         "--batch-size", "4", "--speculative", "3", "--engine", "batch"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    caps = json.load(open("caps_spec.json"))
+    assert len(caps) == 5
