@@ -217,12 +217,14 @@ def _req_keys(base_key, req_ids, budget, n):
     )(req_ids, n)
 
 
-def _sample_pick_bl(logits_vb, keys, temperature, top_k, top_p=1.0):
-    """Per-row categorical over batch-last [V, B] logits with per-row keys
-    [B]; temperature/top_k/top_p are trace-time constants.  Warper order
-    matches HF generate: temperature -> top_k -> top_p (nucleus keeps the
-    smallest prefix of descending-prob tokens whose mass reaches top_p;
-    filter semantics pinned against HF's TopPLogitsWarper)."""
+def _warp_bl(logits_vb, temperature, top_k, top_p=1.0):
+    """HF-ordered warp chain over batch-last [V, N] logits (trace-time
+    constant temperature/top_k/top_p): temperature -> top_k -> top_p
+    (nucleus keeps the smallest prefix of descending-prob tokens whose
+    mass reaches top_p; filter semantics pinned against HF's
+    TopPLogitsWarper).  Returns warped f32 logits (-inf = filtered);
+    shared by the sampling pick and speculative acceptance (which needs
+    the full warped DISTRIBUTION, not just a draw)."""
     scaled = logits_vb.astype(jnp.float32) / max(temperature, 1e-6)
     if top_k > 0:
         kth = jnp.sort(scaled, axis=0)[-top_k, :][None, :]
@@ -238,6 +240,13 @@ def _sample_pick_bl(logits_vb, keys, temperature, top_k, top_p=1.0):
         )
         kth_p = jnp.min(jnp.where(keep, desc, jnp.inf), axis=0)[None, :]
         scaled = jnp.where(scaled < kth_p, -jnp.inf, scaled)
+    return scaled
+
+
+def _sample_pick_bl(logits_vb, keys, temperature, top_k, top_p=1.0):
+    """Per-row categorical over batch-last [V, B] logits with per-row keys
+    [B] through the _warp_bl chain."""
+    scaled = _warp_bl(logits_vb, temperature, top_k, top_p)
     return jax.vmap(lambda k, l: jax.random.categorical(k, l))(
         keys, scaled.T
     ).astype(jnp.int32)
@@ -317,6 +326,11 @@ def sample_generate_bl(
         logits, kv_cache = _decode_step_bl(
             cfg, params, h, kv_cache, pos, bias, bias_sw=bias_sw
         )
+        # _decode_step_bl skips final_logit_softcap (argmax-invariant for
+        # its greedy consumers) — sampling draws from the DISTRIBUTION, so
+        # cap here like HF does before its warpers (prefill logits0 arrive
+        # already capped; identity for non-gemma-2 configs at trace time)
+        logits = llama.final_softcap(cfg, logits)
         return step + 1, logits, kv_cache, done, tokens
 
     step, logits, _, done, tokens = jax.lax.while_loop(
@@ -499,9 +513,11 @@ def _decode_step_bl(cfg, params, h, caches, pos, bias, s_window=None,
 
     bias_sw: sliding-window bias for the layers flagged in
     cfg.layer_sliding (same shape contract as bias); None when sliding
-    cannot bind.  NOTE the head output skips final_logit_softcap: this is
-    a greedy engine, every consumer takes argmax, and tanh rescaling is
-    argmax-invariant — sampling paths go through decode_step, which caps."""
+    cannot bind.  NOTE the head output skips final_logit_softcap: tanh
+    rescaling is argmax-invariant, so greedy consumers don't need it —
+    DISTRIBUTION consumers (sampling picks, speculative acceptance) must
+    apply llama.final_softcap themselves before using these logits
+    (sample_generate_bl and the streaming engine do)."""
     kv_cache = caches
     nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     g = nh // nkv

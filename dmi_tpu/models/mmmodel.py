@@ -234,3 +234,45 @@ def caption_generate_speculative(
         draft_prefill_params=draft_prefill_params,
     )
     return tokens
+
+
+def caption_sample_speculative(
+    cfg: LlamaConfig,
+    llm_params: dict,
+    draft_cfg: LlamaConfig,
+    draft_params: dict,
+    soft_tokens: jax.Array,
+    prefix_ids: Optional[jax.Array],
+    max_new_tokens: int,
+    pad_token_id: int,
+    base_key: jax.Array,
+    temperature: float = 1.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+    req_ids: Optional[jax.Array] = None,
+    k: int = 4,
+    prefill_params: Optional[dict] = None,
+    draft_prefill_params: Optional[dict] = None,
+    draft_prompt_embeds: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Stochastic caption decode through the speculative draft-verify loop
+    (speculative.speculative_sample_bl): the emitted tokens keep
+    caption_sample's request-indexed warped-target DISTRIBUTION for any
+    draft, and are bit-identical to caption_sample when draft == target.
+    Serving surface (the reference decodes greedily only)."""
+    from dmi_tpu.models.speculative import speculative_sample_bl
+
+    embeds = assemble_prompt(
+        cfg, llm_params if prefill_params is None else prefill_params,
+        soft_tokens, prefix_ids,
+    )
+    if draft_prompt_embeds is None:
+        draft_prompt_embeds = embeds
+    tokens, _ = speculative_sample_bl(
+        cfg, llm_params, draft_cfg, draft_params, embeds,
+        draft_prompt_embeds, max_new_tokens, pad_token_id, base_key,
+        temperature=temperature, top_k=top_k, top_p=top_p, req_ids=req_ids,
+        k=k, prefill_params=prefill_params,
+        draft_prefill_params=draft_prefill_params,
+    )
+    return tokens

@@ -98,14 +98,15 @@ def _verify_step_bl(cfg, params, h, kv_cache, qpos, bias, rt, bias_sw=None):
     h [H, P, B] (embeds of [last_emitted, d_1..d_k]); kv_cache
     [L, 2, nkv, S, hd, B]; qpos [P, B] logical query positions;
     bias/bias_sw [S, P, B]; rt: physical row where this round's P cache
-    rows land (shared by the batch).  Returns (argmax ids [P, B],
+    rows land (shared by the batch).  Returns (logits [V, P, B],
     kv_cache).  Mirrors dec._decode_step_bl's layer body exactly (same
     _mm_bl weight dispatch incl. W8A8/W4A8, same f32-accumulated
     attention via a vmap of dec._decode_attention_bl, same family
     branches), with the (position, slot) grid flattened to one lane axis
     for every matmul so the per-layer weight stream is read once for all
-    P positions.  Skips final_logit_softcap like the greedy loop (every
-    consumer is an argmax; tanh rescaling is argmax-invariant)."""
+    P positions.  Skips final_logit_softcap like the greedy loop (tanh
+    rescaling is argmax-invariant); DISTRIBUTION consumers (speculative
+    sampling acceptance) must cap via llama.final_softcap themselves."""
     nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     g = nh // nkv
     H, P, B = h.shape
@@ -214,8 +215,7 @@ def _verify_step_bl(cfg, params, h, kv_cache, qpos, bias, rt, bias_sw=None):
             logits = jax.lax.dot_general(embed, hf, (((1,), (0,)), ((), ())))
     else:
         logits = dec._mm_bl(params["lm_head"], hf)
-    ids = jnp.argmax(logits, axis=0).astype(jnp.int32).reshape(P, B)
-    return ids, kv_cache
+    return logits.reshape(logits.shape[0], P, B), kv_cache
 
 
 def _stamp_rows(valid, row_pos, r0, count, live, positions):
@@ -269,24 +269,29 @@ class _SpecCore(NamedTuple):
 
 
 def _advance(cfg, core: _SpecCore, props, a_ids, k, T, budget, pad_token_id,
-             eos):
-    """Greedy-rejection acceptance + bookkeeping for one round.
+             eos, n_acc=None):
+    """Acceptance + bookkeeping for one round.
 
-    props [k, B] draft proposals; a_ids [k+1, B] target argmaxes (a_i =
-    target's token after consuming prefix + d_1..d_i).  Returns
-    (core', n_acc [B]) where core' has tokens/out_pos/done/last/valid
+    props [k, B] draft proposals; a_ids [k+1, B] correction tokens (a_i =
+    the token to emit if the first rejection lands at in-round index i —
+    greedy: the target's argmax after consuming prefix + d_1..d_i;
+    sampling: the residual/bonus draw).  n_acc [B]: accepted-proposal
+    counts; None (greedy) derives them from argmax equality d_i == a_{i-1}.
+    Returns (core', n_acc) where core' has tokens/out_pos/done/last/valid
     advanced; the caller retracts its own draft rows with the same
     n_acc."""
     B = core.last.shape[0]
     live = ~core.done
 
-    # acceptance: d_i accepted iff d_i == a_{i-1} and all previous accepted
-    if k > 0:
-        matches = (props == a_ids[:-1]).astype(jnp.int32)  # [k, B]
-        acc = jnp.cumprod(matches, axis=0)
-        n_acc = jnp.sum(acc, axis=0)  # [B] in [0, k]
-    else:
-        n_acc = jnp.zeros((B,), jnp.int32)
+    if n_acc is None:
+        # greedy rejection: d_i accepted iff d_i == a_{i-1} and all
+        # previous accepted
+        if k > 0:
+            matches = (props == a_ids[:-1]).astype(jnp.int32)  # [k, B]
+            acc = jnp.cumprod(matches, axis=0)
+            n_acc = jnp.sum(acc, axis=0)  # [B] in [0, k]
+        else:
+            n_acc = jnp.zeros((B,), jnp.int32)
 
     # emitted stream m_0..m_k: accepted drafts then the correction/bonus
     i_idx = jnp.arange(k + 1)[:, None]
@@ -340,8 +345,10 @@ def _advance(cfg, core: _SpecCore, props, a_ids, k, T, budget, pad_token_id,
 
 
 def _spec_setup(cfg, params, prefill_params, inputs_embeds, max_new_tokens,
-                pad_token_id, k):
-    """Shared prefill + state init for both draft flavors."""
+                pad_token_id, k, pick0=None):
+    """Shared prefill + state init for all draft flavors.  pick0 maps the
+    prefill logits [B, V] (already final_softcap'd by dec.prefill) to the
+    first token [B]; None = greedy argmax."""
     B, T, _ = inputs_embeds.shape
     max_rounds = max(max_new_tokens - 1, 0)
     S = T + (k + 1) * max_rounds
@@ -356,7 +363,10 @@ def _spec_setup(cfg, params, prefill_params, inputs_embeds, max_new_tokens,
         [caches[0].transpose(0, 2, 3, 4, 1), caches[1].transpose(0, 2, 3, 4, 1)],
         axis=1,
     )
-    tok0 = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
+    if pick0 is None:
+        tok0 = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
+    else:
+        tok0 = pick0(logits0)
     tokens = jnp.full((B, max_new_tokens), pad_token_id, jnp.int32)
     tokens = tokens.at[:, 0].set(tok0)
     done0 = jnp.isin(tok0, eos) | (max_new_tokens <= 1)
@@ -397,9 +407,10 @@ def _verify_round(cfg, params, core, props, rnd, k, T, budget, pad_token_id,
 
     valid, row_pos = _stamp_rows(core.valid, core.row_pos, rt, k + 1, live, qpos)
     bias, bias_sw = _bias_from(valid, row_pos, qpos, cfg, sliding_on)
-    a_ids, kv = _verify_step_bl(
+    v_logits, kv = _verify_step_bl(
         cfg, params, h, core.kv, qpos, bias, rt, bias_sw=bias_sw
     )
+    a_ids = jnp.argmax(v_logits, axis=0).astype(jnp.int32)  # [P, B]
     core = core._replace(kv=kv, valid=valid, row_pos=row_pos)
     core, n_acc = _advance(
         cfg, core, props, a_ids, k, T, budget, pad_token_id, eos
@@ -611,5 +622,277 @@ def speculative_generate_oracle_bl(
 
     rnd, core = jax.lax.while_loop(
         cond, body, (jnp.zeros((), jnp.int32), core)
+    )
+    return core.tokens, rnd
+
+
+# ---------------------------------------------------------------------------
+# Stochastic speculative sampling (draft-verify for the temperature/top-k/
+# top-p serving path).
+#
+# Classic speculative sampling (Leviathan et al. / Chen et al. 2023):
+# proposal d_i ~ q_i is accepted with probability min(1, p_i(d_i)/q_i(d_i));
+# the first rejection is replaced by a draw from the residual
+# norm(max(p_i - q_i, 0)), and full acceptance earns a bonus draw from
+# p_{k+1}.  The emitted marginal is EXACTLY the target distribution p for
+# any draft q — same theorem the greedy path instantiates with point-mass
+# p, q.  Both p and q here are the WARPED distributions (temperature ->
+# top-k -> top-p, dec._warp_bl, HF order), matching how HF's assisted
+# generation applies its logits processors to both models.
+#
+# RNG discipline (the serving invariant): every draw is keyed by
+# (request, output age) exactly like dec.sample_generate_bl —
+#   K(age)              = fold_in(base, req*budget + age)
+#   proposal draw       = K(age)              (the plain path's own key)
+#   acceptance uniform  = fold_in(K(age), 1)
+#   residual draw       = fold_in(K(age), 2)
+#   bonus draw          = K(age)              (no other draw at that age)
+# Consequence: with draft == target (p == q), every proposal is the plain
+# path's own draw and min(1, p/q) = 1, so the output is BIT-IDENTICAL to
+# dec.sample_generate_bl — pinned in tests/test_speculative.py.  With a
+# real (cheaper) draft the per-seed tokens differ but the distribution is
+# preserved (statistically pinned there too).
+# ---------------------------------------------------------------------------
+
+
+def _spec_keys(base_key, req_ids, budget, ages):
+    """K(age) over an [*, B] age grid: fold_in(base, req*budget + age) —
+    dec._req_keys broadcast over the in-round index."""
+    flat_age = ages.reshape(-1)
+    flat_req = jnp.broadcast_to(
+        req_ids[None, :], ages.shape
+    ).reshape(-1)
+    return jax.vmap(
+        lambda r, n: jax.random.fold_in(base_key, r * budget + n)
+    )(flat_req, flat_age)
+
+
+def _verify_round_sample(cfg, params, core, props, q_w, rnd, k, T, budget,
+                         pad_token_id, eos, sliding_on, base_key, req_ids,
+                         temperature, top_k, top_p):
+    """Target side of one stochastic round: verify [last, props], accept
+    by p/q rejection, emit residual/bonus draws.  q_w [V, k, B]: the
+    draft's warped probability vectors for its k proposals."""
+    B = core.last.shape[0]
+    live = ~core.done
+    pos = T + core.out_pos - 1
+    qpos = pos[None, :] + jnp.arange(k + 1)[:, None]
+    rt = T + rnd * (k + 1)
+
+    in_tokens = jnp.concatenate([core.last[None, :], props], axis=0)
+    h = llama.scale_embeds(
+        cfg,
+        llama.embed_tokens(cfg, params, in_tokens.reshape(-1))
+        .T.astype(cfg.dtype)
+        .reshape(-1, k + 1, B),
+    )
+    valid, row_pos = _stamp_rows(core.valid, core.row_pos, rt, k + 1, live,
+                                 qpos)
+    bias, bias_sw = _bias_from(valid, row_pos, qpos, cfg, sliding_on)
+    v_logits, kv = _verify_step_bl(
+        cfg, params, h, core.kv, qpos, bias, rt, bias_sw=bias_sw
+    )
+    core = core._replace(kv=kv, valid=valid, row_pos=row_pos)
+
+    V = v_logits.shape[0]
+    capped = llama.final_softcap(cfg, v_logits.reshape(V, (k + 1) * B))
+    w = dec._warp_bl(capped, temperature, top_k, top_p)  # [V, (k+1)*B] f32
+    p_w = jax.nn.softmax(w, axis=0).reshape(V, k + 1, B)
+    w = w.reshape(V, k + 1, B)
+
+    ages = core.out_pos[None, :] + jnp.arange(k + 1)[:, None]  # [k+1, B]
+    keys = _spec_keys(base_key, req_ids, budget, ages)  # [(k+1)*B]
+    keys = keys.reshape(k + 1, B)
+
+    # acceptance: u * q(d) < p(d)  (u ~ U[0,1); strict < makes p == q
+    # accept with probability 1 — the bit-parity invariant)
+    p_sel = jnp.take_along_axis(p_w[:, :k, :], props[None], axis=0)[0]
+    q_sel = jnp.take_along_axis(q_w, props[None], axis=0)[0]  # [k, B]
+    u_keys = jax.vmap(jax.vmap(lambda kk: jax.random.fold_in(kk, 1)))(
+        keys[:k]
+    )
+    u = jax.vmap(jax.vmap(jax.random.uniform))(u_keys)  # [k, B]
+    accept = (u * q_sel < p_sel).astype(jnp.int32)
+    acc = jnp.cumprod(accept, axis=0)
+    n_acc = jnp.sum(acc, axis=0)  # [B]
+
+    # corrections: residual draw at each possible rejection index, bonus
+    # draw (from the warped logits, = the plain path's pick computation)
+    # at full acceptance
+    res = jnp.maximum(p_w[:, :k, :] - q_w, 0.0)  # [V, k, B]
+    logres = jnp.where(res > 0, jnp.log(res), -jnp.inf)
+    r_keys = jax.vmap(jax.vmap(lambda kk: jax.random.fold_in(kk, 2)))(
+        keys[:k]
+    )
+    corr_res = jax.vmap(jax.vmap(jax.random.categorical))(
+        r_keys, jnp.moveaxis(logres, 0, -1)
+    ).astype(jnp.int32)  # [k, B] (keys [k, B] x logres' [k, B, V])
+    corr_bonus = jax.vmap(jax.random.categorical)(
+        keys[k], w[:, k, :].T
+    ).astype(jnp.int32)[None]  # [1, B]
+    corr = jnp.concatenate([corr_res, corr_bonus], axis=0) if k > 0 \
+        else corr_bonus
+
+    core, n_acc = _advance(
+        cfg, core, props, corr, k, T, budget, pad_token_id, eos, n_acc=n_acc
+    )
+    core = core._replace(valid=_retract_rows(core.valid, rt, k, n_acc))
+    return core, n_acc
+
+
+@partial(jax.jit, static_argnames=(
+    "cfg", "draft_cfg", "max_new_tokens", "pad_token_id", "k",
+    "temperature", "top_k", "top_p"))
+def speculative_sample_bl(
+    cfg: LlamaConfig,
+    params: dict,
+    draft_cfg: LlamaConfig,
+    draft_params: dict,
+    inputs_embeds: jax.Array,
+    draft_inputs_embeds: jax.Array,
+    max_new_tokens: int,
+    pad_token_id: int,
+    base_key: jax.Array,
+    temperature: float = 1.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+    req_ids: Optional[jax.Array] = None,
+    k: int = 4,
+    prefill_params: Optional[dict] = None,
+    draft_prefill_params: Optional[dict] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Stochastic speculative decode: the emitted tokens are distributed
+    exactly as dec.sample_generate_bl's (warped-target marginal preserved
+    for ANY draft), and are BIT-IDENTICAL to it when draft == target (see
+    the RNG-discipline note above).  EOS/pad/budget semantics as the
+    plain sampler.  Returns (tokens [B, max_new_tokens], verify rounds).
+    """
+    if k < 1:
+        raise ValueError("speculative sampling needs k >= 1")
+    if draft_cfg.vocab_size != cfg.vocab_size:
+        raise ValueError(
+            "speculative sampling compares p/q over one vocab: draft "
+            f"vocab {draft_cfg.vocab_size} != target {cfg.vocab_size}"
+        )
+    B, T_, _ = inputs_embeds.shape
+    if req_ids is None:
+        req_ids = jnp.arange(B, dtype=jnp.int32)
+    if max_new_tokens == 0:
+        return jnp.zeros((B, 0), jnp.int32), jnp.zeros((), jnp.int32)
+    budget = max_new_tokens
+
+    def pick0(logits0):
+        keys0 = dec._req_keys(base_key, req_ids, budget, 0)
+        return dec._sample_pick_bl(logits0.T, keys0, temperature, top_k,
+                                   top_p)
+
+    core, eos, T, max_rounds = _spec_setup(
+        cfg, params, prefill_params, inputs_embeds, max_new_tokens,
+        pad_token_id, k, pick0=pick0,
+    )
+    if max_rounds == 0:
+        return core.tokens, jnp.zeros((), jnp.int32)
+    sliding_on = llama.sliding_effective(cfg, T + budget)
+
+    Bd, Td, _ = draft_inputs_embeds.shape
+    Sd = Td + (k + 1) * max_rounds
+    d_caches = dec.init_cache(draft_cfg, B, Sd)
+    _, d_caches = dec.prefill(
+        draft_cfg,
+        draft_params if draft_prefill_params is None else draft_prefill_params,
+        draft_inputs_embeds, d_caches,
+    )
+    kv_d = jnp.stack(
+        [d_caches[0].transpose(0, 2, 3, 4, 1),
+         d_caches[1].transpose(0, 2, 3, 4, 1)],
+        axis=1,
+    )
+    valid_d = jnp.concatenate(
+        [jnp.ones((Td, B), bool), jnp.zeros((Sd - Td, B), bool)], axis=0
+    )
+    rp_d = jnp.broadcast_to(
+        jnp.minimum(jnp.arange(Sd), Td - 1)[:, None].astype(jnp.int32), (Sd, B)
+    )
+    d_sliding = llama.sliding_effective(draft_cfg, Td + budget)
+    Vd = draft_cfg.vocab_size
+
+    def draft_propose(core, kv_d, valid_d, rp_d, rnd):
+        """k+1 single-token draft steps; proposal j is SAMPLED from the
+        draft's warped distribution with the plain path's own key
+        K(out_pos + j); the full warped q vectors are recorded for the
+        verify side's acceptance/residual math."""
+        live = ~core.done
+        dpos0 = Td + core.out_pos - 1
+        rd = Td + rnd * (k + 1)
+        props0 = jnp.zeros((k, B), jnp.int32)
+        q0 = jnp.zeros((k, Vd, B), jnp.float32)
+
+        def step(j, carry):
+            cur, kv_d, valid_d, rp_d, props, q_buf = carry
+            pos = dpos0 + j
+            row = rd + j
+            valid_d, rp_d = _stamp_rows(
+                valid_d, rp_d, row, 1, live, pos[None, :]
+            )
+            bias = jnp.where(valid_d & (rp_d <= pos[None, :]), 0.0, NEG)
+            bias_sw = None
+            if d_sliding:
+                in_win = (pos[None, :] - rp_d) < draft_cfg.sliding_window
+                bias_sw = jnp.where(
+                    valid_d & (rp_d <= pos[None, :]) & in_win, 0.0, NEG
+                )
+            h = llama.scale_embeds(
+                draft_cfg,
+                llama.embed_tokens(draft_cfg, draft_params, cur)
+                .T.astype(draft_cfg.dtype),
+            )
+            cos, sin = llama.rope_tables(draft_cfg, pos)
+            logits, kv_d = dec._decode_step_bl(
+                draft_cfg, draft_params, h, kv_d, pos, bias,
+                rope=(cos.T, sin.T), write_row=row, bias_sw=bias_sw,
+            )
+            w_d = dec._warp_bl(
+                llama.final_softcap(draft_cfg, logits), temperature, top_k,
+                top_p,
+            )  # [Vd, B] f32
+            # proposal j lands at output age out_pos + j; the j == k step
+            # only writes KV (its draw is discarded — clamp the age so no
+            # fresh key is consumed)
+            age = core.out_pos + jnp.minimum(j, k - 1)
+            keys = _spec_keys(base_key, req_ids, budget, age[None, :])
+            nxt = jax.vmap(jax.random.categorical)(keys, w_d.T).astype(
+                jnp.int32
+            )
+            q_w = jax.nn.softmax(w_d, axis=0)
+            props = jnp.where(jnp.arange(k)[:, None] == j, nxt[None, :],
+                              props)
+            q_buf = jnp.where(
+                (jnp.arange(k)[:, None, None] == j), q_w[None], q_buf
+            )
+            return nxt, kv_d, valid_d, rp_d, props, q_buf
+
+        _, kv_d, valid_d, rp_d, props, q_buf = jax.lax.fori_loop(
+            0, k + 1, step, (core.last, kv_d, valid_d, rp_d, props0, q0)
+        )
+        return props, jnp.moveaxis(q_buf, 1, 0), kv_d, valid_d, rp_d, rd
+
+    def cond(state):
+        rnd, core, _, _, _ = state
+        return (rnd < max_rounds) & ~jnp.all(core.done)
+
+    def body(state):
+        rnd, core, kv_d, valid_d, rp_d = state
+        props, q_w, kv_d, valid_d, rp_d, rd = draft_propose(
+            core, kv_d, valid_d, rp_d, rnd
+        )
+        core, n_acc = _verify_round_sample(
+            cfg, params, core, props, q_w, rnd, k, T, budget, pad_token_id,
+            eos, sliding_on, base_key, req_ids, temperature, top_k, top_p,
+        )
+        valid_d = _retract_rows(valid_d, rd, k, n_acc)
+        return rnd + 1, core, kv_d, valid_d, rp_d
+
+    rnd, core, _, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.zeros((), jnp.int32), core, kv_d, valid_d, rp_d)
     )
     return core.tokens, rnd

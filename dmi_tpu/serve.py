@@ -244,6 +244,23 @@ class Captioner:
                 self.tokenizer.pad_token_id,
                 batch_first=os.environ.get("DMI_DECODE_BATCH_FIRST") == "1",
             )
+        elif self.spec_k:
+            # stochastic speculative: distribution-preserving for the
+            # W4A8 self-draft (per-seed tokens differ from the plain
+            # sampler's unless draft == target; the marginal is identical)
+            soft = proj.apply(self.proj_spec, self.proj_params, embs,
+                              train=False)
+            tokens = mmmodel.caption_sample_speculative(
+                self.llm_cfg, self.llm_params, self.llm_cfg,
+                self.draft_params, soft, self._prefix,
+                self.max_new_tokens, self.tokenizer.pad_token_id,
+                jax.random.key(seed), temperature=temperature, top_k=top_k,
+                top_p=top_p,
+                req_ids=jnp.arange(row_start, row_start + self.batch_size,
+                                   dtype=jnp.int32),
+                k=self.spec_k, prefill_params=self.llm_params_prefill,
+                draft_prefill_params=self.draft_prefill_params,
+            )
         else:
             soft = proj.apply(self.proj_spec, self.proj_params, embs,
                               train=False)
@@ -320,10 +337,10 @@ class Captioner:
         n = embeddings.shape[0]
         if engine not in ("auto", "batch", "bulk"):
             raise ValueError(f"unknown engine {engine!r}")
-        if self.spec_k and temperature is None:
-            # the draft-verify loop is a batch-path program (speculative.py
-            # manages its own cache rows; the bulk engine's slot refill
-            # doesn't compose with it)
+        if self.spec_k:
+            # the draft-verify loop (greedy AND sampling) is a batch-path
+            # program (speculative.py manages its own cache rows; the bulk
+            # engine's slot refill doesn't compose with it)
             if engine == "bulk":
                 raise ValueError(
                     "speculative=k serves on the batch path; engine='bulk' "

@@ -202,7 +202,14 @@ def _stream_one_step(cfg, params, state: SlotState, T: int, budget: int,
         # exact keys the batch oracle (dec.sample_generate_bl) uses
         temperature, top_k, top_p = sample
         keys = dec._req_keys(sample_key, state.req, budget, state.n)
-        tok = dec._sample_pick_bl(logits, keys, temperature, top_k, top_p)
+        # _decode_step_bl skips final_logit_softcap (argmax-invariant for
+        # the greedy branch above); sampling draws from the distribution,
+        # so cap like HF before the warpers (identity for non-gemma-2).
+        # Admission draws (run_bulk tok0) use prefill logits, already
+        # capped — don't cap those again.
+        tok = dec._sample_pick_bl(
+            llama.final_softcap(cfg, logits), keys, temperature, top_k, top_p
+        )
     tok = jnp.where(state.live, tok, pad_token_id)
     idx = jnp.clip(state.n, 0, budget - 1)
     # fully-decoded (n == budget) slots must not overwrite their last real

@@ -445,3 +445,48 @@ def test_generate_zero_budget_returns_empty():
     assert dec.sample_generate(
         cfg, params, embeds, 0, PAD, jax.random.key(0)
     ).shape == (2, 0)
+
+
+def test_sampling_applies_final_softcap():
+    """Stochastic decode must draw from CAPPED logits (HF applies gemma-2's
+    final_logit_softcapping before the warpers; tanh rescaling changes the
+    distribution even though it is argmax-invariant).  Regression: the
+    batch-last loop sampled from _decode_step_bl's uncapped head output
+    while the prefill-derived first draw was capped.  Oracle: per-step
+    full-sequence llama.forward (always caps) + the same request-indexed
+    keys/warp chain.  A small cap (0.3) makes the near-uniform capped
+    distribution unmistakably different from the uncapped one."""
+    import dataclasses
+
+    cfg = llama.tiny_gemma2_config(vocab_size=64, hidden_size=32,
+                                   n_layers=2, n_heads=4, n_kv=2,
+                                   intermediate=64)
+    cfg = dataclasses.replace(cfg, final_logit_softcap=0.3,
+                              eos_token_ids=(63,))
+    params = llama.init(jax.random.key(11), cfg)
+    # random-init tiny logits are ~±0.4 — too small for the cap to move
+    # Gumbel draws; scale the tied embed/head so raw logits reach ~±3,
+    # which the 0.3 cap compresses 10x (draws must visibly change)
+    params = {**params, "embed": params["embed"] * 8.0}
+    B, T, budget = 4, 5, 6
+    rng = np.random.default_rng(12)
+    embeds = jnp.asarray(rng.normal(size=(B, T, 32)).astype(np.float32) * 0.3)
+    key = jax.random.key(7)
+
+    got = np.asarray(dec.sample_generate_bl(
+        cfg, params, embeds, budget, PAD, key, temperature=1.0))
+
+    eos = np.asarray(cfg.eos_token_ids)
+    cur = embeds
+    done = np.zeros((B,), bool)
+    want = np.full((B, budget), PAD, np.int32)
+    for step in range(budget):
+        logits = llama.forward(cfg, params, cur)[:, -1, :].T  # capped [V, B]
+        keys = dec._req_keys(key, jnp.arange(B), budget, step)
+        tok = np.asarray(dec._sample_pick_bl(logits, keys, 1.0, 0, 1.0))
+        tok = np.where(done, PAD, tok)
+        want[:, step] = tok
+        done |= np.isin(tok, eos)
+        nxt = llama.embed_tokens(cfg, params, jnp.asarray(tok))[:, None, :]
+        cur = jnp.concatenate([cur, nxt.astype(cur.dtype)], axis=1)
+    np.testing.assert_array_equal(got, want)

@@ -269,7 +269,8 @@ def test_captioner_speculative(trained):
     got = cap.caption(embs)
     assert len(got) == 6 and all(isinstance(c, str) for c in got)
     assert got == cap.caption(embs)  # deterministic
-    # sampling ignores the draft (stochastic path): still serves
+    # stochastic path serves through speculative sampling (distribution-
+    # preserving rejection; tests/test_speculative.py pins the math)
     assert len(cap.caption(embs[:4], temperature=2.0, seed=1)) == 4
     with pytest.raises(ValueError, match="bulk"):
         cap.caption(embs, engine="bulk")

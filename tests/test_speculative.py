@@ -255,3 +255,115 @@ def test_caption_level_speculative_self_draft():
         cfg, params, cfg, draft_params, soft, prefix, budget, PAD, k=k,
         draft_prefill_params=params))
     np.testing.assert_array_equal(got, want)
+
+
+# --------------------------- stochastic speculative -------------------------
+
+from dmi_tpu.models.speculative import speculative_sample_bl  # noqa: E402
+
+
+@pytest.mark.parametrize("temperature,top_k,top_p", [
+    (1.0, 0, 1.0),
+    (1.7, 5, 1.0),
+    (0.8, 0, 0.85),
+])
+def test_sample_self_draft_bit_identical(temperature, top_k, top_p):
+    """With draft == target the p/q ratio is 1 everywhere, every proposal
+    is accepted, and — because proposals are drawn with the plain
+    sampler's own (request, age) keys — the output is BIT-IDENTICAL to
+    dec.sample_generate_bl (the RNG-discipline invariant)."""
+    cfg, params = make_model(seed=41, vocab=96, hidden=64, inter=96)
+    B, T, budget, k = 4, 5, 9, 3
+    embeds = prompt_embeds(cfg, B=B, T=T, seed=42)
+    key = jax.random.key(17)
+    want = np.asarray(dec.sample_generate_bl(
+        cfg, params, embeds, budget, PAD, key, temperature=temperature,
+        top_k=top_k, top_p=top_p,
+    ))
+    got, rounds = speculative_sample_bl(
+        cfg, params, cfg, params, embeds, embeds, budget, PAD, key,
+        temperature=temperature, top_k=top_k, top_p=top_p, k=k,
+    )
+    np.testing.assert_array_equal(np.asarray(got), want)
+    # full acceptance: rounds == ceil((budget-1)/(k+1)) (unless EOS ended
+    # everything earlier)
+    assert int(np.asarray(rounds)) <= -(-(budget - 1) // (k + 1))
+
+
+def test_sample_req_ids_and_eos():
+    """Request-indexed keying: the same request draws the same caption at
+    any batch slot; EOS truncates with pad-fill like the plain sampler."""
+    cfg, params = make_model(seed=43, eos=(5,))
+    B, T, budget = 6, 4, 8
+    embeds = prompt_embeds(cfg, B=B, T=T, seed=44)
+    key = jax.random.key(3)
+    req = jnp.asarray([7, 3, 11, 0, 2, 9], jnp.int32)
+    t1, _ = speculative_sample_bl(
+        cfg, params, cfg, params, embeds, embeds, budget, PAD, key,
+        temperature=1.3, k=2, req_ids=req,
+    )
+    perm = jnp.asarray([3, 0, 5, 1, 4, 2])
+    t2, _ = speculative_sample_bl(
+        cfg, params, cfg, params, embeds[perm], embeds[perm], budget, PAD,
+        key, temperature=1.3, k=2, req_ids=req[perm],
+    )
+    np.testing.assert_array_equal(np.asarray(t1)[np.asarray(perm)],
+                                  np.asarray(t2))
+    toks = np.asarray(t1)
+    for row in toks:
+        hits = np.where(row == 5)[0]
+        if hits.size:  # everything after the first EOS is pad
+            assert (row[hits[0] + 1:] == PAD).all()
+
+
+@pytest.mark.slow
+def test_sample_quantized_draft_distribution():
+    """Distribution preservation with a REAL (different) draft: the W4A8
+    self-draft proposes from q != p, rejection resamples from the
+    residual — the emitted marginal must remain the plain sampler's.
+    Three arms over disjoint key sets: TV(spec, plain_A) must sit within
+    the key-noise band calibrated by TV(plain_B, plain_A)."""
+    from dmi_tpu.models.quant import quantize_llama
+
+    cfg, params = make_model(seed=45, vocab=16, hidden=32, layers=2,
+                             eos=(15,))
+    draft = quantize_llama(params, bits=4)
+    B, T, budget, k = 256, 3, 3, 2
+    embeds = jnp.tile(prompt_embeds(cfg, B=1, T=T, seed=46), (B, 1, 1))
+    M = 12  # runs per arm -> 3072 sequences each
+
+    def run_arm(spec, key_base):
+        outs = []
+        for m in range(M):
+            key = jax.random.key(key_base + m)
+            if spec:
+                t, _ = speculative_sample_bl(
+                    cfg, params, cfg, draft, embeds, embeds, budget, PAD,
+                    key, temperature=1.4, k=k,
+                )
+            else:
+                t = dec.sample_generate_bl(
+                    cfg, params, embeds, budget, PAD, key, temperature=1.4)
+            outs.append(np.asarray(t))
+        return np.concatenate(outs, axis=0)  # [M*B, budget]
+
+    plain_a = run_arm(False, 10_000)
+    plain_b = run_arm(False, 20_000)
+    spec = run_arm(True, 30_000)
+
+    def tv(x, y, vocab=17):
+        # per-position total variation (PAD folded into id 16)
+        out = []
+        for t in range(budget):
+            hx = np.bincount(np.where(x[:, t] == PAD, 16, x[:, t]),
+                             minlength=vocab) / len(x)
+            hy = np.bincount(np.where(y[:, t] == PAD, 16, y[:, t]),
+                             minlength=vocab) / len(y)
+            out.append(0.5 * np.abs(hx - hy).sum())
+        return max(out)
+
+    cal = tv(plain_b, plain_a)
+    got = tv(spec, plain_a)
+    # key-noise at n=3072, support 17 is ~0.02-0.04; a wrong acceptance
+    # rule shifts mass by O(0.1+)
+    assert got <= max(2.0 * cal, 0.02) + 0.02, (got, cal)
