@@ -543,7 +543,9 @@ def _decode_step_bl(cfg, params, h, caches, pos, bias, s_window=None,
         else:
             lw, li = xs
             b = bias
-        hn = _rms_norm_bl(x, lw["ln_attn"], cfg.rms_norm_eps)
+        hn = x if cfg.norm_after else _rms_norm_bl(
+            x, lw["ln_attn"], cfg.rms_norm_eps
+        )
         if "w_qkv" in lw:
             qkv = _mm_bl(lw["w_qkv"], hn)
             if "b_qkv" in lw:
@@ -555,6 +557,9 @@ def _decode_step_bl(cfg, params, h, caches, pos, bias, s_window=None,
                 q = q + lw["bq"][:, None]
                 k = k + lw["bk"][:, None]
                 v = v + lw["bv"][:, None]
+        if cfg.qk_norm_wide:  # olmo2: RMSNorm over the FULL projection
+            q = _rms_norm_bl(q, lw["q_norm"], cfg.rms_norm_eps)
+            k = _rms_norm_bl(k, lw["k_norm"], cfg.rms_norm_eps)
         q = q.reshape(nkv, g, hd, B)
         k = k.reshape(nkv, hd, B)
         if cfg.qk_norm:  # qwen3: per-head RMSNorm before rope
@@ -577,8 +582,14 @@ def _decode_step_bl(cfg, params, h, caches, pos, bias, s_window=None,
         attn_out = _mm_bl(lw["wo"], attn)
         if cfg.post_block_norms:
             attn_out = _rms_norm_bl(attn_out, lw["ln_post_attn"], cfg.rms_norm_eps)
+        if cfg.norm_after:  # olmo2: ln_attn norms the block OUTPUT
+            attn_out = _rms_norm_bl(attn_out, lw["ln_attn"], cfg.rms_norm_eps)
+        if cfg.residual_multiplier is not None:  # granite
+            attn_out = attn_out * cfg.residual_multiplier
         x = x + attn_out
-        hn = _rms_norm_bl(x, lw["ln_mlp"], cfg.rms_norm_eps)
+        hn = x if cfg.norm_after else _rms_norm_bl(
+            x, lw["ln_mlp"], cfg.rms_norm_eps
+        )
         if "w_gu" in lw:
             gu = _mm_bl(lw["w_gu"], hn)
             gate, up = jnp.split(gu, 2, axis=0)
@@ -588,6 +599,10 @@ def _decode_step_bl(cfg, params, h, caches, pos, bias, s_window=None,
             mlp_out = _mm_bl(lw["w_down"], gate * _mm_bl(lw["w_up"], hn))
         if cfg.post_block_norms:
             mlp_out = _rms_norm_bl(mlp_out, lw["ln_post_mlp"], cfg.rms_norm_eps)
+        if cfg.norm_after:
+            mlp_out = _rms_norm_bl(mlp_out, lw["ln_mlp"], cfg.rms_norm_eps)
+        if cfg.residual_multiplier is not None:
+            mlp_out = mlp_out * cfg.residual_multiplier
         x = x + mlp_out
         return (x, kvcache), None
 

@@ -78,6 +78,10 @@ class LlamaConfig:
     sliding_window: Optional[int] = None
     layer_sliding: Optional[Tuple[bool, ...]] = None  # per-layer sliding flags
     qk_norm: bool = False                 # qwen3: per-head RMSNorm on q/k before rope
+    qk_norm_wide: bool = False            # olmo2: RMSNorm over the FULL q/k projection
+    norm_after: bool = False              # olmo2: no pre-norms; norm block OUTPUTS
+    residual_multiplier: Optional[float] = None  # granite: residual + out * m
+    logit_scale: Optional[float] = None   # granite: logits / logits_scaling
 
 
 def llama32_1b(dtype=jnp.bfloat16) -> LlamaConfig:
@@ -128,6 +132,35 @@ def tiny_qwen3_config(**kw) -> LlamaConfig:
     import dataclasses
 
     return dataclasses.replace(tiny_config(**kw), qk_norm=True)
+
+
+def tiny_olmo2_config(**kw) -> LlamaConfig:
+    """Olmo2-family tiny config: RMSNorm over the FULL q/k projections
+    before rope, and post-norm blocks — no input layernorms, the
+    post-attention/post-feedforward norms apply to the block OUTPUT before
+    the residual add (HF Olmo2DecoderLayer)."""
+    import dataclasses
+
+    return dataclasses.replace(
+        tiny_config(**kw), qk_norm_wide=True, norm_after=True
+    )
+
+
+def tiny_granite_config(**kw) -> LlamaConfig:
+    """Granite-family tiny config: llama math plus the four Granite scalar
+    multipliers — embedding_multiplier on inputs_embeds, attention_multiplier
+    as the score scale, residual_multiplier on each block output, and
+    logits_scaling dividing the head output (HF GraniteModel /
+    GraniteForCausalLM)."""
+    import dataclasses
+
+    return dataclasses.replace(
+        tiny_config(**kw),
+        embedding_normalizer=12.0,
+        attn_scale=0.03125,
+        residual_multiplier=0.22,
+        logit_scale=16.0,
+    )
 
 
 def tiny_gemma2_config(sliding_window=None, **kw) -> LlamaConfig:
@@ -195,6 +228,9 @@ def init(key: jax.Array, cfg: LlamaConfig) -> dict:
     if cfg.qk_norm:
         params["layers"]["q_norm"] = jnp.ones((L, hd), cfg.dtype)
         params["layers"]["k_norm"] = jnp.ones((L, hd), cfg.dtype)
+    if cfg.qk_norm_wide:
+        params["layers"]["q_norm"] = jnp.ones((L, nh * hd), cfg.dtype)
+        params["layers"]["k_norm"] = jnp.ones((L, nkv * hd), cfg.dtype)
     if not cfg.tie_word_embeddings:
         params["lm_head"] = w(next(keys), (H, cfg.vocab_size))
     return params
@@ -253,12 +289,19 @@ def from_hf_state_dict(state_dict, cfg: LlamaConfig) -> dict:
         return jnp.asarray(arrs, cfg.dtype)
 
     # gemma-2's pre-MLP norm is `pre_feedforward_layernorm`; everywhere else
-    # the (misleadingly named) `post_attention_layernorm` plays that role
-    pre_mlp_key = (
-        "model.layers.{}.pre_feedforward_layernorm.weight"
-        if cfg.post_block_norms
-        else "model.layers.{}.post_attention_layernorm.weight"
-    )
+    # the (misleadingly named) `post_attention_layernorm` plays that role.
+    # olmo2 (norm_after) has NO pre-norms: ln_attn/ln_mlp hold the
+    # post-attention/post-feedforward norms applied to the block outputs.
+    if cfg.norm_after:
+        attn_norm_key = "model.layers.{}.post_attention_layernorm.weight"
+        pre_mlp_key = "model.layers.{}.post_feedforward_layernorm.weight"
+    else:
+        attn_norm_key = "model.layers.{}.input_layernorm.weight"
+        pre_mlp_key = (
+            "model.layers.{}.pre_feedforward_layernorm.weight"
+            if cfg.post_block_norms
+            else "model.layers.{}.post_attention_layernorm.weight"
+        )
     nh, nkv, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
                    cfg.head_dim)
     if "model.layers.0.self_attn.qkv_proj.weight" in state_dict:
@@ -287,7 +330,7 @@ def from_hf_state_dict(state_dict, cfg: LlamaConfig) -> dict:
             "w_gate": w_gate,
             "w_up": w_up,
             "w_down": stack("model.layers.{}.mlp.down_proj.weight"),
-            "ln_attn": norm("model.layers.{}.input_layernorm.weight"),
+            "ln_attn": norm(attn_norm_key),
             "ln_mlp": norm(pre_mlp_key),
         },
         "final_norm": norm("model.norm.weight", stacked=False),
@@ -309,7 +352,7 @@ def from_hf_state_dict(state_dict, cfg: LlamaConfig) -> dict:
         params["layers"]["ln_post_mlp"] = norm(
             "model.layers.{}.post_feedforward_layernorm.weight"
         )
-    if cfg.qk_norm:
+    if cfg.qk_norm or cfg.qk_norm_wide:
         params["layers"]["q_norm"] = norm("model.layers.{}.self_attn.q_norm.weight")
         params["layers"]["k_norm"] = norm("model.layers.{}.self_attn.k_norm.weight")
     if not cfg.tie_word_embeddings:
@@ -392,8 +435,13 @@ def sliding_effective(cfg: LlamaConfig, max_positions: int) -> bool:
 
 
 def final_softcap(cfg: LlamaConfig, logits: jax.Array) -> jax.Array:
-    """gemma-2 final-logit softcapping, in the logits dtype (HF semantics).
-    Monotone, so greedy argmax paths may skip it."""
+    """Head-output transforms: granite's logits/logits_scaling divide, then
+    gemma-2 final-logit softcapping, in the logits dtype (HF semantics).
+    Both are monotone, so greedy argmax paths may skip this entirely;
+    DISTRIBUTION consumers (loss, sampling, speculative acceptance) must
+    route logits through here."""
+    if cfg.logit_scale is not None:
+        logits = logits / jnp.asarray(cfg.logit_scale, logits.dtype)
     if cfg.final_logit_softcap is None:
         return logits
     cap = jnp.asarray(cfg.final_logit_softcap, logits.dtype)
@@ -648,7 +696,8 @@ def _block(cfg: LlamaConfig, x, lw, cos, sin, bias, cache_kv=None, cache_index=N
     B, T, H = x.shape
     nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
-    h = rms_norm(x, lw["ln_attn"], cfg.rms_norm_eps)
+    # olmo2 (norm_after) has no input norm: attention reads the raw stream
+    h = x if cfg.norm_after else rms_norm(x, lw["ln_attn"], cfg.rms_norm_eps)
     if "w_qkv" in lw:  # fused layout (fuse_projections)
         qkv = _mm(h, lw["w_qkv"])
         if "b_qkv" in lw:
@@ -658,6 +707,9 @@ def _block(cfg: LlamaConfig, x, lw, cos, sin, bias, cache_kv=None, cache_index=N
         q, k, v = _mm(h, lw["wq"]), _mm(h, lw["wk"]), _mm(h, lw["wv"])
         if "bq" in lw:
             q, k, v = q + lw["bq"], k + lw["bk"], v + lw["bv"]
+    if cfg.qk_norm_wide:  # olmo2: RMSNorm over the FULL projection width
+        q = rms_norm(q, lw["q_norm"], cfg.rms_norm_eps)
+        k = rms_norm(k, lw["k_norm"], cfg.rms_norm_eps)
     q = q.reshape(B, T, nh, hd).transpose(0, 2, 1, 3)
     k = k.reshape(B, T, nkv, hd).transpose(0, 2, 1, 3)
     v = v.reshape(B, T, nkv, hd).transpose(0, 2, 1, 3)
@@ -693,9 +745,13 @@ def _block(cfg: LlamaConfig, x, lw, cos, sin, bias, cache_kv=None, cache_index=N
     attn_out = _mm(attn, lw["wo"])
     if cfg.post_block_norms:
         attn_out = rms_norm(attn_out, lw["ln_post_attn"], cfg.rms_norm_eps)
+    if cfg.norm_after:  # olmo2: ln_attn norms the block OUTPUT instead
+        attn_out = rms_norm(attn_out, lw["ln_attn"], cfg.rms_norm_eps)
+    if cfg.residual_multiplier is not None:  # granite
+        attn_out = attn_out * cfg.residual_multiplier
     x = x + attn_out
 
-    h = rms_norm(x, lw["ln_mlp"], cfg.rms_norm_eps)
+    h = x if cfg.norm_after else rms_norm(x, lw["ln_mlp"], cfg.rms_norm_eps)
     if "w_gu" in lw:  # fused layout
         gu = _mm(h, lw["w_gu"])
         gate, up = jnp.split(gu, 2, axis=-1)
@@ -705,6 +761,10 @@ def _block(cfg: LlamaConfig, x, lw, cos, sin, bias, cache_kv=None, cache_index=N
         mlp_out = _mm(gate * _mm(h, lw["w_up"]), lw["w_down"])
     if cfg.post_block_norms:
         mlp_out = rms_norm(mlp_out, lw["ln_post_mlp"], cfg.rms_norm_eps)
+    if cfg.norm_after:
+        mlp_out = rms_norm(mlp_out, lw["ln_mlp"], cfg.rms_norm_eps)
+    if cfg.residual_multiplier is not None:
+        mlp_out = mlp_out * cfg.residual_multiplier
     x = x + mlp_out
     return x, new_cache
 

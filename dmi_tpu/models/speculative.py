@@ -132,7 +132,9 @@ def _verify_step_bl(cfg, params, h, kv_cache, qpos, bias, rt, bias_sw=None):
         else:
             lw, li = xs
             b = bias
-        hn = dec._rms_norm_bl(x, lw["ln_attn"], cfg.rms_norm_eps)
+        hn = x if cfg.norm_after else dec._rms_norm_bl(
+            x, lw["ln_attn"], cfg.rms_norm_eps
+        )
         if "w_qkv" in lw:
             qkv = dec._mm_bl(lw["w_qkv"], hn)
             if "b_qkv" in lw:
@@ -146,6 +148,9 @@ def _verify_step_bl(cfg, params, h, kv_cache, qpos, bias, rt, bias_sw=None):
                 q = q + lw["bq"][:, None]
                 k = k + lw["bk"][:, None]
                 v = v + lw["bv"][:, None]
+        if cfg.qk_norm_wide:  # olmo2: RMSNorm over the FULL projection
+            q = dec._rms_norm_bl(q, lw["q_norm"], cfg.rms_norm_eps)
+            k = dec._rms_norm_bl(k, lw["k_norm"], cfg.rms_norm_eps)
         q = q.reshape(nkv, g, hd, P, B)
         k = k.reshape(nkv, hd, P, B)
         if cfg.qk_norm:  # qwen3: per-head RMSNorm before rope
@@ -171,8 +176,14 @@ def _verify_step_bl(cfg, params, h, kv_cache, qpos, bias, rt, bias_sw=None):
             attn_out = dec._rms_norm_bl(
                 attn_out, lw["ln_post_attn"], cfg.rms_norm_eps
             )
+        if cfg.norm_after:  # olmo2: ln_attn norms the block OUTPUT
+            attn_out = dec._rms_norm_bl(attn_out, lw["ln_attn"], cfg.rms_norm_eps)
+        if cfg.residual_multiplier is not None:  # granite
+            attn_out = attn_out * cfg.residual_multiplier
         x = x + attn_out
-        hn = dec._rms_norm_bl(x, lw["ln_mlp"], cfg.rms_norm_eps)
+        hn = x if cfg.norm_after else dec._rms_norm_bl(
+            x, lw["ln_mlp"], cfg.rms_norm_eps
+        )
         if "w_gu" in lw:
             gu = dec._mm_bl(lw["w_gu"], hn)
             gate, up = jnp.split(gu, 2, axis=0)
@@ -182,6 +193,10 @@ def _verify_step_bl(cfg, params, h, kv_cache, qpos, bias, rt, bias_sw=None):
             mlp_out = dec._mm_bl(lw["w_down"], gate * dec._mm_bl(lw["w_up"], hn))
         if cfg.post_block_norms:
             mlp_out = dec._rms_norm_bl(mlp_out, lw["ln_post_mlp"], cfg.rms_norm_eps)
+        if cfg.norm_after:
+            mlp_out = dec._rms_norm_bl(mlp_out, lw["ln_mlp"], cfg.rms_norm_eps)
+        if cfg.residual_multiplier is not None:
+            mlp_out = mlp_out * cfg.residual_multiplier
         x = x + mlp_out
         return (x, kvcache), None
 

@@ -59,7 +59,8 @@ def build_tokenizer(lm_args):
     return tokenizer
 
 
-_SUPPORTED_FAMILIES = ("llama", "mistral", "qwen2", "gemma2", "qwen3", "phi3")
+_SUPPORTED_FAMILIES = ("llama", "mistral", "qwen2", "gemma2", "qwen3", "phi3",
+                       "olmo2", "granite")
 
 
 def _hf_to_config(hf_cfg, dtype, tokenizer) -> llama.LlamaConfig:
@@ -68,7 +69,9 @@ def _hf_to_config(hf_cfg, dtype, tokenizer) -> llama.LlamaConfig:
     dmi/utils/model_utils.py:17-20); supported here: llama (3.x rope
     scaling), mistral, qwen2 (qkv biases), qwen3 (per-head q/k RMSNorm),
     gemma2 (GeGLU, (1+w) norms, post-block norms, softcapping, sqrt(H)
-    embed scale, interleaved sliding/full attention)."""
+    embed scale, interleaved sliding/full attention), phi3 (fused
+    checkpoints), olmo2 (full-width q/k RMSNorm, post-norm blocks),
+    granite (scalar multipliers)."""
     family = getattr(hf_cfg, "model_type", "llama")
     if family not in _SUPPORTED_FAMILIES:
         raise ValueError(
@@ -126,6 +129,28 @@ def _hf_to_config(hf_cfg, dtype, tokenizer) -> llama.LlamaConfig:
             raise ValueError("phi3 longrope rope_scaling is not supported")
         if getattr(hf_cfg, "partial_rotary_factor", 1.0) != 1.0:
             raise ValueError("phi3 partial_rotary_factor != 1 is not supported")
+    elif family == "olmo2":
+        # RMSNorm over the FULL q/k projections before rope + post-norm
+        # blocks (no input layernorms; the post-attention/post-feedforward
+        # norms apply to the block outputs — HF Olmo2DecoderLayer)
+        if getattr(hf_cfg, "attention_bias", False):
+            # released OLMo-2 checkpoints are bias-free; the o_proj bias
+            # this flag would add has no layout here
+            raise ValueError("olmo2 attention_bias=True is not supported")
+        kw["qk_norm_wide"] = True
+        kw["norm_after"] = True
+    elif family == "granite":
+        # llama math + the four Granite scalar multipliers (HF
+        # GraniteModel.forward / GraniteDecoderLayer / GraniteForCausalLM)
+        kw.update(
+            embedding_normalizer=float(hf_cfg.embedding_multiplier),
+            attn_scale=float(hf_cfg.attention_multiplier),
+            residual_multiplier=float(hf_cfg.residual_multiplier),
+            logit_scale=float(hf_cfg.logits_scaling),
+        )
+        if getattr(hf_cfg, "attention_bias", False):
+            # our bias layout covers q/k/v only; granite defaults bias-free
+            raise ValueError("granite attention_bias=True is not supported")
     elif family == "gemma2":
         if getattr(hf_cfg, "attention_bias", False):
             # released gemma-2 checkpoints are all bias-free; the o_proj

@@ -58,6 +58,20 @@ def _hf_config(family, tie=True, sliding_window=None):
             **_COMMON, tie_word_embeddings=tie,
             sliding_window=sliding_window,
         )
+    if family == "olmo2":
+        return transformers.Olmo2Config(
+            **_COMMON, tie_word_embeddings=tie,
+        )
+    if family == "granite":
+        # distinctive multiplier values so every Granite transform is
+        # discriminative (defaults are all 1.0 == llama)
+        return transformers.GraniteConfig(
+            **_COMMON, tie_word_embeddings=tie,
+            embedding_multiplier=12.0,
+            attention_multiplier=0.03125,
+            residual_multiplier=0.22,
+            logits_scaling=16.0,
+        )
     if family == "mistral":
         return transformers.MistralConfig(
             **_COMMON,
@@ -91,7 +105,7 @@ def make_pair(family, seed=0, tie=True, sliding_window=None):
     return hf, cfg, params
 
 
-FAMILIES = ["qwen2", "gemma2", "mistral", "qwen3", "phi3"]
+FAMILIES = ["qwen2", "gemma2", "mistral", "qwen3", "phi3", "olmo2", "granite"]
 
 
 @pytest.mark.parametrize("family", FAMILIES)
@@ -118,6 +132,19 @@ def test_config_mapping(family):
         assert params["layers"]["wq"].shape == (2, 64, 64)
         assert params["layers"]["wk"].shape == (2, 64, 32)
         assert params["layers"]["w_gate"].shape == (2, 64, 128)
+    if family == "olmo2":
+        assert cfg.qk_norm_wide and cfg.norm_after and not cfg.qk_norm
+        # FULL-projection-width norms (nh*hd=64, nkv*hd=32), not per-head
+        assert params["layers"]["q_norm"].shape == (2, 64)
+        assert params["layers"]["k_norm"].shape == (2, 32)
+        # ln_attn/ln_mlp hold the post-attn/post-ff OUTPUT norms
+        assert "ln_post_attn" not in params["layers"]
+    if family == "granite":
+        assert cfg.embedding_normalizer == pytest.approx(12.0)
+        assert cfg.attn_scale == pytest.approx(0.03125)
+        assert cfg.residual_multiplier == pytest.approx(0.22)
+        assert cfg.logit_scale == pytest.approx(16.0)
+        assert not cfg.norm_after and not cfg.post_block_norms
 
 
 @pytest.mark.parametrize("family", FAMILIES)

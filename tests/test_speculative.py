@@ -174,6 +174,8 @@ def test_model_draft_is_target():
 @pytest.mark.parametrize("cfg_fn,extra", [
     (llama.tiny_qwen2_config, {}),
     (llama.tiny_qwen3_config, {}),
+    (llama.tiny_olmo2_config, {}),
+    (llama.tiny_granite_config, {}),
 ])
 def test_families(cfg_fn, extra):
     cfg, params = make_model(seed=17, cfg_fn=cfg_fn, **extra)

@@ -174,15 +174,18 @@ def test_bulk_on_device_under_tp_mesh():
     np.testing.assert_array_equal(eng2.run(embs), want)
 
 
-@pytest.mark.parametrize("family", ["qwen2", "gemma2", "qwen3"])
+@pytest.mark.parametrize("family", ["qwen2", "gemma2", "qwen3", "olmo2",
+                                    "granite"])
 def test_streaming_families_match_batch_path(family):
     """The engine shares _decode_step_bl with the batch path, so family
     features (qwen2 qkv biases; gemma-2 GeGLU/post-block norms/softcap/
-    embed scale) must flow through the ring identically."""
+    embed scale; olmo2 post-norm blocks + full-width qk-norm; granite
+    multipliers) must flow through the ring identically."""
     import dataclasses
 
     maker = {"qwen2": llama.tiny_qwen2_config, "gemma2": llama.tiny_gemma2_config,
-             "qwen3": llama.tiny_qwen3_config}
+             "qwen3": llama.tiny_qwen3_config, "olmo2": llama.tiny_olmo2_config,
+             "granite": llama.tiny_granite_config}
     cfg = maker[family](vocab_size=64, hidden_size=32, n_layers=2,
                         n_heads=4, n_kv=2, intermediate=64)
     cfg = dataclasses.replace(cfg, eos_token_ids=(5,))
