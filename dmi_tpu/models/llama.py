@@ -8,7 +8,10 @@ Here the decoder is a TPU-first re-implementation covering the mainstream
 decoder families — llama-3.x (the reference's production LM), mistral,
 qwen2 (qkv biases), qwen3 (per-head q/k RMSNorm), gemma-2 (GeGLU, (1+w)
 norms, post-block norms, softcapping, sqrt(H) embedding scale, interleaved
-sliding attention) — behind one config + one stacked-layer pytree:
+sliding attention), phi-3 (fused checkpoints, all-layer sliding), olmo2
+(full-width q/k RMSNorm, post-norm blocks), granite (embedding/attention/
+residual/logits scalar multipliers) — behind one config + one
+stacked-layer pytree:
 
   * pytree params with **stacked per-layer weights** so the transformer body
     is a single ``lax.scan`` over layers (fast compiles, one fused kernel
