@@ -44,7 +44,7 @@ def init_cache(cfg: LlamaConfig, batch: int, max_len: int) -> Tuple[jax.Array, j
 
 
 def _run_layers(cfg, params, x, cos, sin, bias, caches, cache_index, last_only=False,
-                bias_sw=None):
+                bias_sw=None, rope_local=None):
     """lax.scan over stacked layer weights, threading stacked KV caches.
 
     last_only restricts the vocab-head matmul to the final position —
@@ -54,17 +54,25 @@ def _run_layers(cfg, params, x, cos, sin, bias, caches, cache_index, last_only=F
     bias_sw: per-layer sliding-window bias (gemma-2); layers flagged
     sliding in cfg.layer_sliding use it instead of `bias`.  None whenever
     sliding cannot bind (llama.sliding_effective) — the hot path is then
-    byte-identical to the single-bias formulation."""
+    byte-identical to the single-bias formulation.
+
+    rope_local: (cos, sin) local-rope tables for gemma-3 — layers flagged
+    sliding use them instead of the global cos/sin (llama.rope_dual; the
+    table split applies at EVERY length, unlike the bias overlay)."""
     k_cache, v_cache = caches
 
-    if bias_sw is not None:
+    if bias_sw is not None or rope_local is not None:
         flags = jnp.asarray(cfg.layer_sliding)
+        cos_l, sin_l = rope_local if rope_local is not None else (cos, sin)
 
         def body(carry, xs):
             h = carry
             lw, kc, vc, fl = xs
+            b = jnp.where(fl, bias_sw, bias) if bias_sw is not None else bias
+            c = jnp.where(fl, cos_l, cos) if rope_local is not None else cos
+            s = jnp.where(fl, sin_l, sin) if rope_local is not None else sin
             h, (kc, vc) = llama._block(
-                cfg, h, lw, cos, sin, jnp.where(fl, bias_sw, bias),
+                cfg, h, lw, c, s, b,
                 cache_kv=(kc, vc), cache_index=cache_index,
             )
             return h, (kc, vc)
@@ -108,9 +116,14 @@ def prefill(cfg, params, inputs_embeds, caches):
         in_win = (positions[:, None] - key_pos[None, :]) < cfg.sliding_window
         bias_sw = jnp.where(valid & in_win, 0.0, jnp.finfo(jnp.float32).min)[None]
         bias_sw = jnp.broadcast_to(bias_sw, (B, T, S))
+    rope_local = (
+        llama.rope_tables(cfg, positions, local=True)
+        if llama.rope_dual(cfg) else None
+    )
     x = llama.scale_embeds(cfg, inputs_embeds.astype(cfg.dtype))
     logits, caches = _run_layers(
-        cfg, params, x, cos, sin, bias, caches, 0, last_only=True, bias_sw=bias_sw,
+        cfg, params, x, cos, sin, bias, caches, 0, last_only=True,
+        bias_sw=bias_sw, rope_local=rope_local,
     )
     return logits[:, -1, :], caches
 
@@ -129,9 +142,14 @@ def decode_step(cfg, params, token_embeds, caches, pos):
         in_win = ((pos - key_pos) < cfg.sliding_window)[None, None, :]
         bias_sw = jnp.where(valid & in_win, 0.0, jnp.finfo(jnp.float32).min)
         bias_sw = jnp.broadcast_to(bias_sw, (B, 1, S))
+    rope_local = (
+        llama.rope_tables(cfg, pos[None], local=True)
+        if llama.rope_dual(cfg) else None
+    )
     x = llama.scale_embeds(cfg, token_embeds.astype(cfg.dtype))
     logits, caches = _run_layers(
-        cfg, params, x, cos, sin, bias, caches, pos, bias_sw=bias_sw
+        cfg, params, x, cos, sin, bias, caches, pos, bias_sw=bias_sw,
+        rope_local=rope_local,
     )
     return logits[:, 0, :], caches
 
@@ -489,7 +507,8 @@ def _decode_attention_bl(q, kc, vc, bias, scale=None, softcap=None):
 
 
 def _decode_step_bl(cfg, params, h, caches, pos, bias, s_window=None,
-                    head=True, rope=None, write_row=None, bias_sw=None):
+                    head=True, rope=None, write_row=None, bias_sw=None,
+                    rope_local=None):
     """One batch-last token step.  h: [H, B]; caches: ([L,nkv,S,hd,B] x2);
     pos: absolute position being written.  Returns (logits [V,B], caches).
 
@@ -527,22 +546,32 @@ def _decode_step_bl(cfg, params, h, caches, pos, bias, s_window=None,
     bias = bias[:s_window]
     if bias_sw is not None:
         bias_sw = bias_sw[:s_window]
+    dual = llama.rope_dual(cfg)
     if rope is None:
         cos, sin = llama.rope_tables(cfg, pos)  # [hd] each
+        if dual:
+            rope_local = llama.rope_tables(cfg, pos, local=True)
     else:
         cos, sin = rope
+        if dual and rope_local is None:
+            raise ValueError(
+                "dual-rope config (gemma-3) needs rope_local alongside rope"
+            )
+    cos_l, sin_l = rope_local if rope_local is not None else (cos, sin)
     row = pos if write_row is None else write_row
     a_scale = llama.attn_score_scale(cfg)
     a_cap = cfg.attn_logit_softcap
 
     def body(carry, xs):
         x, kvcache = carry
-        if bias_sw is not None:
+        if bias_sw is not None or dual:
             lw, li, fl = xs
-            b = jnp.where(fl, bias_sw, bias)
+            b = jnp.where(fl, bias_sw, bias) if bias_sw is not None else bias
+            c = jnp.where(fl, cos_l, cos) if dual else cos
+            s = jnp.where(fl, sin_l, sin) if dual else sin
         else:
             lw, li = xs
-            b = bias
+            b, c, s = bias, cos, sin
         hn = x if cfg.norm_after else _rms_norm_bl(
             x, lw["ln_attn"], cfg.rms_norm_eps
         )
@@ -562,11 +591,11 @@ def _decode_step_bl(cfg, params, h, caches, pos, bias, s_window=None,
             k = _rms_norm_bl(k, lw["k_norm"], cfg.rms_norm_eps)
         q = q.reshape(nkv, g, hd, B)
         k = k.reshape(nkv, hd, B)
-        if cfg.qk_norm:  # qwen3: per-head RMSNorm before rope
+        if cfg.qk_norm:  # qwen3/gemma3: per-head RMSNorm before rope
             q = _rms_norm_head_bl(q, lw["q_norm"], cfg.rms_norm_eps)
             k = _rms_norm_head_bl(k, lw["k_norm"], cfg.rms_norm_eps)
-        q = _rope_bl(q, cos, sin)
-        k = _rope_bl(k, cos, sin)
+        q = _rope_bl(q, c, s)
+        k = _rope_bl(k, c, s)
         v = v.reshape(nkv, hd, B)
         kvcache = jax.lax.dynamic_update_slice(
             kvcache,
@@ -609,7 +638,7 @@ def _decode_step_bl(cfg, params, h, caches, pos, bias, s_window=None,
     L = kv_cache.shape[0]
     xs = (
         (params["layers"], jnp.arange(L), jnp.asarray(cfg.layer_sliding))
-        if bias_sw is not None
+        if (bias_sw is not None or dual)
         else (params["layers"], jnp.arange(L))
     )
     # DMI_DECODE_LAYER_UNROLL (experiment knob, trace-time): unroll the

@@ -10,7 +10,9 @@ qwen2 (qkv biases), qwen3 (per-head q/k RMSNorm), gemma-2 (GeGLU, (1+w)
 norms, post-block norms, softcapping, sqrt(H) embedding scale, interleaved
 sliding attention), phi-3 (fused checkpoints, all-layer sliding), olmo2
 (full-width q/k RMSNorm, post-norm blocks), granite (embedding/attention/
-residual/logits scalar multipliers) — behind one config + one
+residual/logits scalar multipliers), gemma-3 text (per-head (1+w) q/k
+RMSNorm, lookup-scaled embeddings, dual rope: sliding layers at the local
+theta, full layers linear-scaled) — behind one config + one
 stacked-layer pytree:
 
   * pytree params with **stacked per-layer weights** so the transformer body
@@ -75,13 +77,23 @@ class LlamaConfig:
     attn_scale: Optional[float] = None    # score multiplier; None -> head_dim**-0.5
     attn_logit_softcap: Optional[float] = None   # gemma-2: 50.0
     final_logit_softcap: Optional[float] = None  # gemma-2: 30.0
-    embedding_normalizer: Optional[float] = None  # gemma-2: sqrt(hidden), model-dtype
+    embedding_normalizer: Optional[float] = None  # gemma-2: sqrt(hidden)
+    # WHERE the normalizer applies: gemma-2 scales the hidden stream at
+    # model entry (caller inputs_embeds included); gemma-3 bakes it into
+    # the embedding LOOKUP (Gemma3TextScaledWordEmbedding) — caller
+    # inputs_embeds pass through UNSCALED, token lookups carry the scale
+    embedding_scale_at_lookup: bool = False
     post_block_norms: bool = False        # gemma-2 post-attn / post-mlp RMSNorms
     norm_plus_one: bool = False           # gemma RMSNorm scale is (1 + w); folded at import
     sliding_window: Optional[int] = None
     layer_sliding: Optional[Tuple[bool, ...]] = None  # per-layer sliding flags
     qk_norm: bool = False                 # qwen3: per-head RMSNorm on q/k before rope
     qk_norm_wide: bool = False            # olmo2: RMSNorm over the FULL q/k projection
+    # gemma-3 dual rope: sliding layers rope at this base (never scaled),
+    # full layers at rope_theta (optionally linear-scaled).  Requires
+    # layer_sliding flags (the same per-layer selector as the masks).
+    rope_local_theta: Optional[float] = None
+    rope_linear_factor: Optional[float] = None  # HF rope_scaling {"rope_type": "linear"}
     norm_after: bool = False              # olmo2: no pre-norms; norm block OUTPUTS
     residual_multiplier: Optional[float] = None  # granite: residual + out * m
     logit_scale: Optional[float] = None   # granite: logits / logits_scaling
@@ -188,6 +200,35 @@ def tiny_gemma2_config(sliding_window=None, **kw) -> LlamaConfig:
         layer_sliding=tuple(i % 2 == 0 for i in range(n_layers))
         if sliding_window
         else None,
+    )
+
+
+def tiny_gemma3_config(sliding_window=8, **kw) -> LlamaConfig:
+    """Gemma-3 (text) tiny config: gemma-2's GeGLU / (1+w) norms /
+    post-block norms / sqrt(H) embedding scale WITHOUT the softcaps, plus
+    per-head q/k RMSNorm and the dual-rope split — sliding layers rope at
+    rope_local_theta (never scaled), full layers at rope_theta with HF
+    "linear" scaling (HF Gemma3TextConfig; real checkpoints slide 5 of
+    every 6 layers — this tiny config alternates so a 2-layer model
+    exercises BOTH rope tables)."""
+    import dataclasses
+
+    cfg = tiny_config(**kw)
+    n_layers = cfg.num_hidden_layers
+    return dataclasses.replace(
+        cfg,
+        mlp_act="gelu_tanh",
+        attn_scale=float(cfg.head_dim) ** -0.5,
+        embedding_normalizer=float(cfg.hidden_size) ** 0.5,
+        embedding_scale_at_lookup=True,
+        post_block_norms=True,
+        norm_plus_one=True,
+        qk_norm=True,
+        rope_theta=1_000_000.0,
+        rope_local_theta=10_000.0,
+        rope_linear_factor=8.0,
+        sliding_window=sliding_window,
+        layer_sliding=tuple(i % 2 == 0 for i in range(n_layers)),
     )
 
 
@@ -367,13 +408,23 @@ def from_hf_state_dict(state_dict, cfg: LlamaConfig) -> dict:
 # Rope
 # ---------------------------------------------------------------------------
 
-def rope_inv_freq(cfg: LlamaConfig) -> jax.Array:
+def rope_inv_freq(cfg: LlamaConfig, local: bool = False) -> jax.Array:
     """Base inverse frequencies with Llama-3 wavelength-dependent scaling
-    (HF modeling_rope_utils._compute_llama3_parameters semantics)."""
+    (HF modeling_rope_utils._compute_llama3_parameters semantics) or HF
+    "linear" scaling (inv_freq / factor — gemma-3 global layers).
+    local=True returns the gemma-3 sliding-layer table: plain rope at
+    rope_local_theta, NEVER scaled (HF Gemma3TextModel.rotary_emb_local is
+    built with rope_type 'default')."""
     hd = cfg.head_dim
+    if local:
+        return 1.0 / (
+            cfg.rope_local_theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd)
+        )
     inv_freq = 1.0 / (
         cfg.rope_theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd)
     )
+    if cfg.rope_linear_factor is not None:
+        return inv_freq / cfg.rope_linear_factor
     if cfg.rope_scaling_factor is None:
         return inv_freq
     factor = cfg.rope_scaling_factor
@@ -395,12 +446,28 @@ def rope_inv_freq(cfg: LlamaConfig) -> jax.Array:
     return scaled
 
 
-def rope_tables(cfg: LlamaConfig, positions: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """cos/sin tables [*, head_dim] in f32 (HF duplicates freqs: cat(f, f))."""
-    inv = rope_inv_freq(cfg)
+def rope_tables(cfg: LlamaConfig, positions: jax.Array,
+                local: bool = False) -> Tuple[jax.Array, jax.Array]:
+    """cos/sin tables [*, head_dim] in f32 (HF duplicates freqs: cat(f, f)).
+    local=True builds the gemma-3 sliding-layer tables (rope_local_theta)."""
+    inv = rope_inv_freq(cfg, local=local)
     freqs = positions[..., None].astype(jnp.float32) * inv  # [..., hd/2]
     emb = jnp.concatenate([freqs, freqs], axis=-1)
     return jnp.cos(emb), jnp.sin(emb)
+
+
+def rope_dual(cfg: LlamaConfig) -> bool:
+    """True when layers select between two rope tables (gemma-3): sliding
+    layers use the local table, full layers the global one.  Independent of
+    sliding_effective — the table split applies at EVERY sequence length."""
+    if cfg.rope_local_theta is None:
+        return False
+    if cfg.layer_sliding is None:
+        raise ValueError(
+            "rope_local_theta requires layer_sliding flags (the sliding "
+            "layers are the local-rope layers)"
+        )
+    return True
 
 
 def _rotate_half(x):
@@ -453,8 +520,12 @@ def final_softcap(cfg: LlamaConfig, logits: jax.Array) -> jax.Array:
 
 def scale_embeds(cfg: LlamaConfig, x: jax.Array) -> jax.Array:
     """Apply gemma's sqrt(hidden) embedding normalizer (model-dtype
-    rounded, HF Gemma2Model semantics); identity for other families."""
-    if cfg.embedding_normalizer is None:
+    rounded, HF Gemma2Model semantics); identity for other families AND
+    for lookup-scaled families (gemma-3), where embed_tokens carries the
+    scale instead — composing scale_embeds(embed_tokens(...)) is therefore
+    exact for every family, and caller inputs_embeds are scaled exactly
+    when HF would scale them."""
+    if cfg.embedding_normalizer is None or cfg.embedding_scale_at_lookup:
         return x
     return x * jnp.asarray(cfg.embedding_normalizer, x.dtype)
 
@@ -833,6 +904,9 @@ def forward(
         and on_tpu
         and cfg.attn_logit_softcap is None
         and not sliding_on
+        # dual-rope (gemma-3) layers need per-layer tables; the flash
+        # branch scans without the layer flags — take the oracle
+        and cfg.rope_local_theta is None
     )
     if use_flash:
         # pad-exact masking: queries unmasked, keys masked (see
@@ -859,14 +933,21 @@ def forward(
 
     layer_params = params["layers"]
 
-    if sliding_on and not use_flash:
+    dual = rope_dual(cfg)
+    if (sliding_on and not use_flash) or dual:
+        # per-layer selection: sliding-vs-full bias and/or local-vs-global
+        # rope tables (gemma-3), keyed by the same layer_sliding flags
         flags = jnp.asarray(cfg.layer_sliding)
+        cos_l, sin_l = (
+            rope_tables(cfg, positions, local=True) if dual else (cos, sin)
+        )
 
         def body(x, xs):
             lw, fl = xs
-            y, _ = _block(
-                cfg, x, lw, cos, sin, jnp.where(fl, bias_sw, bias), seg_ids=None
-            )
+            b = jnp.where(fl, bias_sw, bias) if bias_sw is not None else bias
+            c = jnp.where(fl, cos_l, cos) if dual else cos
+            s = jnp.where(fl, sin_l, sin) if dual else sin
+            y, _ = _block(cfg, x, lw, c, s, b, seg_ids=None)
             return y, None
 
         if remat:
@@ -891,8 +972,14 @@ def embed_tokens(cfg: LlamaConfig, params: dict, input_ids: jax.Array) -> jax.Ar
     if isinstance(embed, dict):
         qk = "q8" if "q8" in embed else "q"
         rows = embed[qk][input_ids].astype(cfg.dtype)
-        return rows * embed["s"][input_ids].astype(cfg.dtype)
-    return embed[input_ids]
+        rows = rows * embed["s"][input_ids].astype(cfg.dtype)
+    else:
+        rows = embed[input_ids]
+    if cfg.embedding_normalizer is not None and cfg.embedding_scale_at_lookup:
+        # gemma-3: the sqrt(H) scale lives in the embedding lookup
+        # (Gemma3TextScaledWordEmbedding), not at model entry
+        rows = rows * jnp.asarray(cfg.embedding_normalizer, rows.dtype)
+    return rows
 
 
 def causal_lm_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:

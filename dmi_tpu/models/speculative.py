@@ -116,6 +116,13 @@ def _verify_step_bl(cfg, params, h, kv_cache, qpos, bias, rt, bias_sw=None):
     cos, sin = llama.rope_tables(cfg, qpos.reshape(-1))  # [P*B, hd]
     cos = cos.T.reshape(hd, P, B)
     sin = sin.T.reshape(hd, P, B)
+    dual = llama.rope_dual(cfg)
+    if dual:  # gemma-3: sliding layers rope at the local theta
+        cos_l, sin_l = llama.rope_tables(cfg, qpos.reshape(-1), local=True)
+        cos_l = cos_l.T.reshape(hd, P, B)
+        sin_l = sin_l.T.reshape(hd, P, B)
+    else:
+        cos_l, sin_l = cos, sin
     a_scale = llama.attn_score_scale(cfg)
     a_cap = cfg.attn_logit_softcap
 
@@ -126,12 +133,14 @@ def _verify_step_bl(cfg, params, h, kv_cache, qpos, bias, rt, bias_sw=None):
 
     def body(carry, xs):
         x, kvcache = carry
-        if bias_sw is not None:
+        if bias_sw is not None or dual:
             lw, li, fl = xs
-            b = jnp.where(fl, bias_sw, bias)
+            b = jnp.where(fl, bias_sw, bias) if bias_sw is not None else bias
+            c = jnp.where(fl, cos_l, cos) if dual else cos
+            s = jnp.where(fl, sin_l, sin) if dual else sin
         else:
             lw, li = xs
-            b = bias
+            b, c, s = bias, cos, sin
         hn = x if cfg.norm_after else dec._rms_norm_bl(
             x, lw["ln_attn"], cfg.rms_norm_eps
         )
@@ -156,8 +165,8 @@ def _verify_step_bl(cfg, params, h, kv_cache, qpos, bias, rt, bias_sw=None):
         if cfg.qk_norm:  # qwen3: per-head RMSNorm before rope
             q = _rms_norm_head_pb(q, lw["q_norm"], cfg.rms_norm_eps)
             k = _rms_norm_head_pb(k, lw["k_norm"], cfg.rms_norm_eps)
-        q = _rope_pb(q, cos, sin)
-        k = _rope_pb(k, cos, sin)
+        q = _rope_pb(q, c, s)
+        k = _rope_pb(k, c, s)
         v = v.reshape(nkv, hd, P, B)
         # write this round's P rows contiguously at the shared physical rt
         kvcache = jax.lax.dynamic_update_slice(
@@ -203,7 +212,7 @@ def _verify_step_bl(cfg, params, h, kv_cache, qpos, bias, rt, bias_sw=None):
     L = kv_cache.shape[0]
     xs = (
         (params["layers"], jnp.arange(L), jnp.asarray(cfg.layer_sliding))
-        if bias_sw is not None
+        if (bias_sw is not None or dual)
         else (params["layers"], jnp.arange(L))
     )
     (hf, kv_cache), _ = jax.lax.scan(body, (hn_flat, kv_cache), xs)
@@ -531,9 +540,14 @@ def speculative_generate_bl(
                 .T.astype(draft_cfg.dtype),
             )
             cos, sin = llama.rope_tables(draft_cfg, pos)  # [B, hd]
+            rl = None
+            if llama.rope_dual(draft_cfg):
+                cl, sl = llama.rope_tables(draft_cfg, pos, local=True)
+                rl = (cl.T, sl.T)
             logits, kv_d = dec._decode_step_bl(
                 draft_cfg, draft_params, h, kv_d, pos, bias,
                 rope=(cos.T, sin.T), write_row=row, bias_sw=bias_sw,
+                rope_local=rl,
             )
             nxt = jnp.argmax(logits, axis=0).astype(jnp.int32)
             props = jnp.where(
@@ -862,9 +876,14 @@ def speculative_sample_bl(
                 .T.astype(draft_cfg.dtype),
             )
             cos, sin = llama.rope_tables(draft_cfg, pos)
+            rl = None
+            if llama.rope_dual(draft_cfg):
+                cl, sl = llama.rope_tables(draft_cfg, pos, local=True)
+                rl = (cl.T, sl.T)
             logits, kv_d = dec._decode_step_bl(
                 draft_cfg, draft_params, h, kv_d, pos, bias,
                 rope=(cos.T, sin.T), write_row=row, bias_sw=bias_sw,
+                rope_local=rl,
             )
             w_d = dec._warp_bl(
                 llama.final_softcap(draft_cfg, logits), temperature, top_k,

@@ -167,6 +167,10 @@ def _stream_one_step(cfg, params, state: SlotState, T: int, budget: int,
     # per-slot absolute position (rope only; storage row is the ring row)
     pos = T + jnp.clip(state.n - 1, 0, budget - 1)  # [B]
     cos, sin = llama.rope_tables(cfg, pos)  # [B, hd]
+    rope_local = None
+    if llama.rope_dual(cfg):  # gemma-3: sliding layers rope locally
+        cos_l, sin_l = llama.rope_tables(cfg, pos, local=True)
+        rope_local = (cos_l.T, sin_l.T)
     row = T + state.cursor  # shared write row
     # the row written this step is attendable by its own (live) slot
     valid = jax.lax.dynamic_update_slice(
@@ -191,6 +195,7 @@ def _stream_one_step(cfg, params, state: SlotState, T: int, budget: int,
     logits, kv = dec._decode_step_bl(
         cfg, params, h, state.kv, pos, bias,
         rope=(cos.T, sin.T), write_row=row, bias_sw=bias_sw,
+        rope_local=rope_local,
     )
 
     batch_iota = jnp.arange(B)

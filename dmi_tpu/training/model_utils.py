@@ -60,7 +60,7 @@ def build_tokenizer(lm_args):
 
 
 _SUPPORTED_FAMILIES = ("llama", "mistral", "qwen2", "gemma2", "qwen3", "phi3",
-                       "olmo2", "granite")
+                       "olmo2", "granite", "gemma3_text")
 
 
 def _hf_to_config(hf_cfg, dtype, tokenizer) -> llama.LlamaConfig:
@@ -151,6 +151,32 @@ def _hf_to_config(hf_cfg, dtype, tokenizer) -> llama.LlamaConfig:
         if getattr(hf_cfg, "attention_bias", False):
             # our bias layout covers q/k/v only; granite defaults bias-free
             raise ValueError("granite attention_bias=True is not supported")
+    elif family == "gemma3_text":
+        # gemma-2's norms/GeGLU/embed scale (softcaps default None) plus
+        # per-head (1+w) q/k RMSNorm and the dual-rope split: sliding
+        # layers rope at rope_local_base_freq unscaled, full layers at
+        # rope_theta with optional "linear" scaling (HF Gemma3TextModel)
+        if getattr(hf_cfg, "attention_bias", False):
+            raise ValueError("gemma3 attention_bias=True is not supported")
+        if getattr(hf_cfg, "use_bidirectional_attention", False):
+            raise ValueError("gemma3 bidirectional attention not supported")
+        if not (layer_sliding and sliding_window):
+            raise ValueError(
+                "gemma3 needs layer_types + sliding_window (the sliding "
+                "flags select the local-rope layers)"
+            )
+        kw.update(
+            mlp_act="gelu_tanh",
+            attn_scale=float(hf_cfg.query_pre_attn_scalar) ** -0.5,
+            attn_logit_softcap=getattr(hf_cfg, "attn_logit_softcapping", None),
+            final_logit_softcap=getattr(hf_cfg, "final_logit_softcapping", None),
+            embedding_normalizer=float(hf_cfg.hidden_size) ** 0.5,
+            embedding_scale_at_lookup=True,
+            post_block_norms=True,
+            norm_plus_one=True,
+            qk_norm=True,
+            rope_local_theta=float(hf_cfg.rope_local_base_freq),
+        )
     elif family == "gemma2":
         if getattr(hf_cfg, "attention_bias", False):
             # released gemma-2 checkpoints are all bias-free; the o_proj
@@ -177,6 +203,7 @@ def _hf_to_config(hf_cfg, dtype, tokenizer) -> llama.LlamaConfig:
         rms_norm_eps=hf_cfg.rms_norm_eps,
         rope_theta=hf_cfg.rope_theta,
         rope_scaling_factor=rs.get("factor") if rs.get("rope_type") == "llama3" else None,
+        rope_linear_factor=rs.get("factor") if rs.get("rope_type") == "linear" else None,
         rope_low_freq_factor=rs.get("low_freq_factor", 1.0),
         rope_high_freq_factor=rs.get("high_freq_factor", 4.0),
         rope_original_max_position=rs.get("original_max_position_embeddings", 8192),

@@ -62,6 +62,19 @@ def _hf_config(family, tie=True, sliding_window=None):
         return transformers.Olmo2Config(
             **_COMMON, tie_word_embeddings=tie,
         )
+    if family == "gemma3":
+        # distinct global (1e6, linear-scaled) vs local (1e4, unscaled)
+        # rope bases so the per-layer table split is discriminative; one
+        # sliding + one full layer exercises both
+        common = {**_COMMON, "rope_theta": 1_000_000.0}
+        return transformers.Gemma3TextConfig(
+            **common, tie_word_embeddings=tie,
+            head_dim=16, query_pre_attn_scalar=16,
+            rope_local_base_freq=10_000.0,
+            rope_scaling={"rope_type": "linear", "factor": 8.0},
+            sliding_window=sliding_window or 256,
+            layer_types=["sliding_attention", "full_attention"],
+        )
     if family == "granite":
         # distinctive multiplier values so every Granite transform is
         # discriminative (defaults are all 1.0 == llama)
@@ -105,7 +118,8 @@ def make_pair(family, seed=0, tie=True, sliding_window=None):
     return hf, cfg, params
 
 
-FAMILIES = ["qwen2", "gemma2", "mistral", "qwen3", "phi3", "olmo2", "granite"]
+FAMILIES = ["qwen2", "gemma2", "mistral", "qwen3", "phi3", "olmo2", "granite",
+            "gemma3"]
 
 
 @pytest.mark.parametrize("family", FAMILIES)
@@ -139,6 +153,15 @@ def test_config_mapping(family):
         assert params["layers"]["k_norm"].shape == (2, 32)
         # ln_attn/ln_mlp hold the post-attn/post-ff OUTPUT norms
         assert "ln_post_attn" not in params["layers"]
+    if family == "gemma3":
+        assert cfg.qk_norm and cfg.post_block_norms and cfg.norm_plus_one
+        assert cfg.rope_local_theta == pytest.approx(10_000.0)
+        assert cfg.rope_linear_factor == pytest.approx(8.0)
+        assert cfg.rope_theta == pytest.approx(1_000_000.0)
+        assert cfg.attn_logit_softcap is None
+        assert cfg.final_logit_softcap is None
+        assert cfg.layer_sliding == (True, False)
+        assert cfg.embedding_normalizer == pytest.approx(8.0)
     if family == "granite":
         assert cfg.embedding_normalizer == pytest.approx(12.0)
         assert cfg.attn_scale == pytest.approx(0.03125)
@@ -255,7 +278,7 @@ def _sliding_pair(seed, family, window):
 @pytest.mark.parametrize(
     "family,flags",
     [("gemma2", (True, False)), ("mistral", (True, True)),
-     ("phi3", (True, True))],
+     ("phi3", (True, True)), ("gemma3", (True, False))],
 )
 def test_sliding_window_logits_match_hf(family, flags):
     """Sliding-window masks (gemma-2 interleaved / mistral all-layers) at
@@ -282,7 +305,7 @@ def test_sliding_window_logits_match_hf(family, flags):
         )
 
 
-@pytest.mark.parametrize("family", ["gemma2", "mistral", "phi3"])
+@pytest.mark.parametrize("family", ["gemma2", "mistral", "phi3", "gemma3"])
 def test_sliding_window_greedy_matches_hf(family):
     hf, cfg, params = _sliding_pair(9, family, window=4)
     rng = np.random.default_rng(9)
@@ -319,7 +342,9 @@ def test_decode_cache_matches_full_forward_families():
         embeds = jnp.asarray(rng.normal(size=(B, T, 64)).astype(np.float32) * 0.1)
 
         tokens = dec.greedy_generate(cfg, params, embeds, new, PAD)
-        gen_embeds = params["embed"][tokens]
+        # embed_tokens (not raw rows): gemma-3 carries the sqrt(H) scale in
+        # the LOOKUP, exactly like HF generate embeds continuation tokens
+        gen_embeds = llama.embed_tokens(cfg, params, tokens)
         full = jnp.concatenate([embeds, gen_embeds], axis=1)
         logits = llama.forward(cfg, params, full)
         for b in range(B):

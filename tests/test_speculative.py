@@ -176,6 +176,7 @@ def test_model_draft_is_target():
     (llama.tiny_qwen3_config, {}),
     (llama.tiny_olmo2_config, {}),
     (llama.tiny_granite_config, {}),
+    (llama.tiny_gemma3_config, {}),
 ])
 def test_families(cfg_fn, extra):
     cfg, params = make_model(seed=17, cfg_fn=cfg_fn, **extra)

@@ -175,7 +175,7 @@ def test_bulk_on_device_under_tp_mesh():
 
 
 @pytest.mark.parametrize("family", ["qwen2", "gemma2", "qwen3", "olmo2",
-                                    "granite"])
+                                    "granite", "gemma3"])
 def test_streaming_families_match_batch_path(family):
     """The engine shares _decode_step_bl with the batch path, so family
     features (qwen2 qkv biases; gemma-2 GeGLU/post-block norms/softcap/
@@ -185,7 +185,10 @@ def test_streaming_families_match_batch_path(family):
 
     maker = {"qwen2": llama.tiny_qwen2_config, "gemma2": llama.tiny_gemma2_config,
              "qwen3": llama.tiny_qwen3_config, "olmo2": llama.tiny_olmo2_config,
-             "granite": llama.tiny_granite_config}
+             "granite": llama.tiny_granite_config,
+             # gemma3's default window 8 BINDS here (T=4 + budget 6): the
+             # ring engine exercises dual rope AND per-slot lookback masks
+             "gemma3": llama.tiny_gemma3_config}
     cfg = maker[family](vocab_size=64, hidden_size=32, n_layers=2,
                         n_heads=4, n_kv=2, intermediate=64)
     cfg = dataclasses.replace(cfg, eos_token_ids=(5,))
