@@ -412,14 +412,74 @@ def _spec_setup(cfg, params, prefill_params, inputs_embeds, max_new_tokens,
     return core, eos, T, max_rounds
 
 
+def _draft_steps_greedy(draft_cfg, draft_params, last, done, out_pos, kv_d,
+                        valid_d, rp_d, rd, Td, k, d_sliding):
+    """k+1 greedy single-token draft steps: consume [last, p_1..p_k], write
+    their KVs at physical rows rd..rd+k, emit proposals p_1..p_k [k, B].
+    Shared by the batch loop (monotone rd) and the slot engine (ring rd)."""
+    live = ~done
+    dpos0 = Td + out_pos - 1  # [B]
+    B = last.shape[0]
+    props0 = jnp.zeros((k, B), jnp.int32)
+
+    def step(j, carry):
+        cur, kv_d, valid_d, rp_d, props = carry
+        pos = dpos0 + j
+        row = rd + j
+        valid_d, rp_d = _stamp_rows(
+            valid_d, rp_d, row, 1, live, pos[None, :]
+        )
+        bias = jnp.where(
+            valid_d & (rp_d <= pos[None, :]), 0.0, NEG
+        )  # [Sd, B]
+        bias_sw = None
+        if d_sliding:
+            in_win = (pos[None, :] - rp_d) < draft_cfg.sliding_window
+            bias_sw = jnp.where(
+                valid_d & (rp_d <= pos[None, :]) & in_win, 0.0, NEG
+            )
+        h = llama.scale_embeds(
+            draft_cfg,
+            llama.embed_tokens(draft_cfg, draft_params, cur)
+            .T.astype(draft_cfg.dtype),
+        )
+        cos, sin = llama.rope_tables(draft_cfg, pos)  # [B, hd]
+        rl = None
+        if llama.rope_dual(draft_cfg):
+            cl, sl = llama.rope_tables(draft_cfg, pos, local=True)
+            rl = (cl.T, sl.T)
+        logits, kv_d = dec._decode_step_bl(
+            draft_cfg, draft_params, h, kv_d, pos, bias,
+            rope=(cos.T, sin.T), write_row=row, bias_sw=bias_sw,
+            rope_local=rl,
+        )
+        nxt = jnp.argmax(logits, axis=0).astype(jnp.int32)
+        props = jnp.where(
+            (jnp.arange(k)[:, None] == j), nxt[None, :], props
+        ) if k > 0 else props
+        return nxt, kv_d, valid_d, rp_d, props
+
+    _, kv_d, valid_d, rp_d, props = jax.lax.fori_loop(
+        0, k + 1, step, (last, kv_d, valid_d, rp_d, props0)
+    )
+    return props, kv_d, valid_d, rp_d
+
+
 def _verify_round(cfg, params, core, props, rnd, k, T, budget, pad_token_id,
-                  eos, sliding_on):
-    """Target side of one round: verify [last, props] and advance."""
+                  eos, sliding_on, rt=None):
+    """Target side of one round: verify [last, props] and advance.
+
+    rt: physical row for this round's k+1 cache rows; defaults to the
+    batch loop's monotone layout T + rnd*(k+1).  The slot engine passes a
+    RING row instead (rnd mod (budget-1) slots of width k+1 — a tenant
+    lives at most budget-1 rounds, so the wrap never lands on its own
+    still-valid rows)."""
     B = core.last.shape[0]
     live = ~core.done
     pos = T + core.out_pos - 1  # [B] logical position of `last`
     qpos = pos[None, :] + jnp.arange(k + 1)[:, None]  # [P, B]
-    rt = T + rnd * (k + 1)
+    if rt is None:
+        rt = T + rnd * (k + 1)
 
     in_tokens = jnp.concatenate([core.last[None, :], props], axis=0)  # [P, B]
     h = llama.scale_embeds(
@@ -511,52 +571,10 @@ def speculative_generate_bl(
     d_sliding = llama.sliding_effective(draft_cfg, Td + budget)
 
     def draft_propose(core, kv_d, valid_d, rp_d, rnd):
-        """k+1 single-token draft steps: consume [last, p_1..p_k], write
-        their KVs at physical rows rd..rd+k, emit proposals p_1..p_k."""
-        live = ~core.done
-        dpos0 = Td + core.out_pos - 1  # [B]
         rd = Td + rnd * (k + 1)
-        props0 = jnp.zeros((k, B), jnp.int32)
-
-        def step(j, carry):
-            cur, kv_d, valid_d, rp_d, props = carry
-            pos = dpos0 + j
-            row = rd + j
-            valid_d, rp_d = _stamp_rows(
-                valid_d, rp_d, row, 1, live, pos[None, :]
-            )
-            bias = jnp.where(
-                valid_d & (rp_d <= pos[None, :]), 0.0, NEG
-            )  # [Sd, B]
-            bias_sw = None
-            if d_sliding:
-                in_win = (pos[None, :] - rp_d) < draft_cfg.sliding_window
-                bias_sw = jnp.where(
-                    valid_d & (rp_d <= pos[None, :]) & in_win, 0.0, NEG
-                )
-            h = llama.scale_embeds(
-                draft_cfg,
-                llama.embed_tokens(draft_cfg, draft_params, cur)
-                .T.astype(draft_cfg.dtype),
-            )
-            cos, sin = llama.rope_tables(draft_cfg, pos)  # [B, hd]
-            rl = None
-            if llama.rope_dual(draft_cfg):
-                cl, sl = llama.rope_tables(draft_cfg, pos, local=True)
-                rl = (cl.T, sl.T)
-            logits, kv_d = dec._decode_step_bl(
-                draft_cfg, draft_params, h, kv_d, pos, bias,
-                rope=(cos.T, sin.T), write_row=row, bias_sw=bias_sw,
-                rope_local=rl,
-            )
-            nxt = jnp.argmax(logits, axis=0).astype(jnp.int32)
-            props = jnp.where(
-                (jnp.arange(k)[:, None] == j), nxt[None, :], props
-            ) if k > 0 else props
-            return nxt, kv_d, valid_d, rp_d, props
-
-        _, kv_d, valid_d, rp_d, props = jax.lax.fori_loop(
-            0, k + 1, step, (core.last, kv_d, valid_d, rp_d, props0)
+        props, kv_d, valid_d, rp_d = _draft_steps_greedy(
+            draft_cfg, draft_params, core.last, core.done, core.out_pos,
+            kv_d, valid_d, rp_d, rd, Td, k, d_sliding,
         )
         return props, kv_d, valid_d, rp_d, rd
 
@@ -930,3 +948,254 @@ def speculative_sample_bl(
         cond, body, (jnp.zeros((), jnp.int32), core, kv_d, valid_d, rp_d)
     )
     return core.tokens, rnd
+
+
+# ---------------------------------------------------------------------------
+# Speculative continuous batching: the bulk slot engine (streaming.py's
+# on-device admission skeleton) running draft-verify rounds instead of
+# single-token steps.  Fully on-device: a lax.while_loop advances every
+# slot one ROUND (k drafts + one k+1-position verify) per iteration;
+# whenever >= `chunk` slots are free and requests remain, a lax.cond
+# branch flushes the outgoing tenants and prefills + installs the next
+# chunk into both the target and draft pools.  Greedy rejection keeps the
+# engine TOKEN-IDENTICAL to the batch captioner for any draft.
+#
+# Cache rows ride a ring of budget-1 round-slots of width k+1: a tenant
+# lives at most budget-1 rounds (every round emits >= 1 token), so by the
+# time the ring wraps onto a row the tenant that stamped it is done, and
+# the wrap's _stamp_rows overwrites the stale valid bits for every lane.
+# ---------------------------------------------------------------------------
+
+
+class _SpecPool(NamedTuple):
+    """while_loop carry for the speculative bulk engine."""
+
+    core: _SpecCore      # target-side pool (done doubles as slot-free)
+    kv_d: jax.Array      # draft cache [Ld, 2, nkvd, Sd, hdd, B]
+    valid_d: jax.Array   # [Sd, B]
+    rp_d: jax.Array      # [Sd, B]
+    out: jax.Array       # [Nq + 1, budget] (row Nq = trash for padding)
+    slot_req: jax.Array  # [B] output row each slot flushes to
+    qptr: jax.Array      # [] next queue row to admit
+    rnd: jax.Array       # [] global round counter (ring index source)
+
+
+def _pin_spec_pool(mesh, pool: "_SpecPool") -> "_SpecPool":
+    """Shard every per-slot lane axis over the mesh's 'data' axis (the
+    same layout streaming.constrain_state pins for the plain engine); the
+    output buffer and scalars replicate.  No-op for mesh=None."""
+    if mesh is None:
+        return pool
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def pin(x, spec):
+        s = NamedSharding(mesh, spec)
+        if isinstance(x, jax.core.Tracer):
+            return jax.lax.with_sharding_constraint(x, s)
+        return jax.device_put(x, s)
+
+    core = pool.core
+    core = _SpecCore(
+        done=pin(core.done, P("data")),
+        last=pin(core.last, P("data")),
+        out_pos=pin(core.out_pos, P("data")),
+        tokens=pin(core.tokens, P("data", None)),
+        kv=pin(core.kv, P(None, None, None, None, None, "data")),
+        valid=pin(core.valid, P(None, "data")),
+        row_pos=pin(core.row_pos, P(None, "data")),
+    )
+    return pool._replace(
+        core=core,
+        kv_d=pin(pool.kv_d, P(None, None, None, None, None, "data")),
+        valid_d=pin(pool.valid_d, P(None, "data")),
+        rp_d=pin(pool.rp_d, P(None, "data")),
+        slot_req=pin(pool.slot_req, P("data")),
+    )
+
+
+@partial(jax.jit, static_argnames=(
+    "cfg", "draft_cfg", "pspec", "T", "budget", "pad_token_id", "chunk",
+    "pool", "k", "mesh"))
+def speculative_bulk_caption(
+    cfg: LlamaConfig,
+    params: dict,
+    draft_cfg: LlamaConfig,
+    draft_params: dict,
+    pspec,
+    pparams,
+    queue: jax.Array,
+    prefix_ids: jax.Array,
+    n_real: jax.Array,
+    T: int,
+    budget: int,
+    pad_token_id: int,
+    chunk: int,
+    pool: int,
+    k: int = 4,
+    prefill_params: Optional[dict] = None,
+    draft_prefill_params: Optional[dict] = None,
+    mesh=None,
+) -> jax.Array:
+    """Speculative continuous batching over a whole caption workload.
+
+    queue [Nq, mm_dim] (Nq a multiple of `chunk`; pad rows arbitrary);
+    prefix_ids [chunk, T-1]; n_real: actual request count.  Returns
+    [Nq + 1, budget] tokens (row Nq is the padding tenants' trash row;
+    callers slice [:n_real]).  Greedy only — tokens are IDENTICAL to the
+    batch captioner's for ANY draft (greedy rejection), so slot refill
+    composes freely with speculation.  The draft consumes the same
+    assembled prompt as the target (the production self-draft shares the
+    target's embedding space, serve.Captioner(speculative=k))."""
+    from dmi_tpu.models import mmmodel
+    from dmi_tpu.models import projector as proj
+
+    if k < 1:
+        raise ValueError("speculative bulk engine needs k >= 1")
+    if budget < 2:
+        raise ValueError("speculative bulk engine needs budget >= 2")
+    if not 1 <= chunk <= pool:
+        # chunk > pool would leave the admission condition (free >= chunk)
+        # forever false: an UNTERMINATING on-device while_loop
+        raise ValueError(f"chunk must be in [1, pool], got {chunk}")
+    Nq, mm_dim = queue.shape
+    eos = jnp.asarray(cfg.eos_token_ids)
+    ring = budget - 1
+    S = T + (k + 1) * ring
+    Td, Sd = T, T + (k + 1) * ring
+    sliding_on = llama.sliding_effective(cfg, T + budget)
+    d_sliding = llama.sliding_effective(draft_cfg, Td + budget)
+    pp = params if prefill_params is None else prefill_params
+    dpp = draft_params if draft_prefill_params is None else draft_prefill_params
+
+    def kv_shape(c, s):
+        return (c.num_hidden_layers, 2, c.num_key_value_heads, s,
+                c.head_dim, pool)
+
+    core0 = _SpecCore(
+        done=jnp.ones((pool,), bool),  # free slots
+        last=jnp.zeros((pool,), jnp.int32),
+        out_pos=jnp.zeros((pool,), jnp.int32),
+        tokens=jnp.full((pool, budget), pad_token_id, jnp.int32),
+        kv=jnp.zeros(kv_shape(cfg, S), cfg.dtype),
+        valid=jnp.zeros((S, pool), bool),
+        row_pos=jnp.broadcast_to(
+            jnp.minimum(jnp.arange(S), T - 1)[:, None].astype(jnp.int32),
+            (S, pool),
+        ),
+    )
+    state0 = _SpecPool(
+        core=core0,
+        kv_d=jnp.zeros(kv_shape(draft_cfg, Sd), draft_cfg.dtype),
+        valid_d=jnp.zeros((Sd, pool), bool),
+        rp_d=jnp.broadcast_to(
+            jnp.minimum(jnp.arange(Sd), Td - 1)[:, None].astype(jnp.int32),
+            (Sd, pool),
+        ),
+        out=jnp.full((Nq + 1, budget), pad_token_id, jnp.int32),
+        slot_req=jnp.full((pool,), Nq, jnp.int32),
+        qptr=jnp.zeros((), jnp.int32),
+        rnd=jnp.zeros((), jnp.int32),
+    )
+    # pin the dp sharding on the INITIAL carry; GSPMD propagates it
+    state0 = _pin_spec_pool(mesh, state0)
+
+    def admit(state):
+        core = state.core
+        order = jnp.argsort(~core.done)  # free (done) slots first
+        slots = order[:chunk]
+        # flush outgoing tenants (never-used slots flush pad to trash)
+        out = state.out.at[state.slot_req[slots]].set(core.tokens[slots])
+        embs = jax.lax.dynamic_slice(queue, (state.qptr, 0), (chunk, mm_dim))
+        fresh = (state.qptr + jnp.arange(chunk)) < n_real  # [chunk]
+        req = jnp.where(
+            fresh, state.qptr + jnp.arange(chunk), Nq
+        ).astype(jnp.int32)
+
+        soft = proj.apply(pspec, pparams, embs, train=False)
+        inputs = mmmodel.assemble_prompt(cfg, pp, soft, prefix_ids)
+        caches = dec.init_cache(cfg, chunk, T)
+        logits0, caches = dec.prefill(cfg, pp, inputs, caches)
+        chunk_kv = jnp.stack(
+            [caches[0].transpose(0, 2, 3, 4, 1),
+             caches[1].transpose(0, 2, 3, 4, 1)], axis=1,
+        )
+        d_caches = dec.init_cache(draft_cfg, chunk, Td)
+        _, d_caches = dec.prefill(draft_cfg, dpp, inputs, d_caches)
+        chunk_kv_d = jnp.stack(
+            [d_caches[0].transpose(0, 2, 3, 4, 1),
+             d_caches[1].transpose(0, 2, 3, 4, 1)], axis=1,
+        )
+
+        tok0 = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
+        done0 = ~fresh | jnp.isin(tok0, eos)
+        fresh_tokens = jnp.full((chunk, budget), pad_token_id, jnp.int32)
+        fresh_tokens = fresh_tokens.at[:, 0].set(
+            jnp.where(fresh, tok0, pad_token_id)
+        )
+        col = jnp.concatenate(
+            [jnp.ones((T, chunk), bool), jnp.zeros((S - T, chunk), bool)],
+            axis=0,
+        )
+        col_d = jnp.concatenate(
+            [jnp.ones((Td, chunk), bool), jnp.zeros((Sd - Td, chunk), bool)],
+            axis=0,
+        )
+        keep = ~fresh  # padding rows keep the (already dead) slot's state
+        core = _SpecCore(
+            done=core.done.at[slots].set(jnp.where(keep, core.done[slots],
+                                                   done0)),
+            last=core.last.at[slots].set(jnp.where(keep, core.last[slots],
+                                                   tok0)),
+            out_pos=core.out_pos.at[slots].set(
+                jnp.where(keep, core.out_pos[slots], 1)
+            ),
+            tokens=core.tokens.at[slots].set(
+                jnp.where(keep[:, None], core.tokens[slots], fresh_tokens)
+            ),
+            kv=core.kv.at[:, :, :, :T, :, slots].set(chunk_kv),
+            valid=core.valid.at[:, slots].set(
+                jnp.where(fresh[None, :], col, core.valid[:, slots])
+            ),
+            # row_pos untouched: prompt rows are position-identical for
+            # every tenant; generated rows are stamped at write time
+            row_pos=core.row_pos,
+        )
+        return state._replace(
+            core=core,
+            kv_d=state.kv_d.at[:, :, :, :Td, :, slots].set(chunk_kv_d),
+            valid_d=state.valid_d.at[:, slots].set(
+                jnp.where(fresh[None, :], col_d, state.valid_d[:, slots])
+            ),
+            out=out,
+            slot_req=state.slot_req.at[slots].set(req),
+            qptr=state.qptr + chunk,
+        )
+
+    def cond(state):
+        return jnp.any(~state.core.done) | (state.qptr < n_real)
+
+    def body(state):
+        free = jnp.sum(state.core.done)
+        do_admit = (free >= chunk) & (state.qptr < n_real)
+        state = jax.lax.cond(do_admit, admit, lambda s: s, state)
+
+        rt = T + (state.rnd % ring) * (k + 1)
+        rd = Td + (state.rnd % ring) * (k + 1)
+        core = state.core
+        props, kv_d, valid_d, rp_d = _draft_steps_greedy(
+            draft_cfg, draft_params, core.last, core.done, core.out_pos,
+            state.kv_d, state.valid_d, state.rp_d, rd, Td, k, d_sliding,
+        )
+        core, n_acc = _verify_round(
+            cfg, params, core, props, state.rnd, k, T, budget, pad_token_id,
+            eos, sliding_on, rt=rt,
+        )
+        valid_d = _retract_rows(valid_d, rd, k, n_acc)
+        return state._replace(
+            core=core, kv_d=kv_d, valid_d=valid_d, rp_d=rp_d,
+            rnd=state.rnd + 1,
+        )
+
+    state = jax.lax.while_loop(cond, body, state0)
+    # final flush of every remaining tenant
+    return state.out.at[state.slot_req].set(state.core.tokens)

@@ -302,6 +302,40 @@ class Captioner:
         # same postprocessing as the batch path (no extra stripping)
         return self.tokenizer.batch_decode(toks, skip_special_tokens=True)
 
+    def _caption_bulk_spec(self, embeddings: np.ndarray) -> List[str]:
+        """Speculative continuous batching (greedy): the bulk slot engine
+        running draft-verify rounds — token-identical to the batch
+        speculative path AND to plain greedy (greedy rejection), with
+        finished lanes refilled mid-flight (speculative.py's
+        speculative_bulk_caption)."""
+        from dmi_tpu.models.speculative import speculative_bulk_caption
+
+        N = embeddings.shape[0]
+        if N == 0:
+            return []
+        M = max(1, min(64, self.batch_size // 4))
+        pool = max(M, self.batch_size)
+        # power-of-two chunk bucketing, like StreamingCaptioner.run_bulk:
+        # O(log N) compiled variants, not one per workload size
+        chunks = max(1, -(-N // M))
+        Nq = M * (1 << (chunks - 1).bit_length() if chunks > 1 else 1)
+        q = np.zeros((Nq, embeddings.shape[1]), np.float32)
+        q[:N] = np.asarray(
+            l2_normalize(jnp.asarray(embeddings, jnp.float32))
+        )
+        prefix_chunk = jnp.tile(self._prefix[:1], (M, 1))
+        toks = speculative_bulk_caption(
+            self.llm_cfg, self.llm_params, self.llm_cfg, self.draft_params,
+            self.proj_spec, self.proj_params, jnp.asarray(q), prefix_chunk,
+            jnp.asarray(N, jnp.int32), 1 + int(self._prefix.shape[1]),
+            self.max_new_tokens, self.tokenizer.pad_token_id, M, pool,
+            k=self.spec_k, prefill_params=self.llm_params_prefill,
+            draft_prefill_params=self.draft_prefill_params, mesh=self.mesh,
+        )
+        return self.tokenizer.batch_decode(
+            np.asarray(toks)[:N], skip_special_tokens=True
+        )
+
     def caption(
         self,
         embeddings: np.ndarray,
@@ -338,14 +372,19 @@ class Captioner:
         if engine not in ("auto", "batch", "bulk"):
             raise ValueError(f"unknown engine {engine!r}")
         if self.spec_k:
-            # the draft-verify loop (greedy AND sampling) is a batch-path
-            # program (speculative.py manages its own cache rows; the bulk
-            # engine's slot refill doesn't compose with it)
             if engine == "bulk":
-                raise ValueError(
-                    "speculative=k serves on the batch path; engine='bulk' "
-                    "is not supported with a draft"
-                )
+                if temperature is not None:
+                    # the stochastic draft-verify loop is a batch-path
+                    # program (the acceptance RNG ages are slot-history
+                    # dependent; refill composition is greedy-only)
+                    raise ValueError(
+                        "speculative sampling serves on the batch path; "
+                        "engine='bulk' with a draft is greedy-only"
+                    )
+                self.engine_decision = ("bulk", "explicit (speculative)")
+                return self._caption_bulk_spec(embeddings)
+            # auto keeps the batch path: the regime probe's length model
+            # is calibrated for the plain engines
             engine = "batch"
         decision, reason, probe = engine, "explicit", False
         if engine == "auto":

@@ -272,8 +272,16 @@ def test_captioner_speculative(trained):
     # stochastic path serves through speculative sampling (distribution-
     # preserving rejection; tests/test_speculative.py pins the math)
     assert len(cap.caption(embs[:4], temperature=2.0, seed=1)) == 4
-    with pytest.raises(ValueError, match="bulk"):
-        cap.caption(embs, engine="bulk")
+    # greedy speculative serves on the BULK engine too (slot refill +
+    # draft-verify rounds; token parity pinned in tests/test_speculative.py
+    # — here just the near-tied-logits determinism caveat applies)
+    bulk = cap.caption(embs, engine="bulk")
+    assert cap.engine_decision == ("bulk", "explicit (speculative)")
+    assert len(bulk) == 6 and all(isinstance(c, str) for c in bulk)
+    assert bulk == cap.caption(embs, engine="bulk")  # deterministic
+    # speculative sampling remains batch-only
+    with pytest.raises(ValueError, match="greedy-only"):
+        cap.caption(embs, temperature=1.5, engine="bulk")
 
 
 def test_captioner_speculative_w4a8_target_raises(trained):

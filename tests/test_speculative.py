@@ -370,3 +370,116 @@ def test_sample_quantized_draft_distribution():
     # key-noise at n=3072, support 17 is ~0.02-0.04; a wrong acceptance
     # rule shifts mass by O(0.1+)
     assert got <= max(2.0 * cal, 0.02) + 0.02, (got, cal)
+
+
+# --------------------------- speculative bulk engine ------------------------
+
+from dmi_tpu.models import mmmodel  # noqa: E402
+from dmi_tpu.models import projector as proj  # noqa: E402
+from dmi_tpu.models.speculative import speculative_bulk_caption  # noqa: E402
+
+
+def _pool_setup(seed=0, eos=(5,), cfg_fn=llama.tiny_config, **extra):
+    cfg = cfg_fn(vocab_size=64, hidden_size=32, n_layers=2, n_heads=4,
+                 n_kv=2, intermediate=64, **extra)
+    cfg = dataclasses.replace(cfg, eos_token_ids=tuple(eos))
+    params = llama.init(jax.random.key(seed), cfg)
+    pspec = proj.ProjectorSpec(mm_dim=16, lm_dim=32, n_layers=2, dropout=0.0)
+    pparams = proj.init(jax.random.key(seed + 1), pspec)
+    prefix = np.asarray([3, 7, 9], np.int32)
+    return cfg, params, pspec, pparams, prefix
+
+
+def _batch_oracle(cfg, params, pspec, pparams, prefix, embs, budget):
+    soft = proj.apply(pspec, pparams, jnp.asarray(embs), train=False)
+    prefix_ids = jnp.tile(jnp.asarray(prefix)[None, :], (embs.shape[0], 1))
+    return np.asarray(
+        mmmodel.caption_generate(cfg, params, soft, prefix_ids, budget, PAD)
+    )
+
+
+def _run_spec_bulk(cfg, params, draft_cfg, draft_params, pspec, pparams,
+                   prefix, embs, budget, chunk, pool, k, **kw):
+    N = embs.shape[0]
+    Nq = chunk * max(1, -(-N // chunk))
+    q = np.zeros((Nq, embs.shape[1]), np.float32)
+    q[:N] = embs
+    prefix_chunk = jnp.tile(jnp.asarray(prefix)[None, :], (chunk, 1))
+    toks = speculative_bulk_caption(
+        cfg, params, draft_cfg, draft_params, pspec, pparams,
+        jnp.asarray(q), prefix_chunk, jnp.asarray(N, jnp.int32),
+        1 + len(prefix), budget, PAD, chunk, pool, k=k, **kw,
+    )
+    return np.asarray(toks)[:N]
+
+
+@pytest.mark.parametrize("pool,chunk,k,budget", [
+    (5, 2, 3, 7),   # refills + staggered EOS
+    (9, 4, 2, 5),   # ring = 4: ~6 generations of tenants wrap it repeatedly
+    (4, 4, 1, 6),
+])
+def test_spec_bulk_matches_batch_path(pool, chunk, k, budget):
+    """The speculative slot engine (draft-verify rounds + slot refill over
+    the row ring) is token-identical to the batch captioner: self-draft
+    (full acceptance) and a W4A8 draft (partial acceptance, greedy
+    rejection) both reproduce plain greedy for every request."""
+    from dmi_tpu.models.quant import quantize_llama
+
+    cfg, params, pspec, pparams, prefix = _pool_setup(seed=21)
+    N = 23
+    embs = np.random.default_rng(22).normal(size=(N, 16)).astype(np.float32)
+    want = _batch_oracle(cfg, params, pspec, pparams, prefix, embs, budget)
+
+    got_self = _run_spec_bulk(cfg, params, cfg, params, pspec, pparams,
+                              prefix, embs, budget, chunk, pool, k)
+    np.testing.assert_array_equal(got_self, want)
+
+    draft = quantize_llama(params, bits=4)
+    got_q = _run_spec_bulk(cfg, params, cfg, draft, pspec, pparams, prefix,
+                           embs, budget, chunk, pool, k,
+                           draft_prefill_params=params)
+    np.testing.assert_array_equal(got_q, want)
+
+
+def test_spec_bulk_sliding_family():
+    """gemma-2 with a BINDING window (T=4 + budget 8 > window 4): the
+    engine's ring row_pos lookback masks must reproduce the batch path."""
+    cfg, params, pspec, pparams, prefix = _pool_setup(
+        seed=23, cfg_fn=llama.tiny_gemma2_config, sliding_window=4,
+    )
+    budget = 8
+    assert llama.sliding_effective(cfg, 4 + budget)
+    N, chunk, pool, k = 11, 2, 5, 2
+    embs = np.random.default_rng(24).normal(size=(N, 16)).astype(np.float32)
+    want = _batch_oracle(cfg, params, pspec, pparams, prefix, embs, budget)
+    got = _run_spec_bulk(cfg, params, cfg, params, pspec, pparams, prefix,
+                         embs, budget, chunk, pool, k)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_spec_bulk_no_eos_and_empty():
+    """EOS disabled: every tenant runs the full budget (maximum ring
+    pressure); zero-request workloads return the trash row only."""
+    cfg, params, pspec, pparams, prefix = _pool_setup(seed=25, eos=())
+    budget = 5
+    N, chunk, pool, k = 9, 3, 3, 2
+    embs = np.random.default_rng(26).normal(size=(N, 16)).astype(np.float32)
+    want = _batch_oracle(cfg, params, pspec, pparams, prefix, embs, budget)
+    got = _run_spec_bulk(cfg, params, cfg, params, pspec, pparams, prefix,
+                         embs, budget, chunk, pool, k)
+    np.testing.assert_array_equal(got, want)
+
+    got0 = _run_spec_bulk(cfg, params, cfg, params, pspec, pparams, prefix,
+                          embs[:0], budget, chunk, pool, k)
+    assert got0.shape == (0, budget)
+
+
+def test_spec_bulk_guards():
+    cfg, params, pspec, pparams, prefix = _pool_setup(seed=27)
+    embs = np.zeros((4, 16), np.float32)
+    with pytest.raises(ValueError, match="chunk"):
+        _run_spec_bulk(cfg, params, cfg, params, pspec, pparams, prefix,
+                       embs, 6, chunk=5, pool=4, k=2)
+    with pytest.raises(ValueError, match="budget"):
+        _run_spec_bulk(cfg, params, cfg, params, pspec, pparams, prefix,
+                       embs, 1, chunk=2, pool=4, k=2)
