@@ -36,7 +36,7 @@ timeout 3000 env DMI_BENCH_MODEL=3b python bench.py | tee /tmp/bench_3b.json
 echo "== stage-2 coalesce A/B (k=5,8) =="
 timeout 3000 python scripts/profile_coalesce.py --ks 5,8 | tee /tmp/coalesce.json
 
-echo "== speculative verify-side ceiling (oracle draft) + w4a8 self-draft =="
-timeout 3000 python scripts/profile_speculative.py --self-draft | tee /tmp/speculative.json
+echo "== speculative verify-side ceiling (oracle draft) + w4a8 self-draft + bulk engine =="
+timeout 3000 python scripts/profile_speculative.py --self-draft --bulk | tee /tmp/speculative.json
 
 echo "done — record results in BASELINE.md and commit"

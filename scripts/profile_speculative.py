@@ -29,9 +29,17 @@ with whatever acceptance random-init weights yield (real checkpoints
 should accept more: quantization perturbs ties, trained logits are
 better separated).
 
+--bulk additionally measures the CONTINUOUS-BATCHING composition on a
+4x-pool workload: the plain bulk slot engine (streaming.bulk_caption)
+vs the speculative bulk engine (speculative_bulk_caption, W4A8
+self-draft) — the engine overheads (admission cond, ring bookkeeping)
+ride along, so this is the end-to-end serving number rather than the
+verify-side ceiling.  EOS is disabled, so refill buys nothing here and
+any win is pure speculation; real workloads add the refill term on top.
+
 Usage: python scripts/profile_speculative.py [--batches 8,32,64]
        [--k 4] [--periods 0,3,1] [--budget 22] [--iters 5] [--small]
-       [--self-draft]
+       [--self-draft] [--bulk]
 Prints one JSON object.  Run with the host otherwise idle.
 """
 
@@ -58,6 +66,7 @@ def main():
     ap.add_argument("--prefix", type=int, default=32)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--self-draft", action="store_true")
+    ap.add_argument("--bulk", action="store_true")
     ap.add_argument("--small", action="store_true")
     args = ap.parse_args()
 
@@ -154,6 +163,48 @@ def main():
             out[f"b{B}_w4draft_exact"] = bool(
                 np.array_equal(np.asarray(toks), np.asarray(g_toks))
             )
+
+        if args.bulk:
+            from dmi_tpu.models import projector as proj
+            from dmi_tpu.models.quant import quantize_llama
+            from dmi_tpu.models.speculative import speculative_bulk_caption
+            from dmi_tpu.streaming import StreamingCaptioner
+
+            if draft_params is None:
+                draft_params = quantize_llama(params, bits=4)
+            mm_dim = 64
+            pspec = proj.ProjectorSpec(mm_dim=mm_dim, lm_dim=cfg.hidden_size,
+                                       n_layers=2, dropout=0.0)
+            pparams = proj.init(jax.random.key(1), pspec)
+            # same prompt length as the batch legs: soft token + T-1 prefix
+            prefix_np = rng.integers(
+                1, cfg.vocab_size - 1, size=(T - 1,)
+            ).astype(np.int32)
+            N = 4 * B
+            chunk = max(1, B // 4)
+            q_embs = rng.normal(size=(N, mm_dim)).astype(np.float32)
+            eng = StreamingCaptioner(
+                cfg, params, pspec, pparams, prefix_np, budget, 0,
+                pool=max(2, B), admit=chunk,
+            )
+            pb_ms, _ = measure(lambda: eng.run_bulk(q_embs))
+            out[f"b{B}_bulk_plain_cps"] = round(N / pb_ms, 1)
+
+            Nq = chunk * (-(-N // chunk))
+            q = np.zeros((Nq, mm_dim), np.float32)
+            q[:N] = q_embs
+            qj = jnp.asarray(q)
+            prefix_chunk = jnp.tile(jnp.asarray(prefix_np)[None, :],
+                                    (chunk, 1))
+            sb_ms, r = measure(
+                lambda: speculative_bulk_caption(
+                    cfg, params, cfg, draft_params, pspec, pparams, qj,
+                    prefix_chunk, jnp.asarray(N, jnp.int32), T, budget, 0,
+                    chunk, max(2, B), k=k, draft_prefill_params=params,
+                )
+            )
+            out[f"b{B}_bulk_spec_cps"] = round(N / sb_ms, 1)
+            out[f"b{B}_bulk_spec_speedup"] = round(pb_ms / sb_ms, 3)
 
     print(json.dumps(out))
 
