@@ -714,17 +714,90 @@ def _spec_keys(base_key, req_ids, budget, ages):
     )(flat_req, flat_age)
 
 
+def _draft_steps_sample(draft_cfg, draft_params, last, done, out_pos, kv_d,
+                        valid_d, rp_d, rd, Td, k, d_sliding, base_key,
+                        req_ids, budget, temperature, top_k, top_p):
+    """k+1 stochastic single-token draft steps at physical rows rd..rd+k;
+    proposal j is SAMPLED from the draft's warped distribution with the
+    plain path's own key K(out_pos + j); the full warped q vectors are
+    recorded for the verify side's acceptance/residual math.  Returns
+    (props [k, B], q_w [V, k, B], kv_d, valid_d, rp_d).  Shared by the
+    batch loop (monotone rd) and the slot engine (ring rd)."""
+    live = ~done
+    dpos0 = Td + out_pos - 1
+    B = last.shape[0]
+    Vd = draft_cfg.vocab_size
+    props0 = jnp.zeros((k, B), jnp.int32)
+    q0 = jnp.zeros((k, Vd, B), jnp.float32)
+
+    def step(j, carry):
+        cur, kv_d, valid_d, rp_d, props, q_buf = carry
+        pos = dpos0 + j
+        row = rd + j
+        valid_d, rp_d = _stamp_rows(
+            valid_d, rp_d, row, 1, live, pos[None, :]
+        )
+        bias = jnp.where(valid_d & (rp_d <= pos[None, :]), 0.0, NEG)
+        bias_sw = None
+        if d_sliding:
+            in_win = (pos[None, :] - rp_d) < draft_cfg.sliding_window
+            bias_sw = jnp.where(
+                valid_d & (rp_d <= pos[None, :]) & in_win, 0.0, NEG
+            )
+        h = llama.scale_embeds(
+            draft_cfg,
+            llama.embed_tokens(draft_cfg, draft_params, cur)
+            .T.astype(draft_cfg.dtype),
+        )
+        cos, sin = llama.rope_tables(draft_cfg, pos)
+        rl = None
+        if llama.rope_dual(draft_cfg):
+            cl, sl = llama.rope_tables(draft_cfg, pos, local=True)
+            rl = (cl.T, sl.T)
+        logits, kv_d = dec._decode_step_bl(
+            draft_cfg, draft_params, h, kv_d, pos, bias,
+            rope=(cos.T, sin.T), write_row=row, bias_sw=bias_sw,
+            rope_local=rl,
+        )
+        w_d = dec._warp_bl(
+            llama.final_softcap(draft_cfg, logits), temperature, top_k,
+            top_p,
+        )  # [Vd, B] f32
+        # proposal j lands at output age out_pos + j; the j == k step
+        # only writes KV (its draw is discarded — clamp the age so no
+        # fresh key is consumed)
+        age = out_pos + jnp.minimum(j, k - 1)
+        keys = _spec_keys(base_key, req_ids, budget, age[None, :])
+        nxt = jax.vmap(jax.random.categorical)(keys, w_d.T).astype(
+            jnp.int32
+        )
+        q_w = jax.nn.softmax(w_d, axis=0)
+        props = jnp.where(jnp.arange(k)[:, None] == j, nxt[None, :],
+                          props)
+        q_buf = jnp.where(
+            (jnp.arange(k)[:, None, None] == j), q_w[None], q_buf
+        )
+        return nxt, kv_d, valid_d, rp_d, props, q_buf
+
+    _, kv_d, valid_d, rp_d, props, q_buf = jax.lax.fori_loop(
+        0, k + 1, step, (last, kv_d, valid_d, rp_d, props0, q0)
+    )
+    return props, jnp.moveaxis(q_buf, 1, 0), kv_d, valid_d, rp_d
+
+
 def _verify_round_sample(cfg, params, core, props, q_w, rnd, k, T, budget,
                          pad_token_id, eos, sliding_on, base_key, req_ids,
-                         temperature, top_k, top_p):
+                         temperature, top_k, top_p, rt=None):
     """Target side of one stochastic round: verify [last, props], accept
     by p/q rejection, emit residual/bonus draws.  q_w [V, k, B]: the
-    draft's warped probability vectors for its k proposals."""
+    draft's warped probability vectors for its k proposals.  rt as in
+    _verify_round (None = the batch loop's monotone row layout)."""
     B = core.last.shape[0]
     live = ~core.done
     pos = T + core.out_pos - 1
     qpos = pos[None, :] + jnp.arange(k + 1)[:, None]
-    rt = T + rnd * (k + 1)
+    if rt is None:
+        rt = T + rnd * (k + 1)
 
     in_tokens = jnp.concatenate([core.last[None, :], props], axis=0)
     h = llama.scale_embeds(
@@ -861,72 +934,15 @@ def speculative_sample_bl(
         jnp.minimum(jnp.arange(Sd), Td - 1)[:, None].astype(jnp.int32), (Sd, B)
     )
     d_sliding = llama.sliding_effective(draft_cfg, Td + budget)
-    Vd = draft_cfg.vocab_size
 
     def draft_propose(core, kv_d, valid_d, rp_d, rnd):
-        """k+1 single-token draft steps; proposal j is SAMPLED from the
-        draft's warped distribution with the plain path's own key
-        K(out_pos + j); the full warped q vectors are recorded for the
-        verify side's acceptance/residual math."""
-        live = ~core.done
-        dpos0 = Td + core.out_pos - 1
         rd = Td + rnd * (k + 1)
-        props0 = jnp.zeros((k, B), jnp.int32)
-        q0 = jnp.zeros((k, Vd, B), jnp.float32)
-
-        def step(j, carry):
-            cur, kv_d, valid_d, rp_d, props, q_buf = carry
-            pos = dpos0 + j
-            row = rd + j
-            valid_d, rp_d = _stamp_rows(
-                valid_d, rp_d, row, 1, live, pos[None, :]
-            )
-            bias = jnp.where(valid_d & (rp_d <= pos[None, :]), 0.0, NEG)
-            bias_sw = None
-            if d_sliding:
-                in_win = (pos[None, :] - rp_d) < draft_cfg.sliding_window
-                bias_sw = jnp.where(
-                    valid_d & (rp_d <= pos[None, :]) & in_win, 0.0, NEG
-                )
-            h = llama.scale_embeds(
-                draft_cfg,
-                llama.embed_tokens(draft_cfg, draft_params, cur)
-                .T.astype(draft_cfg.dtype),
-            )
-            cos, sin = llama.rope_tables(draft_cfg, pos)
-            rl = None
-            if llama.rope_dual(draft_cfg):
-                cl, sl = llama.rope_tables(draft_cfg, pos, local=True)
-                rl = (cl.T, sl.T)
-            logits, kv_d = dec._decode_step_bl(
-                draft_cfg, draft_params, h, kv_d, pos, bias,
-                rope=(cos.T, sin.T), write_row=row, bias_sw=bias_sw,
-                rope_local=rl,
-            )
-            w_d = dec._warp_bl(
-                llama.final_softcap(draft_cfg, logits), temperature, top_k,
-                top_p,
-            )  # [Vd, B] f32
-            # proposal j lands at output age out_pos + j; the j == k step
-            # only writes KV (its draw is discarded — clamp the age so no
-            # fresh key is consumed)
-            age = core.out_pos + jnp.minimum(j, k - 1)
-            keys = _spec_keys(base_key, req_ids, budget, age[None, :])
-            nxt = jax.vmap(jax.random.categorical)(keys, w_d.T).astype(
-                jnp.int32
-            )
-            q_w = jax.nn.softmax(w_d, axis=0)
-            props = jnp.where(jnp.arange(k)[:, None] == j, nxt[None, :],
-                              props)
-            q_buf = jnp.where(
-                (jnp.arange(k)[:, None, None] == j), q_w[None], q_buf
-            )
-            return nxt, kv_d, valid_d, rp_d, props, q_buf
-
-        _, kv_d, valid_d, rp_d, props, q_buf = jax.lax.fori_loop(
-            0, k + 1, step, (core.last, kv_d, valid_d, rp_d, props0, q0)
+        props, q_w, kv_d, valid_d, rp_d = _draft_steps_sample(
+            draft_cfg, draft_params, core.last, core.done, core.out_pos,
+            kv_d, valid_d, rp_d, rd, Td, k, d_sliding, base_key, req_ids,
+            budget, temperature, top_k, top_p,
         )
-        return props, jnp.moveaxis(q_buf, 1, 0), kv_d, valid_d, rp_d, rd
+        return props, q_w, kv_d, valid_d, rp_d, rd
 
     def cond(state):
         rnd, core, _, _, _ = state
@@ -1015,7 +1031,7 @@ def _pin_spec_pool(mesh, pool: "_SpecPool") -> "_SpecPool":
 
 @partial(jax.jit, static_argnames=(
     "cfg", "draft_cfg", "pspec", "T", "budget", "pad_token_id", "chunk",
-    "pool", "k", "mesh"))
+    "pool", "k", "mesh", "sample"))
 def speculative_bulk_caption(
     cfg: LlamaConfig,
     params: dict,
@@ -1035,17 +1051,27 @@ def speculative_bulk_caption(
     prefill_params: Optional[dict] = None,
     draft_prefill_params: Optional[dict] = None,
     mesh=None,
+    sample=None,
+    sample_key: Optional[jax.Array] = None,
+    req_base=0,
 ) -> jax.Array:
     """Speculative continuous batching over a whole caption workload.
 
     queue [Nq, mm_dim] (Nq a multiple of `chunk`; pad rows arbitrary);
     prefix_ids [chunk, T-1]; n_real: actual request count.  Returns
     [Nq + 1, budget] tokens (row Nq is the padding tenants' trash row;
-    callers slice [:n_real]).  Greedy only — tokens are IDENTICAL to the
-    batch captioner's for ANY draft (greedy rejection), so slot refill
-    composes freely with speculation.  The draft consumes the same
-    assembled prompt as the target (the production self-draft shares the
-    target's embedding space, serve.Captioner(speculative=k))."""
+    callers slice [:n_real]).  Greedy by default — tokens are IDENTICAL
+    to the batch captioner's for ANY draft (greedy rejection), so slot
+    refill composes freely with speculation.  sample=(temperature, top_k,
+    top_p) switches every round to stochastic speculative sampling: all
+    draws (proposals, acceptance uniforms, residual/bonus picks) are
+    keyed by (req_base + workload row, output age), so the output is
+    BIT-IDENTICAL to the batch speculative sampler
+    (speculative_sample_bl on the same request ids) regardless of slot
+    assignment, admission order or pool size — and therefore identical
+    to the PLAIN sampler when draft == target.  The draft consumes the
+    same assembled prompt as the target (the production self-draft
+    shares the target's embedding space, serve.Captioner(speculative=k))."""
     from dmi_tpu.models import mmmodel
     from dmi_tpu.models import projector as proj
 
@@ -1057,6 +1083,15 @@ def speculative_bulk_caption(
         # chunk > pool would leave the admission condition (free >= chunk)
         # forever false: an UNTERMINATING on-device while_loop
         raise ValueError(f"chunk must be in [1, pool], got {chunk}")
+    if sample is not None:
+        if draft_cfg.vocab_size != cfg.vocab_size:
+            raise ValueError(
+                "speculative sampling compares p/q over one vocab: draft "
+                f"vocab {draft_cfg.vocab_size} != target {cfg.vocab_size}"
+            )
+        if sample_key is None:
+            sample_key = jax.random.key(0)
+        temperature, top_k, top_p = sample
     Nq, mm_dim = queue.shape
     eos = jnp.asarray(cfg.eos_token_ids)
     ring = budget - 1
@@ -1126,7 +1161,15 @@ def speculative_bulk_caption(
              d_caches[1].transpose(0, 2, 3, 4, 1)], axis=1,
         )
 
-        tok0 = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
+        if sample is None:
+            tok0 = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
+        else:
+            # token 0 (age 0) draws with the batch sampler's own
+            # (request, age) keys; trash rows (req = Nq) burn keys that no
+            # real request ever uses
+            keys0 = dec._req_keys(sample_key, req_base + req, budget, 0)
+            tok0 = dec._sample_pick_bl(logits0.T, keys0, temperature,
+                                       top_k, top_p)
         done0 = ~fresh | jnp.isin(tok0, eos)
         fresh_tokens = jnp.full((chunk, budget), pad_token_id, jnp.int32)
         fresh_tokens = fresh_tokens.at[:, 0].set(
@@ -1182,14 +1225,27 @@ def speculative_bulk_caption(
         rt = T + (state.rnd % ring) * (k + 1)
         rd = Td + (state.rnd % ring) * (k + 1)
         core = state.core
-        props, kv_d, valid_d, rp_d = _draft_steps_greedy(
-            draft_cfg, draft_params, core.last, core.done, core.out_pos,
-            state.kv_d, state.valid_d, state.rp_d, rd, Td, k, d_sliding,
-        )
-        core, n_acc = _verify_round(
-            cfg, params, core, props, state.rnd, k, T, budget, pad_token_id,
-            eos, sliding_on, rt=rt,
-        )
+        if sample is None:
+            props, kv_d, valid_d, rp_d = _draft_steps_greedy(
+                draft_cfg, draft_params, core.last, core.done, core.out_pos,
+                state.kv_d, state.valid_d, state.rp_d, rd, Td, k, d_sliding,
+            )
+            core, n_acc = _verify_round(
+                cfg, params, core, props, state.rnd, k, T, budget,
+                pad_token_id, eos, sliding_on, rt=rt,
+            )
+        else:
+            req_ids = req_base + state.slot_req
+            props, q_w, kv_d, valid_d, rp_d = _draft_steps_sample(
+                draft_cfg, draft_params, core.last, core.done, core.out_pos,
+                state.kv_d, state.valid_d, state.rp_d, rd, Td, k, d_sliding,
+                sample_key, req_ids, budget, temperature, top_k, top_p,
+            )
+            core, n_acc = _verify_round_sample(
+                cfg, params, core, props, q_w, state.rnd, k, T, budget,
+                pad_token_id, eos, sliding_on, sample_key, req_ids,
+                temperature, top_k, top_p, rt=rt,
+            )
         valid_d = _retract_rows(valid_d, rd, k, n_acc)
         return state._replace(
             core=core, kv_d=kv_d, valid_d=valid_d, rp_d=rp_d,

@@ -302,17 +302,24 @@ class Captioner:
         # same postprocessing as the batch path (no extra stripping)
         return self.tokenizer.batch_decode(toks, skip_special_tokens=True)
 
-    def _caption_bulk_spec(self, embeddings: np.ndarray) -> List[str]:
-        """Speculative continuous batching (greedy): the bulk slot engine
-        running draft-verify rounds — token-identical to the batch
-        speculative path AND to plain greedy (greedy rejection), with
-        finished lanes refilled mid-flight (speculative.py's
-        speculative_bulk_caption)."""
+    def _caption_bulk_spec(self, embeddings: np.ndarray, temperature=None,
+                           top_k=0, top_p=1.0, seed=0) -> List[str]:
+        """Speculative continuous batching: the bulk slot engine running
+        draft-verify rounds with finished lanes refilled mid-flight
+        (speculative.py's speculative_bulk_caption).  Greedy is
+        token-identical to the batch speculative path AND to plain greedy
+        (greedy rejection); sampling draws with (request, age) keys, so it
+        is bit-identical to the batch speculative sampler on the same
+        rows."""
         from dmi_tpu.models.speculative import speculative_bulk_caption
 
         N = embeddings.shape[0]
         if N == 0:
             return []
+        sample = (
+            (float(temperature), int(top_k), float(top_p))
+            if temperature is not None else None
+        )
         M = max(1, min(64, self.batch_size // 4))
         pool = max(M, self.batch_size)
         # power-of-two chunk bucketing, like StreamingCaptioner.run_bulk:
@@ -331,6 +338,7 @@ class Captioner:
             self.max_new_tokens, self.tokenizer.pad_token_id, M, pool,
             k=self.spec_k, prefill_params=self.llm_params_prefill,
             draft_prefill_params=self.draft_prefill_params, mesh=self.mesh,
+            sample=sample, sample_key=jax.random.key(seed),
         )
         return self.tokenizer.batch_decode(
             np.asarray(toks)[:N], skip_special_tokens=True
@@ -373,16 +381,13 @@ class Captioner:
             raise ValueError(f"unknown engine {engine!r}")
         if self.spec_k:
             if engine == "bulk":
-                if temperature is not None:
-                    # the stochastic draft-verify loop is a batch-path
-                    # program (the acceptance RNG ages are slot-history
-                    # dependent; refill composition is greedy-only)
-                    raise ValueError(
-                        "speculative sampling serves on the batch path; "
-                        "engine='bulk' with a draft is greedy-only"
-                    )
+                # greedy AND sampling: (request, age)-keyed draws make the
+                # engine output equal the batch speculative path row-for-row
                 self.engine_decision = ("bulk", "explicit (speculative)")
-                return self._caption_bulk_spec(embeddings)
+                return self._caption_bulk_spec(
+                    embeddings, temperature=temperature, top_k=top_k,
+                    top_p=top_p, seed=seed,
+                )
             # auto keeps the batch path: the regime probe's length model
             # is calibrated for the plain engines
             engine = "batch"

@@ -279,9 +279,11 @@ def test_captioner_speculative(trained):
     assert cap.engine_decision == ("bulk", "explicit (speculative)")
     assert len(bulk) == 6 and all(isinstance(c, str) for c in bulk)
     assert bulk == cap.caption(embs, engine="bulk")  # deterministic
-    # speculative sampling remains batch-only
-    with pytest.raises(ValueError, match="greedy-only"):
-        cap.caption(embs, temperature=1.5, engine="bulk")
+    # speculative SAMPLING is engine-invariant: (request, age)-keyed draws
+    # make the bulk engine's output equal the batch path row-for-row
+    want_s = cap.caption(embs, temperature=1.5, seed=3)
+    got_s = cap.caption(embs, temperature=1.5, seed=3, engine="bulk")
+    assert got_s == want_s
 
 
 def test_captioner_speculative_w4a8_target_raises(trained):

@@ -483,3 +483,42 @@ def test_spec_bulk_guards():
     with pytest.raises(ValueError, match="budget"):
         _run_spec_bulk(cfg, params, cfg, params, pspec, pparams, prefix,
                        embs, 1, chunk=2, pool=4, k=2)
+
+
+@pytest.mark.parametrize("temperature,top_k,top_p", [
+    (1.3, 0, 1.0),
+    (0.9, 6, 0.9),
+])
+def test_spec_bulk_sampling_matches_batch_sampler(temperature, top_k, top_p):
+    """Stochastic speculative in the SLOT ENGINE: every draw is keyed by
+    (request, age), so the engine is BIT-IDENTICAL to the batch
+    speculative sampler on the same request ids regardless of slot
+    assignment, admission order or pool size — including with a real
+    (quantized) draft whose acceptances differ per slot."""
+    from dmi_tpu.models.quant import quantize_llama
+
+    cfg, params, pspec, pparams, prefix = _pool_setup(seed=30)
+    budget, chunk, pool, k = 7, 3, 5, 2
+    N = 13
+    embs = np.random.default_rng(31).normal(size=(N, 16)).astype(np.float32)
+    key = jax.random.key(9)
+    draft = quantize_llama(params, bits=4)
+
+    # batch oracle: the whole workload in one speculative_sample_bl call
+    # with req_ids = workload rows (exactly the keys the engine derives)
+    soft = proj.apply(pspec, pparams, jnp.asarray(embs), train=False)
+    prefix_ids = jnp.tile(jnp.asarray(prefix)[None, :], (N, 1))
+    inputs = mmmodel.assemble_prompt(cfg, params, soft, prefix_ids)
+    from dmi_tpu.models.speculative import speculative_sample_bl
+    want, _ = speculative_sample_bl(
+        cfg, params, cfg, draft, inputs, inputs, budget, PAD, key,
+        temperature=temperature, top_k=top_k, top_p=top_p, k=k,
+        draft_prefill_params=params,
+    )
+
+    got = _run_spec_bulk(cfg, params, cfg, draft, pspec, pparams, prefix,
+                         embs, budget, chunk, pool, k,
+                         draft_prefill_params=params,
+                         sample=(temperature, top_k, top_p),
+                         sample_key=key)
+    np.testing.assert_array_equal(got, np.asarray(want))
