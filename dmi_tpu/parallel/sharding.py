@@ -88,9 +88,15 @@ def shard_llm_params(mesh: Mesh, params: dict) -> dict:
                 spec = P(*[None if x.shape[i] == 1 else a
                            for i, a in enumerate(spec)])
             elif k.key == "qp":
-                raise NotImplementedError(
-                    "tensor-parallel sharding of packed-int4 (w4a8) weights"
-                )
+                # K-split packed bytes (..., K/2, out): sharding is
+                # placement-only (SPMD keeps the global unpack+dot
+                # semantics), so the bf16 weight's spec applies — the
+                # packed K/2 axis shards wherever K would
+                pass
+            elif k.key == "s4g":
+                # grouped scales (..., G, out): replicate the group axis,
+                # shard the output axis like the weight's
+                spec = P(*([None] * (len(spec) - 1) + [spec[-1]]))
             else:
                 raise KeyError(f"unknown quantized leaf key {k.key!r}")
         return jax.device_put(x, NamedSharding(mesh, spec))

@@ -186,11 +186,25 @@ def test_sharded_w8a8_decode_matches_single_device(setup):
     np.testing.assert_array_equal(np.asarray(toks), np.asarray(toks1))
 
 
-def test_sharded_w4a8_raises_clear_error(setup):
+@pytest.mark.parametrize("group_size", [None, 16])
+def test_sharded_w4a8_decode_matches_single_device(setup, group_size):
+    """Packed-int4 {qp, s | s4g} leaves shard via shard_llm_params (the
+    packed K/2 axis takes the weight's spec — sharding is placement-only,
+    SPMD keeps the global unpack+dot semantics; grouped scales replicate
+    their group axis); tp + W4A8 greedy decode must match single-device."""
     from dmi_tpu.models.quant import quantize_llama
 
-    cfg, llm_params, *_ = setup
-    qp4 = quantize_llama(llm_params, bits=4)
+    cfg, llm_params, pspec, pparams, batch = setup
+    qp4 = quantize_llama(llm_params, bits=4, group_size=group_size)
+    soft1 = proj.apply(pspec, pparams, jnp.asarray(batch["embs"]), train=False)
+    toks1 = mmmodel.caption_generate(cfg, qp4, soft1, None, 4, 5,
+                                     prefill_params=llm_params)
+
     mesh = make_mesh((2, 4), platform="cpu")
-    with pytest.raises(NotImplementedError, match="packed-int4"):
-        shard_llm_params(mesh, qp4)
+    qp_s = shard_llm_params(mesh, qp4)
+    pre_s = shard_llm_params(mesh, llm_params)
+    b_s = shard_batch(mesh, {"embs": batch["embs"]})
+    soft = proj.apply(pspec, pparams, b_s["embs"], train=False)
+    toks = mmmodel.caption_generate(cfg, qp_s, soft, None, 4, 5,
+                                    prefill_params=pre_s)
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(toks1))
