@@ -479,6 +479,23 @@ def _mm_bl(w, h):
     return jax.lax.dot_general(w, h, (((0,), (0,)), ((), ())))
 
 
+def _moe_mlp_bl(cfg, lw, hn):
+    """Batch-last dense-evaluated sparse MoE: hn [H, N] -> [H, N] (N = any
+    lane count — the decode step's B or the speculative verify's (k+1)*B).
+    Same math as llama._moe_mlp; the expert axis stays leading so it
+    shards as expert parallelism."""
+    router = jax.lax.dot_general(
+        lw["w_router"], hn, (((0,), (0,)), ((), ()))
+    )  # [E, N]
+    w_e = llama.moe_gate_weights(cfg, router.T).T.astype(hn.dtype)  # [E, N]
+    g = jnp.einsum("ehi,hn->ein", lw["moe_w1"], hn)
+    u = jnp.einsum("ehi,hn->ein", lw["moe_w3"], hn)
+    y = jnp.einsum(
+        "eih,ein->ehn", lw["moe_w2"], llama.mlp_activation(cfg, g) * u
+    )
+    return jnp.sum(y * w_e[:, None, :], axis=0)
+
+
 def _decode_attention_bl(q, kc, vc, bias, scale=None, softcap=None):
     """Single-position GQA attention, batch-last.
 
@@ -619,7 +636,9 @@ def _decode_step_bl(cfg, params, h, caches, pos, bias, s_window=None,
         hn = x if cfg.norm_after else _rms_norm_bl(
             x, lw["ln_mlp"], cfg.rms_norm_eps
         )
-        if "w_gu" in lw:
+        if cfg.num_experts:  # mixtral sparse MoE (dense-evaluated)
+            mlp_out = _moe_mlp_bl(cfg, lw, hn)
+        elif "w_gu" in lw:
             gu = _mm_bl(lw["w_gu"], hn)
             gate, up = jnp.split(gu, 2, axis=0)
             mlp_out = _mm_bl(lw["w_down"], llama.mlp_activation(cfg, gate) * up)

@@ -94,6 +94,13 @@ class LlamaConfig:
     # layer_sliding flags (the same per-layer selector as the masks).
     rope_local_theta: Optional[float] = None
     rope_linear_factor: Optional[float] = None  # HF rope_scaling {"rope_type": "linear"}
+    # mixtral sparse MoE: > 0 replaces the gated MLP with num_experts
+    # experts + a top-(num_experts_per_tok) softmax router (HF
+    # MixtralSparseMoeBlock).  Evaluation is DENSE (all experts computed,
+    # combined with zero weights for unselected ones) — exact, and the
+    # expert axis shards as expert parallelism (parallel/sharding.py).
+    num_experts: int = 0
+    num_experts_per_tok: int = 2
     norm_after: bool = False              # olmo2: no pre-norms; norm block OUTPUTS
     residual_multiplier: Optional[float] = None  # granite: residual + out * m
     logit_scale: Optional[float] = None   # granite: logits / logits_scaling
@@ -203,6 +210,17 @@ def tiny_gemma2_config(sliding_window=None, **kw) -> LlamaConfig:
     )
 
 
+def tiny_mixtral_config(n_experts=4, top_k=2, **kw) -> LlamaConfig:
+    """Mixtral-family tiny config: llama attention + a sparse-MoE MLP
+    (top-k softmax router over n_experts gated-silu experts, HF
+    MixtralSparseMoeBlock semantics)."""
+    import dataclasses
+
+    return dataclasses.replace(
+        tiny_config(**kw), num_experts=n_experts, num_experts_per_tok=top_k
+    )
+
+
 def tiny_gemma3_config(sliding_window=8, **kw) -> LlamaConfig:
     """Gemma-3 (text) tiny config: gemma-2's GeGLU / (1+w) norms /
     post-block norms / sqrt(H) embedding scale WITHOUT the softcaps, plus
@@ -247,6 +265,20 @@ def init(key: jax.Array, cfg: LlamaConfig) -> dict:
     def w(k, shape, scale=0.02):
         return (jax.random.normal(k, shape, jnp.float32) * scale).astype(cfg.dtype)
 
+    if cfg.num_experts:
+        E = cfg.num_experts
+        mlp = {
+            "w_router": w(next(keys), (L, H, E)),
+            "moe_w1": w(next(keys), (L, E, H, I)),
+            "moe_w3": w(next(keys), (L, E, H, I)),
+            "moe_w2": w(next(keys), (L, E, I, H)),
+        }
+    else:
+        mlp = {
+            "w_gate": w(next(keys), (L, H, I)),
+            "w_up": w(next(keys), (L, H, I)),
+            "w_down": w(next(keys), (L, I, H)),
+        }
     params = {
         "embed": w(next(keys), (cfg.vocab_size, H)),
         "layers": {
@@ -254,9 +286,7 @@ def init(key: jax.Array, cfg: LlamaConfig) -> dict:
             "wk": w(next(keys), (L, H, nkv * hd)),
             "wv": w(next(keys), (L, H, nkv * hd)),
             "wo": w(next(keys), (L, nh * hd, H)),
-            "w_gate": w(next(keys), (L, H, I)),
-            "w_up": w(next(keys), (L, H, I)),
-            "w_down": w(next(keys), (L, I, H)),
+            **mlp,
             "ln_attn": jnp.ones((L, H), cfg.dtype),
             "ln_mlp": jnp.ones((L, H), cfg.dtype),
         },
@@ -290,9 +320,11 @@ def fuse_projections(params: dict) -> dict:
     there)."""
     layers = dict(params["layers"])
     w_qkv = jnp.concatenate([layers.pop("wq"), layers.pop("wk"), layers.pop("wv")], axis=-1)
-    w_gu = jnp.concatenate([layers.pop("w_gate"), layers.pop("w_up")], axis=-1)
     layers["w_qkv"] = w_qkv
-    layers["w_gu"] = w_gu
+    if "w_gate" in layers:  # MoE layers (mixtral) have no gate/up to fuse
+        layers["w_gu"] = jnp.concatenate(
+            [layers.pop("w_gate"), layers.pop("w_up")], axis=-1
+        )
     if "bq" in layers:  # qwen2-style qkv biases fuse the same way
         layers["b_qkv"] = jnp.concatenate(
             [layers.pop("bq"), layers.pop("bk"), layers.pop("bv")], axis=-1
@@ -348,7 +380,34 @@ def from_hf_state_dict(state_dict, cfg: LlamaConfig) -> dict:
         )
     nh, nkv, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
                    cfg.head_dim)
-    if "model.layers.0.self_attn.qkv_proj.weight" in state_dict:
+    if cfg.num_experts:
+        # mixtral sparse-MoE checkpoint layout: per-layer router +
+        # per-expert w1 (gate) / w3 (up) / w2 (down)
+        def stack_experts(fmt):
+            out = []
+            for i in range(L):
+                ws = [get(fmt.format(i, e)).T for e in range(cfg.num_experts)]
+                out.append(np.stack(ws))
+            return jnp.asarray(np.stack(out), cfg.dtype)
+
+        mlp = {
+            "w_router": stack(
+                "model.layers.{}.block_sparse_moe.gate.weight"
+            ),
+            "moe_w1": stack_experts(
+                "model.layers.{}.block_sparse_moe.experts.{}.w1.weight"
+            ),
+            "moe_w3": stack_experts(
+                "model.layers.{}.block_sparse_moe.experts.{}.w3.weight"
+            ),
+            "moe_w2": stack_experts(
+                "model.layers.{}.block_sparse_moe.experts.{}.w2.weight"
+            ),
+        }
+        wq = stack("model.layers.{}.self_attn.q_proj.weight")
+        wk = stack("model.layers.{}.self_attn.k_proj.weight")
+        wv = stack("model.layers.{}.self_attn.v_proj.weight")
+    elif "model.layers.0.self_attn.qkv_proj.weight" in state_dict:
         # phi-3 layout: the checkpoint ITSELF ships fused qkv / gate_up
         # projections (q|k|v rows, gate|up rows) — split into the unfused
         # stacked layout (shardable; fuse_projections re-fuses for serving)
@@ -358,12 +417,17 @@ def from_hf_state_dict(state_dict, cfg: LlamaConfig) -> dict:
                       qkv[:, :, nh * hd + nkv * hd :])
         gu = stack("model.layers.{}.mlp.gate_up_proj.weight")
         w_gate, w_up = jnp.split(gu, 2, axis=-1)
+        mlp = {"w_gate": w_gate, "w_up": w_up,
+               "w_down": stack("model.layers.{}.mlp.down_proj.weight")}
     else:
         wq = stack("model.layers.{}.self_attn.q_proj.weight")
         wk = stack("model.layers.{}.self_attn.k_proj.weight")
         wv = stack("model.layers.{}.self_attn.v_proj.weight")
-        w_gate = stack("model.layers.{}.mlp.gate_proj.weight")
-        w_up = stack("model.layers.{}.mlp.up_proj.weight")
+        mlp = {
+            "w_gate": stack("model.layers.{}.mlp.gate_proj.weight"),
+            "w_up": stack("model.layers.{}.mlp.up_proj.weight"),
+            "w_down": stack("model.layers.{}.mlp.down_proj.weight"),
+        }
     params = {
         "embed": jnp.asarray(get("model.embed_tokens.weight"), cfg.dtype),
         "layers": {
@@ -371,9 +435,7 @@ def from_hf_state_dict(state_dict, cfg: LlamaConfig) -> dict:
             "wk": wk,
             "wv": wv,
             "wo": stack("model.layers.{}.self_attn.o_proj.weight"),
-            "w_gate": w_gate,
-            "w_up": w_up,
-            "w_down": stack("model.layers.{}.mlp.down_proj.weight"),
+            **mlp,
             "ln_attn": norm(attn_norm_key),
             "ln_mlp": norm(pre_mlp_key),
         },
@@ -614,6 +676,35 @@ def mlp_activation(cfg: LlamaConfig, x: jax.Array) -> jax.Array:
     raise ValueError(f"unknown mlp_act {cfg.mlp_act!r}")
 
 
+def moe_gate_weights(cfg: LlamaConfig, router_logits: jax.Array) -> jax.Array:
+    """Per-token expert combination weights [..., E] from router logits
+    [..., E] — HF MixtralSparseMoeBlock semantics: softmax over experts in
+    f32, keep the top num_experts_per_tok, renormalize among the kept.
+    Unselected experts get exactly 0, so a DENSE all-expert evaluation
+    combined with these weights equals HF's sparse gather-loop."""
+    probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
+    vals, idx = jax.lax.top_k(probs, cfg.num_experts_per_tok)
+    vals = vals / jnp.sum(vals, axis=-1, keepdims=True)
+    onehot = jax.nn.one_hot(idx, cfg.num_experts, dtype=vals.dtype)
+    return jnp.sum(onehot * vals[..., None], axis=-2)  # [..., E]
+
+
+def _moe_mlp(cfg: LlamaConfig, lw: dict, h: jax.Array) -> jax.Array:
+    """Dense-evaluated sparse MoE over [B, T, H]: every expert's gated-silu
+    MLP runs (stacked einsum over the expert axis), combined with the
+    top-k router weights (zeros for unselected experts — exact).  Dense
+    evaluation trades E/top_k extra MLP FLOPs for static shapes and a
+    shardable expert axis (expert parallelism in parallel/sharding.py);
+    at caption batch sizes the decode loop is weight-stream bound, and
+    the stream reads ALL experts' weights either way."""
+    router = _mm(h, lw["w_router"])  # [B, T, E]
+    w_e = moe_gate_weights(cfg, router).astype(h.dtype)
+    g = jnp.einsum("bth,ehi->beti", h, lw["moe_w1"])
+    u = jnp.einsum("bth,ehi->beti", h, lw["moe_w3"])
+    y = jnp.einsum("beti,eih->beth", mlp_activation(cfg, g) * u, lw["moe_w2"])
+    return jnp.einsum("beth,bte->bth", y, w_e)
+
+
 def _softcap(scores, cap):
     """gemma-2 logit softcapping: cap * tanh(scores / cap), pre-mask."""
     return cap * jnp.tanh(scores / cap)
@@ -826,7 +917,9 @@ def _block(cfg: LlamaConfig, x, lw, cos, sin, bias, cache_kv=None, cache_index=N
     x = x + attn_out
 
     h = x if cfg.norm_after else rms_norm(x, lw["ln_mlp"], cfg.rms_norm_eps)
-    if "w_gu" in lw:  # fused layout
+    if cfg.num_experts:  # mixtral sparse MoE (dense-evaluated)
+        mlp_out = _moe_mlp(cfg, lw, h)
+    elif "w_gu" in lw:  # fused layout
         gu = _mm(h, lw["w_gu"])
         gate, up = jnp.split(gu, 2, axis=-1)
         mlp_out = _mm(mlp_activation(cfg, gate) * up, lw["w_down"])

@@ -193,7 +193,9 @@ def _verify_step_bl(cfg, params, h, kv_cache, qpos, bias, rt, bias_sw=None):
         hn = x if cfg.norm_after else dec._rms_norm_bl(
             x, lw["ln_mlp"], cfg.rms_norm_eps
         )
-        if "w_gu" in lw:
+        if cfg.num_experts:  # mixtral sparse MoE (dense-evaluated)
+            mlp_out = dec._moe_mlp_bl(cfg, lw, hn)
+        elif "w_gu" in lw:
             gu = dec._mm_bl(lw["w_gu"], hn)
             gate, up = jnp.split(gu, 2, axis=0)
             mlp_out = dec._mm_bl(lw["w_down"], llama.mlp_activation(cfg, gate) * up)

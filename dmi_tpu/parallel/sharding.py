@@ -59,6 +59,14 @@ def llm_param_specs() -> Dict[str, Any]:
             # qwen3 per-head q/k norms: tiny [L, hd] vectors, replicated
             "q_norm": P(None, None),
             "k_norm": P(None, None),
+            # mixtral sparse MoE: EXPERT PARALLELISM — the expert axis of
+            # the stacked [L, E, ...] expert weights shards over 'model'
+            # (each shard dense-evaluates its E/n experts; the router
+            # combine psums the weighted outputs).  Router replicates.
+            "w_router": P(None, None, None),
+            "moe_w1": P(None, "model", None, None),
+            "moe_w3": P(None, "model", None, None),
+            "moe_w2": P(None, "model", None, None),
         },
         "final_norm": P(None),
         "lm_head": P(None, "model"),
@@ -72,9 +80,8 @@ def shard_llm_params(mesh: Mesh, params: dict) -> dict:
     dict takes the weight's spec for the int8 payload, and the per-output
     scale drops the sharding on its size-1 (contraction) axes — so
     col-sharded weights shard their scales along 'model' while row-sharded
-    weights replicate them.  Packed-int4 ("qp") does not shard: the K-split
-    byte packing interleaves contraction rows, so a row split would need
-    repacking per shard."""
+    weights replicate them, and packed-int4 ("qp") bytes take the weight's
+    spec (placement-only; the global unpack+dot semantics are unchanged)."""
     specs = llm_param_specs()
 
     def put(path, x):

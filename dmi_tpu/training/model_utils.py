@@ -60,7 +60,7 @@ def build_tokenizer(lm_args):
 
 
 _SUPPORTED_FAMILIES = ("llama", "mistral", "qwen2", "gemma2", "qwen3", "phi3",
-                       "olmo2", "granite", "gemma3_text")
+                       "olmo2", "granite", "gemma3_text", "mixtral")
 
 
 def _hf_to_config(hf_cfg, dtype, tokenizer) -> llama.LlamaConfig:
@@ -89,10 +89,11 @@ def _hf_to_config(hf_cfg, dtype, tokenizer) -> llama.LlamaConfig:
     # mistral has no layer_types: a configured window applies to EVERY
     # layer (HF MistralModel semantics)
     layer_types = getattr(hf_cfg, "layer_types", None)
-    if layer_types is None and family in ("mistral", "phi3") and getattr(
+    if layer_types is None and family in ("mistral", "phi3", "mixtral") and getattr(
         hf_cfg, "sliding_window", None
     ):
-        # a configured window applies to EVERY layer (HF Mistral/Phi3Model)
+        # a configured window applies to EVERY layer
+        # (HF Mistral/Phi3/MixtralModel)
         layer_types = ["sliding_attention"] * hf_cfg.num_hidden_layers
     if layer_types is None and family == "gemma2":
         # transformers < ~4.54 Gemma2Config has no layer_types; the
@@ -129,6 +130,11 @@ def _hf_to_config(hf_cfg, dtype, tokenizer) -> llama.LlamaConfig:
             raise ValueError("phi3 longrope rope_scaling is not supported")
         if getattr(hf_cfg, "partial_rotary_factor", 1.0) != 1.0:
             raise ValueError("phi3 partial_rotary_factor != 1 is not supported")
+    elif family == "mixtral":
+        # llama attention + sparse-MoE MLP (dense-evaluated here, expert
+        # axis shards as expert parallelism — parallel/sharding.py)
+        kw["num_experts"] = int(hf_cfg.num_local_experts)
+        kw["num_experts_per_tok"] = int(hf_cfg.num_experts_per_tok)
     elif family == "olmo2":
         # RMSNorm over the FULL q/k projections before rope + post-norm
         # blocks (no input layernorms; the post-attention/post-feedforward

@@ -62,6 +62,12 @@ def _hf_config(family, tie=True, sliding_window=None):
         return transformers.Olmo2Config(
             **_COMMON, tie_word_embeddings=tie,
         )
+    if family == "mixtral":
+        return transformers.MixtralConfig(
+            **_COMMON, tie_word_embeddings=tie,
+            num_local_experts=4, num_experts_per_tok=2,
+            sliding_window=sliding_window,
+        )
     if family == "gemma3":
         # distinct global (1e6, linear-scaled) vs local (1e4, unscaled)
         # rope bases so the per-layer table split is discriminative; one
@@ -119,7 +125,7 @@ def make_pair(family, seed=0, tie=True, sliding_window=None):
 
 
 FAMILIES = ["qwen2", "gemma2", "mistral", "qwen3", "phi3", "olmo2", "granite",
-            "gemma3"]
+            "gemma3", "mixtral"]
 
 
 @pytest.mark.parametrize("family", FAMILIES)
@@ -153,6 +159,13 @@ def test_config_mapping(family):
         assert params["layers"]["k_norm"].shape == (2, 32)
         # ln_attn/ln_mlp hold the post-attn/post-ff OUTPUT norms
         assert "ln_post_attn" not in params["layers"]
+    if family == "mixtral":
+        assert cfg.num_experts == 4 and cfg.num_experts_per_tok == 2
+        # stacked expert weights [L, E, H, I] / router [L, H, E]
+        assert params["layers"]["moe_w1"].shape == (2, 4, 64, 128)
+        assert params["layers"]["moe_w2"].shape == (2, 4, 128, 64)
+        assert params["layers"]["w_router"].shape == (2, 64, 4)
+        assert "w_gate" not in params["layers"]
     if family == "gemma3":
         assert cfg.qk_norm and cfg.post_block_norms and cfg.norm_plus_one
         assert cfg.rope_local_theta == pytest.approx(10_000.0)

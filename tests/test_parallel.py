@@ -122,18 +122,21 @@ def test_sharded_decode_runs(setup):
 
 
 @pytest.mark.parametrize("family", ["qwen2", "gemma2", "qwen3", "olmo2",
-                                    "granite", "gemma3"])
+                                    "granite", "gemma3", "mixtral"])
 def test_sharded_family_loss_and_decode_match(family):
     """Tensor-parallel shardings cover the family param extensions: qwen2
     qkv biases shard with their matmul's output column, gemma-2/3
     post-block norms and qwen3/gemma3 per-head q/k norms replicate, olmo2's
     FULL-WIDTH q/k norms reduce across the sharded projection (GSPMD
-    inserts the collective), granite's scalar multipliers are config-only —
-    loss and greedy tokens must match single-device."""
+    inserts the collective), granite's scalar multipliers are config-only,
+    mixtral's expert axis shards as EXPERT PARALLELISM (each shard
+    dense-evaluates its experts; the combine psums) — loss and greedy
+    tokens must match single-device."""
     maker = {"qwen2": llama.tiny_qwen2_config, "gemma2": llama.tiny_gemma2_config,
              "qwen3": llama.tiny_qwen3_config, "olmo2": llama.tiny_olmo2_config,
              "granite": llama.tiny_granite_config,
-             "gemma3": llama.tiny_gemma3_config}
+             "gemma3": llama.tiny_gemma3_config,
+             "mixtral": llama.tiny_mixtral_config}
     cfg = maker[family](vocab_size=256, hidden_size=64, n_layers=2,
                         n_heads=4, n_kv=2)
     llm_params = llama.init(jax.random.key(10), cfg)
