@@ -34,8 +34,13 @@ def batch_sharding(mesh: Mesh, ndim: int):
     return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
 
 
-def llm_param_specs() -> Dict[str, Any]:
-    """PartitionSpecs for the stacked-layer Llama pytree."""
+def llm_param_specs(expert_axis: str = "model") -> Dict[str, Any]:
+    """PartitionSpecs for the stacked-layer Llama pytree.
+
+    expert_axis: mesh axis for the MoE expert dimension.  Default 'model'
+    reuses the tp groups; pass a dedicated axis (e.g. 'expert' on a 3-D
+    (data, model, expert) mesh) for dp x tp x ep — attention/MLP columns
+    stay on 'model' while each expert group holds E/n_expert experts."""
     return {
         "embed": P("model", None),  # vocab rows sharded
         "layers": {
@@ -64,16 +69,17 @@ def llm_param_specs() -> Dict[str, Any]:
             # (each shard dense-evaluates its E/n experts; the router
             # combine psums the weighted outputs).  Router replicates.
             "w_router": P(None, None, None),
-            "moe_w1": P(None, "model", None, None),
-            "moe_w3": P(None, "model", None, None),
-            "moe_w2": P(None, "model", None, None),
+            "moe_w1": P(None, expert_axis, None, None),
+            "moe_w3": P(None, expert_axis, None, None),
+            "moe_w2": P(None, expert_axis, None, None),
         },
         "final_norm": P(None),
         "lm_head": P(None, "model"),
     }
 
 
-def shard_llm_params(mesh: Mesh, params: dict) -> dict:
+def shard_llm_params(mesh: Mesh, params: dict,
+                     expert_axis: str = "model") -> dict:
     """device_put the LLM pytree with tensor-parallel shardings.
 
     Quantized pytrees (dmi_tpu.models.quant) compose: a weight's {q|q8, s}
@@ -82,7 +88,7 @@ def shard_llm_params(mesh: Mesh, params: dict) -> dict:
     col-sharded weights shard their scales along 'model' while row-sharded
     weights replicate them, and packed-int4 ("qp") bytes take the weight's
     spec (placement-only; the global unpack+dot semantics are unchanged)."""
-    specs = llm_param_specs()
+    specs = llm_param_specs(expert_axis=expert_axis)
 
     def put(path, x):
         spec = specs

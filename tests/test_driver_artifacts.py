@@ -110,5 +110,6 @@ def test_graft_dryrun_multichip(capsys):
     # projector, hypernet, decode, stage-3 fewshot, grad-accum, checkpoint,
     # orbax sharded checkpoint (round-3 path 7), continuous-batching engine
     # dp x tp (round-4 path 8), speculative W4A8 self-draft decode
-    # (round-4 path 9), speculative continuous batching (round-4 path 10)
-    assert out.count("dryrun_multichip OK") == 10
+    # (round-4 path 9), speculative continuous batching (round-4 path 10),
+    # mixtral MoE dp x tp x ep on a 3-D mesh (round-4 path 11)
+    assert out.count("dryrun_multichip OK") == 11
