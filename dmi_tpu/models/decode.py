@@ -484,14 +484,19 @@ def _moe_mlp_bl(cfg, lw, hn):
     lane count — the decode step's B or the speculative verify's (k+1)*B).
     Same math as llama._moe_mlp; the expert axis stays leading so it
     shards as expert parallelism."""
+    from dmi_tpu.models.quant import dequantize
+
     router = jax.lax.dot_general(
         lw["w_router"], hn, (((0,), (0,)), ((), ()))
     )  # [E, N]
     w_e = llama.moe_gate_weights(cfg, router.T).T.astype(hn.dtype)  # [E, N]
-    g = jnp.einsum("ehi,hn->ein", lw["moe_w1"], hn)
-    u = jnp.einsum("ehi,hn->ein", lw["moe_w3"], hn)
+    w1 = dequantize(lw["moe_w1"], hn.dtype)
+    w3 = dequantize(lw["moe_w3"], hn.dtype)
+    w2 = dequantize(lw["moe_w2"], hn.dtype)
+    g = jnp.einsum("ehi,hn->ein", w1, hn)
+    u = jnp.einsum("ehi,hn->ein", w3, hn)
     y = jnp.einsum(
-        "eih,ein->ehn", lw["moe_w2"], llama.mlp_activation(cfg, g) * u
+        "eih,ein->ehn", w2, llama.mlp_activation(cfg, g) * u
     )
     return jnp.sum(y * w_e[:, None, :], axis=0)
 

@@ -697,11 +697,16 @@ def _moe_mlp(cfg: LlamaConfig, lw: dict, h: jax.Array) -> jax.Array:
     shardable expert axis (expert parallelism in parallel/sharding.py);
     at caption batch sizes the decode loop is weight-stream bound, and
     the stream reads ALL experts' weights either way."""
+    from dmi_tpu.models.quant import dequantize
+
     router = _mm(h, lw["w_router"])  # [B, T, E]
     w_e = moe_gate_weights(cfg, router).astype(h.dtype)
-    g = jnp.einsum("bth,ehi->beti", h, lw["moe_w1"])
-    u = jnp.einsum("bth,ehi->beti", h, lw["moe_w3"])
-    y = jnp.einsum("beti,eih->beth", mlp_activation(cfg, g) * u, lw["moe_w2"])
+    w1 = dequantize(lw["moe_w1"], h.dtype)
+    w3 = dequantize(lw["moe_w3"], h.dtype)
+    w2 = dequantize(lw["moe_w2"], h.dtype)
+    g = jnp.einsum("bth,ehi->beti", h, w1)
+    u = jnp.einsum("bth,ehi->beti", h, w3)
+    y = jnp.einsum("beti,eih->beth", mlp_activation(cfg, g) * u, w2)
     return jnp.einsum("beth,bte->bth", y, w_e)
 
 

@@ -21,8 +21,12 @@ import jax
 import jax.numpy as jnp
 
 # weights quantized per layer dict key; norms/bias-free tensors stay bf16
-# (w_qkv/w_gu are the fused layouts from llama.fuse_projections)
-_QUANT_KEYS = {"wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down", "w_qkv", "w_gu"}
+# (w_qkv/w_gu are the fused layouts from llama.fuse_projections).  MoE
+# expert stacks quantize too (their HBM stream dominates a MoE decode
+# step); they are consumed through dequantize() fused into the expert
+# einsums — the reads stay int8/packed, the math runs in the model dtype.
+_QUANT_KEYS = {"wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down", "w_qkv",
+               "w_gu", "moe_w1", "moe_w3", "moe_w2"}
 
 
 def quantize_tensor(w: jax.Array, native: bool = False) -> dict:
@@ -124,6 +128,28 @@ def quantize_embed_tensor(w: jax.Array, native: bool = False) -> dict:
     q = jnp.clip(jnp.round(wf / s), -127, 127).astype(jnp.int8)
     # per-row scales distinguished by shape [V, 1]
     return {("q8" if native else "q"): q, "s": s}
+
+
+def dequantize(w, dtype) -> jax.Array:
+    """Materialize a quantized weight dict back to `dtype` — for consumers
+    without a quantized matmul formulation (the MoE expert einsums).  XLA
+    fuses the convert/rescale into the consuming einsum, so the HBM reads
+    stay int8 / packed int4; only compute runs dense."""
+    if not isinstance(w, dict):
+        return w
+    if "q8" in w or "q" in w:
+        q = w["q8"] if "q8" in w else w["q"]
+        return (q.astype(jnp.float32) * w["s"]).astype(dtype)
+    if "qp" in w:
+        q = unpack_w4(w["qp"]).astype(jnp.float32)
+        if "s4g" in w:
+            s4g = w["s4g"]  # (..., G, out)
+            G = s4g.shape[-2]
+            K = q.shape[-2]
+            qg = q.reshape(*q.shape[:-2], G, K // G, q.shape[-1])
+            return (qg * s4g[..., :, None, :]).reshape(q.shape).astype(dtype)
+        return (q * w["s"]).astype(dtype)
+    raise ValueError(f"unknown quantized dict keys {sorted(w)}")
 
 
 def quantize_llama(

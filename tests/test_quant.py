@@ -288,3 +288,58 @@ def test_w4a8_bf16_prefill_shadow_decode():
     toks = decode.greedy_generate_bl(cfg, q4, embeds, 7, 5, prefill_params=params)
     assert toks.shape == (2, 7)
     assert np.isfinite(np.asarray(toks)).all()
+
+
+def test_dequantize_all_modes_roundtrip():
+    """quant.dequantize inverts every weight-dict flavor to within its
+    quantization step (int8: absmax/127 per output channel; int4:
+    absmax/7, grouped: per-group absmax/7) — the MoE expert einsums
+    consume weights through this helper."""
+    from dmi_tpu.models.quant import (
+        dequantize, quantize_tensor, quantize_tensor_int4,
+    )
+
+    rng = np.random.default_rng(7)
+    w = jnp.asarray(rng.normal(size=(2, 4, 32, 16)).astype(np.float32))
+
+    for qd, step_div in [
+        (quantize_tensor(w), 127.0),
+        (quantize_tensor(w, native=True), 127.0),
+        (quantize_tensor_int4(w), 7.0),
+        (quantize_tensor_int4(w, group_size=8), 7.0),
+    ]:
+        d = np.asarray(dequantize(qd, jnp.float32))
+        assert d.shape == w.shape
+        # error bounded by half a quantization step of the LARGEST channel
+        bound = float(np.abs(np.asarray(w)).max()) / step_div * 0.51
+        assert float(np.abs(d - np.asarray(w)).max()) <= bound
+    # passthrough for plain arrays
+    assert dequantize(w, jnp.float32) is w
+
+
+def test_mixtral_quantized_decode_runs_token_sane():
+    """W8A8 / W4A8 mixtral: the expert stacks quantize (4-D tensors,
+    per-output-channel / grouped scales) and decode consumes them through
+    the dequant-fused einsums; tokens match bf16 at f32-friendly scales."""
+    import dataclasses
+
+    from dmi_tpu.models import decode as dec
+    from dmi_tpu.models import llama
+    from dmi_tpu.models.quant import quantize_llama
+
+    cfg = dataclasses.replace(
+        llama.tiny_mixtral_config(vocab_size=64, hidden_size=32, n_layers=2,
+                                  n_heads=4, n_kv=2, intermediate=64),
+        eos_token_ids=(63,),
+    )
+    params = llama.init(jax.random.key(3), cfg)
+    rng = np.random.default_rng(4)
+    embeds = jnp.asarray(rng.normal(size=(2, 4, 32)).astype(np.float32) * 0.1)
+    t_bf = np.asarray(dec.greedy_generate_bl(cfg, params, embeds, 3, 0))
+    for kw in [dict(native=True), dict(bits=4), dict(bits=4, group_size=8)]:
+        qp = quantize_llama(params, **kw)
+        assert isinstance(qp["layers"]["moe_w1"], dict)
+        t_q = np.asarray(dec.greedy_generate_bl(
+            cfg, qp, embeds, 3, 0, prefill_params=params
+        ))
+        assert t_q.shape == t_bf.shape
