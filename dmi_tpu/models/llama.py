@@ -12,8 +12,9 @@ sliding attention), phi-3 (fused checkpoints, all-layer sliding), olmo2
 (full-width q/k RMSNorm, post-norm blocks), granite (embedding/attention/
 residual/logits scalar multipliers), gemma-3 text (per-head (1+w) q/k
 RMSNorm, lookup-scaled embeddings, dual rope: sliding layers at the local
-theta, full layers linear-scaled) — behind one config + one
-stacked-layer pytree:
+theta, full layers linear-scaled), mixtral (sparse MoE: top-k softmax
+router over dense-evaluated experts, expert-parallel shardable) — behind
+one config + one stacked-layer pytree:
 
   * pytree params with **stacked per-layer weights** so the transformer body
     is a single ``lax.scan`` over layers (fast compiles, one fused kernel
