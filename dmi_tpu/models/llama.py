@@ -102,6 +102,9 @@ class LlamaConfig:
     # expert axis shards as expert parallelism (parallel/sharding.py).
     num_experts: int = 0
     num_experts_per_tok: int = 2
+    # mixtral renormalizes the top-k routing weights; qwen3-moe makes it a
+    # config flag (norm_topk_prob, False on the released checkpoints)
+    moe_norm_topk: bool = True
     norm_after: bool = False              # olmo2: no pre-norms; norm block OUTPUTS
     residual_multiplier: Optional[float] = None  # granite: residual + out * m
     logit_scale: Optional[float] = None   # granite: logits / logits_scaling
@@ -219,6 +222,18 @@ def tiny_mixtral_config(n_experts=4, top_k=2, **kw) -> LlamaConfig:
 
     return dataclasses.replace(
         tiny_config(**kw), num_experts=n_experts, num_experts_per_tok=top_k
+    )
+
+
+def tiny_qwen3moe_config(n_experts=4, top_k=2, **kw) -> LlamaConfig:
+    """Qwen3-MoE-family tiny config: qwen3's per-head q/k RMSNorm plus the
+    sparse-MoE MLP WITHOUT top-k renormalization (HF Qwen3MoeSparseMoeBlock
+    with the released checkpoints' norm_topk_prob=False)."""
+    import dataclasses
+
+    return dataclasses.replace(
+        tiny_config(**kw), qk_norm=True, num_experts=n_experts,
+        num_experts_per_tok=top_k, moe_norm_topk=False,
     )
 
 
@@ -382,8 +397,9 @@ def from_hf_state_dict(state_dict, cfg: LlamaConfig) -> dict:
     nh, nkv, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
                    cfg.head_dim)
     if cfg.num_experts:
-        # mixtral sparse-MoE checkpoint layout: per-layer router +
-        # per-expert w1 (gate) / w3 (up) / w2 (down)
+        # sparse-MoE checkpoint layouts: mixtral ships
+        # block_sparse_moe.{gate, experts.N.w1/w3/w2}; qwen3-moe ships
+        # mlp.{gate, experts.N.gate_proj/up_proj/down_proj}
         def stack_experts(fmt):
             out = []
             for i in range(L):
@@ -391,18 +407,22 @@ def from_hf_state_dict(state_dict, cfg: LlamaConfig) -> dict:
                 out.append(np.stack(ws))
             return jnp.asarray(np.stack(out), cfg.dtype)
 
+        if "model.layers.0.block_sparse_moe.gate.weight" in state_dict:
+            moe_pfx = "model.layers.{}.block_sparse_moe"
+            e_names = ("w1", "w3", "w2")
+        else:
+            moe_pfx = "model.layers.{}.mlp"
+            e_names = ("gate_proj", "up_proj", "down_proj")
         mlp = {
-            "w_router": stack(
-                "model.layers.{}.block_sparse_moe.gate.weight"
-            ),
+            "w_router": stack(moe_pfx + ".gate.weight"),
             "moe_w1": stack_experts(
-                "model.layers.{}.block_sparse_moe.experts.{}.w1.weight"
+                moe_pfx + ".experts.{}." + e_names[0] + ".weight"
             ),
             "moe_w3": stack_experts(
-                "model.layers.{}.block_sparse_moe.experts.{}.w3.weight"
+                moe_pfx + ".experts.{}." + e_names[1] + ".weight"
             ),
             "moe_w2": stack_experts(
-                "model.layers.{}.block_sparse_moe.experts.{}.w2.weight"
+                moe_pfx + ".experts.{}." + e_names[2] + ".weight"
             ),
         }
         wq = stack("model.layers.{}.self_attn.q_proj.weight")
@@ -680,12 +700,14 @@ def mlp_activation(cfg: LlamaConfig, x: jax.Array) -> jax.Array:
 def moe_gate_weights(cfg: LlamaConfig, router_logits: jax.Array) -> jax.Array:
     """Per-token expert combination weights [..., E] from router logits
     [..., E] — HF MixtralSparseMoeBlock semantics: softmax over experts in
-    f32, keep the top num_experts_per_tok, renormalize among the kept.
+    f32, keep the top num_experts_per_tok, renormalize among the kept
+    (qwen3-moe skips the renormalization when norm_topk_prob is off).
     Unselected experts get exactly 0, so a DENSE all-expert evaluation
     combined with these weights equals HF's sparse gather-loop."""
     probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
     vals, idx = jax.lax.top_k(probs, cfg.num_experts_per_tok)
-    vals = vals / jnp.sum(vals, axis=-1, keepdims=True)
+    if cfg.moe_norm_topk:
+        vals = vals / jnp.sum(vals, axis=-1, keepdims=True)
     onehot = jax.nn.one_hot(idx, cfg.num_experts, dtype=vals.dtype)
     return jnp.sum(onehot * vals[..., None], axis=-2)  # [..., E]
 

@@ -60,7 +60,8 @@ def build_tokenizer(lm_args):
 
 
 _SUPPORTED_FAMILIES = ("llama", "mistral", "qwen2", "gemma2", "qwen3", "phi3",
-                       "olmo2", "granite", "gemma3_text", "mixtral")
+                       "olmo2", "granite", "gemma3_text", "mixtral",
+                       "qwen3_moe")
 
 
 def _hf_to_config(hf_cfg, dtype, tokenizer) -> llama.LlamaConfig:
@@ -135,6 +136,25 @@ def _hf_to_config(hf_cfg, dtype, tokenizer) -> llama.LlamaConfig:
         # axis shards as expert parallelism — parallel/sharding.py)
         kw["num_experts"] = int(hf_cfg.num_local_experts)
         kw["num_experts_per_tok"] = int(hf_cfg.num_experts_per_tok)
+    elif family == "qwen3_moe":
+        # qwen3 attention (per-head q/k RMSNorm) + the mixtral MoE block
+        # with configurable top-k renormalization; experts use
+        # moe_intermediate_size.  The stacked scan needs UNIFORM layers —
+        # mixed dense/sparse configs (decoder_sparse_step != 1 or
+        # mlp_only_layers) are rejected, matching the released all-sparse
+        # checkpoints.
+        if getattr(hf_cfg, "decoder_sparse_step", 1) != 1 or getattr(
+            hf_cfg, "mlp_only_layers", None
+        ):
+            raise ValueError(
+                "qwen3_moe mixed dense/sparse layers are not supported "
+                "(decoder_sparse_step must be 1 and mlp_only_layers empty)"
+            )
+        kw["qk_norm"] = True
+        kw["num_experts"] = int(hf_cfg.num_experts)
+        kw["num_experts_per_tok"] = int(hf_cfg.num_experts_per_tok)
+        kw["moe_norm_topk"] = bool(hf_cfg.norm_topk_prob)
+        kw["intermediate_override"] = int(hf_cfg.moe_intermediate_size)
     elif family == "olmo2":
         # RMSNorm over the FULL q/k projections before rope + post-norm
         # blocks (no input layernorms; the post-attention/post-feedforward
@@ -200,7 +220,10 @@ def _hf_to_config(hf_cfg, dtype, tokenizer) -> llama.LlamaConfig:
     return llama.LlamaConfig(
         vocab_size=hf_cfg.vocab_size,
         hidden_size=hf_cfg.hidden_size,
-        intermediate_size=hf_cfg.intermediate_size,
+        # qwen3-moe experts are sized by moe_intermediate_size, not the
+        # (dense-layer) intermediate_size its config also carries
+        intermediate_size=kw.pop("intermediate_override",
+                                 hf_cfg.intermediate_size),
         num_hidden_layers=hf_cfg.num_hidden_layers,
         num_attention_heads=hf_cfg.num_attention_heads,
         num_key_value_heads=hf_cfg.num_key_value_heads,

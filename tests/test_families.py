@@ -68,6 +68,17 @@ def _hf_config(family, tie=True, sliding_window=None):
             num_local_experts=4, num_experts_per_tok=2,
             sliding_window=sliding_window,
         )
+    if family == "qwen3moe":
+        # a DIFFERENT dense intermediate_size proves the expert shapes come
+        # from moe_intermediate_size; norm_topk_prob False (released
+        # checkpoints) exercises the non-renormalized router
+        common = {**_COMMON, "intermediate_size": 96}
+        return transformers.Qwen3MoeConfig(
+            **common, tie_word_embeddings=tie, head_dim=16,
+            num_experts=4, num_experts_per_tok=2,
+            moe_intermediate_size=128, norm_topk_prob=False,
+            decoder_sparse_step=1, mlp_only_layers=[],
+        )
     if family == "gemma3":
         # distinct global (1e6, linear-scaled) vs local (1e4, unscaled)
         # rope bases so the per-layer table split is discriminative; one
@@ -125,7 +136,7 @@ def make_pair(family, seed=0, tie=True, sliding_window=None):
 
 
 FAMILIES = ["qwen2", "gemma2", "mistral", "qwen3", "phi3", "olmo2", "granite",
-            "gemma3", "mixtral"]
+            "gemma3", "mixtral", "qwen3moe"]
 
 
 @pytest.mark.parametrize("family", FAMILIES)
@@ -166,6 +177,12 @@ def test_config_mapping(family):
         assert params["layers"]["moe_w2"].shape == (2, 4, 128, 64)
         assert params["layers"]["w_router"].shape == (2, 64, 4)
         assert "w_gate" not in params["layers"]
+    if family == "qwen3moe":
+        assert cfg.qk_norm and cfg.num_experts == 4
+        assert not cfg.moe_norm_topk  # released-checkpoint router semantics
+        # expert shapes from moe_intermediate_size (128), NOT the dense 96
+        assert params["layers"]["moe_w1"].shape == (2, 4, 64, 128)
+        assert params["layers"]["q_norm"].shape == (2, 16)
     if family == "gemma3":
         assert cfg.qk_norm and cfg.post_block_norms and cfg.norm_plus_one
         assert cfg.rope_local_theta == pytest.approx(10_000.0)
