@@ -370,6 +370,34 @@ def _advance(cfg, core: _SpecCore, props, a_ids, k, T, budget, pad_token_id,
     )
 
 
+def _draft_setup(draft_cfg, draft_params, draft_prefill_params,
+                 draft_inputs_embeds, k, max_rounds):
+    """Draft-side prefill + row bookkeeping init, shared by the greedy and
+    sampling batch loops: Sd = Td + (k+1)*max_rounds monotone rows.
+    Returns (kv_d, valid_d, rp_d, Td)."""
+    Bd, Td, _ = draft_inputs_embeds.shape
+    Sd = Td + (k + 1) * max_rounds
+    d_caches = dec.init_cache(draft_cfg, Bd, Sd)
+    _, d_caches = dec.prefill(
+        draft_cfg,
+        draft_params if draft_prefill_params is None else draft_prefill_params,
+        draft_inputs_embeds, d_caches,
+    )
+    kv_d = jnp.stack(
+        [d_caches[0].transpose(0, 2, 3, 4, 1),
+         d_caches[1].transpose(0, 2, 3, 4, 1)],
+        axis=1,
+    )
+    valid_d = jnp.concatenate(
+        [jnp.ones((Td, Bd), bool), jnp.zeros((Sd - Td, Bd), bool)], axis=0
+    )
+    rp_d = jnp.broadcast_to(
+        jnp.minimum(jnp.arange(Sd), Td - 1)[:, None].astype(jnp.int32),
+        (Sd, Bd),
+    )
+    return kv_d, valid_d, rp_d, Td
+
+
 def _spec_setup(cfg, params, prefill_params, inputs_embeds, max_new_tokens,
                 pad_token_id, k, pick0=None):
     """Shared prefill + state init for all draft flavors.  pick0 maps the
@@ -467,21 +495,15 @@ def _draft_steps_greedy(draft_cfg, draft_params, last, done, out_pos, kv_d,
     return props, kv_d, valid_d, rp_d
 
 
-def _verify_round(cfg, params, core, props, rnd, k, T, budget, pad_token_id,
-                  eos, sliding_on, rt=None):
-    """Target side of one round: verify [last, props] and advance.
-
-    rt: physical row for this round's k+1 cache rows; defaults to the
-    batch loop's monotone layout T + rnd*(k+1).  The slot engine passes a
-    RING row instead (rnd mod (budget-1) slots of width k+1 — a tenant
-    lives at most budget-1 rounds, so the wrap never lands on its own
-    still-valid rows)."""
+def _verify_target(cfg, params, core, props, k, T, sliding_on, rt):
+    """Shared target-side preamble for both acceptance flavors: embed
+    [last, props], stamp this round's k+1 rows at physical rt, build the
+    (valid, row_pos)-derived biases, run the verify forward.  Returns
+    (core' with kv/valid/row_pos advanced, v_logits [V, P, B])."""
     B = core.last.shape[0]
     live = ~core.done
     pos = T + core.out_pos - 1  # [B] logical position of `last`
     qpos = pos[None, :] + jnp.arange(k + 1)[:, None]  # [P, B]
-    if rt is None:
-        rt = T + rnd * (k + 1)
 
     in_tokens = jnp.concatenate([core.last[None, :], props], axis=0)  # [P, B]
     h = llama.scale_embeds(
@@ -496,8 +518,23 @@ def _verify_round(cfg, params, core, props, rnd, k, T, budget, pad_token_id,
     v_logits, kv = _verify_step_bl(
         cfg, params, h, core.kv, qpos, bias, rt, bias_sw=bias_sw
     )
+    return core._replace(kv=kv, valid=valid, row_pos=row_pos), v_logits
+
+
+def _verify_round(cfg, params, core, props, rnd, k, T, budget, pad_token_id,
+                  eos, sliding_on, rt=None):
+    """Target side of one round: verify [last, props] and advance.
+
+    rt: physical row for this round's k+1 cache rows; defaults to the
+    batch loop's monotone layout T + rnd*(k+1).  The slot engine passes a
+    RING row instead (rnd mod (budget-1) slots of width k+1 — a tenant
+    lives at most budget-1 rounds, so the wrap never lands on its own
+    still-valid rows)."""
+    if rt is None:
+        rt = T + rnd * (k + 1)
+    core, v_logits = _verify_target(cfg, params, core, props, k, T,
+                                    sliding_on, rt)
     a_ids = jnp.argmax(v_logits, axis=0).astype(jnp.int32)  # [P, B]
-    core = core._replace(kv=kv, valid=valid, row_pos=row_pos)
     core, n_acc = _advance(
         cfg, core, props, a_ids, k, T, budget, pad_token_id, eos
     )
@@ -551,24 +588,9 @@ def speculative_generate_bl(
     sliding_on = llama.sliding_effective(cfg, T + budget)
 
     # draft-side state (same bookkeeping design, single-token steps)
-    Bd, Td, _ = draft_inputs_embeds.shape
-    Sd = Td + (k + 1) * max_rounds
-    d_caches = dec.init_cache(draft_cfg, B, Sd)
-    _, d_caches = dec.prefill(
-        draft_cfg,
-        draft_params if draft_prefill_params is None else draft_prefill_params,
-        draft_inputs_embeds, d_caches,
-    )
-    kv_d = jnp.stack(
-        [d_caches[0].transpose(0, 2, 3, 4, 1),
-         d_caches[1].transpose(0, 2, 3, 4, 1)],
-        axis=1,
-    )
-    valid_d = jnp.concatenate(
-        [jnp.ones((Td, B), bool), jnp.zeros((Sd - Td, B), bool)], axis=0
-    )
-    rp_d = jnp.broadcast_to(
-        jnp.minimum(jnp.arange(Sd), Td - 1)[:, None].astype(jnp.int32), (Sd, B)
+    kv_d, valid_d, rp_d, Td = _draft_setup(
+        draft_cfg, draft_params, draft_prefill_params, draft_inputs_embeds,
+        k, max_rounds,
     )
     d_sliding = llama.sliding_effective(draft_cfg, Td + budget)
 
@@ -795,26 +817,10 @@ def _verify_round_sample(cfg, params, core, props, q_w, rnd, k, T, budget,
     draft's warped probability vectors for its k proposals.  rt as in
     _verify_round (None = the batch loop's monotone row layout)."""
     B = core.last.shape[0]
-    live = ~core.done
-    pos = T + core.out_pos - 1
-    qpos = pos[None, :] + jnp.arange(k + 1)[:, None]
     if rt is None:
         rt = T + rnd * (k + 1)
-
-    in_tokens = jnp.concatenate([core.last[None, :], props], axis=0)
-    h = llama.scale_embeds(
-        cfg,
-        llama.embed_tokens(cfg, params, in_tokens.reshape(-1))
-        .T.astype(cfg.dtype)
-        .reshape(-1, k + 1, B),
-    )
-    valid, row_pos = _stamp_rows(core.valid, core.row_pos, rt, k + 1, live,
-                                 qpos)
-    bias, bias_sw = _bias_from(valid, row_pos, qpos, cfg, sliding_on)
-    v_logits, kv = _verify_step_bl(
-        cfg, params, h, core.kv, qpos, bias, rt, bias_sw=bias_sw
-    )
-    core = core._replace(kv=kv, valid=valid, row_pos=row_pos)
+    core, v_logits = _verify_target(cfg, params, core, props, k, T,
+                                    sliding_on, rt)
 
     V = v_logits.shape[0]
     capped = llama.final_softcap(cfg, v_logits.reshape(V, (k + 1) * B))
@@ -916,24 +922,9 @@ def speculative_sample_bl(
         return core.tokens, jnp.zeros((), jnp.int32)
     sliding_on = llama.sliding_effective(cfg, T + budget)
 
-    Bd, Td, _ = draft_inputs_embeds.shape
-    Sd = Td + (k + 1) * max_rounds
-    d_caches = dec.init_cache(draft_cfg, B, Sd)
-    _, d_caches = dec.prefill(
-        draft_cfg,
-        draft_params if draft_prefill_params is None else draft_prefill_params,
-        draft_inputs_embeds, d_caches,
-    )
-    kv_d = jnp.stack(
-        [d_caches[0].transpose(0, 2, 3, 4, 1),
-         d_caches[1].transpose(0, 2, 3, 4, 1)],
-        axis=1,
-    )
-    valid_d = jnp.concatenate(
-        [jnp.ones((Td, B), bool), jnp.zeros((Sd - Td, B), bool)], axis=0
-    )
-    rp_d = jnp.broadcast_to(
-        jnp.minimum(jnp.arange(Sd), Td - 1)[:, None].astype(jnp.int32), (Sd, B)
+    kv_d, valid_d, rp_d, Td = _draft_setup(
+        draft_cfg, draft_params, draft_prefill_params, draft_inputs_embeds,
+        k, max_rounds,
     )
     d_sliding = llama.sliding_effective(draft_cfg, Td + budget)
 

@@ -320,12 +320,11 @@ class Captioner:
             (float(temperature), int(top_k), float(top_p))
             if temperature is not None else None
         )
+        from dmi_tpu.streaming import bucket_queue_len
+
         M = max(1, min(64, self.batch_size // 4))
         pool = max(M, self.batch_size)
-        # power-of-two chunk bucketing, like StreamingCaptioner.run_bulk:
-        # O(log N) compiled variants, not one per workload size
-        chunks = max(1, -(-N // M))
-        Nq = M * (1 << (chunks - 1).bit_length() if chunks > 1 else 1)
+        Nq = bucket_queue_len(N, M)  # O(log N) compiled variants
         q = np.zeros((Nq, embeddings.shape[1]), np.float32)
         q[:N] = np.asarray(
             l2_normalize(jnp.asarray(embeddings, jnp.float32))
@@ -380,9 +379,11 @@ class Captioner:
         if engine not in ("auto", "batch", "bulk"):
             raise ValueError(f"unknown engine {engine!r}")
         if self.spec_k:
-            if engine == "bulk":
+            if engine == "bulk" and self.max_new_tokens >= 2:
                 # greedy AND sampling: (request, age)-keyed draws make the
-                # engine output equal the batch speculative path row-for-row
+                # engine output equal the batch speculative path row-for-row.
+                # (budget 1 has no rounds to speculate — the batch path
+                # below serves it; outputs are identical either way.)
                 self.engine_decision = ("bulk", "explicit (speculative)")
                 return self._caption_bulk_spec(
                     embeddings, temperature=temperature, top_k=top_k,
@@ -495,9 +496,11 @@ def main(argv=None) -> None:
              "w4a8 = int4 loop weights (bandwidth-bound serving)",
     )
     ap.add_argument("--speculative", type=int, default=0, metavar="K",
-                    help="draft-verify greedy decode with a W4A8 self-draft "
-                         "proposing K tokens per round (token-identical to "
-                         "plain greedy; batch engine only)")
+                    help="draft-verify decode with a W4A8 self-draft "
+                         "proposing K tokens per round: greedy output is "
+                         "token-identical to the plain loop, sampling "
+                         "preserves the plain sampler's distribution; "
+                         "serves on the batch AND bulk engines")
     ap.add_argument("--top-p", type=float, default=1.0,
                     help="nucleus sampling mass (with --temperature)")
     ap.add_argument("--temperature", type=float, default=None,
@@ -506,8 +509,10 @@ def main(argv=None) -> None:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--engine", choices=["auto", "batch", "bulk"],
                     default="auto",
-                    help="bulk = on-device continuous batching (greedy "
-                         "only); auto probes the first batch and picks")
+                    help="bulk = on-device continuous batching (greedy, "
+                         "sampling, and speculative all serve there; "
+                         "outputs are engine-invariant); auto probes the "
+                         "first batch and picks")
     args = ap.parse_args(argv)
 
     cap = Captioner.from_checkpoint(

@@ -67,6 +67,15 @@ from dmi_tpu.models import projector as proj
 from dmi_tpu.models.llama import LlamaConfig
 
 
+def bucket_queue_len(n: int, chunk: int) -> int:
+    """Padded queue length for on-device bulk workloads: chunks rounded up
+    to powers of two so the jitted engine compiles O(log N) variants, not
+    one per workload size (relay compiles cost 4-480 s and would dwarf the
+    decode).  Shared by run_bulk and the speculative bulk path."""
+    chunks = max(1, -(-n // chunk))
+    return chunk * (1 << (chunks - 1).bit_length() if chunks > 1 else 1)
+
+
 class SlotState(NamedTuple):
     """Device-resident slot pool (all arrays fixed-shape)."""
 
@@ -536,11 +545,7 @@ class StreamingCaptioner:
         if N == 0:
             return np.zeros((0, self.budget), np.int32)
         M = self.admit
-        # bucket the padded queue length to powers of two (in chunks) so
-        # bulk_caption compiles O(log N) variants, not one per workload
-        # size — relay compiles cost 4-480 s and would dwarf the decode
-        chunks = max(1, -(-N // M))
-        Nq = M * (1 << (chunks - 1).bit_length() if chunks > 1 else 1)
+        Nq = bucket_queue_len(N, M)
         q = np.zeros((Nq, embeddings.shape[1]), np.float32)
         q[:N] = embeddings
         prefix_chunk = jnp.tile(self.prefix[None, :], (M, 1))

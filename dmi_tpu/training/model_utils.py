@@ -151,6 +151,9 @@ def _hf_to_config(hf_cfg, dtype, tokenizer) -> llama.LlamaConfig:
                 "(decoder_sparse_step must be 1 and mlp_only_layers empty)"
             )
         kw["qk_norm"] = True
+        # honored like dense qwen3: a bias-ful checkpoint must import its
+        # q/k/v biases, not silently drop them
+        kw["attention_bias"] = bool(getattr(hf_cfg, "attention_bias", False))
         kw["num_experts"] = int(hf_cfg.num_experts)
         kw["num_experts_per_tok"] = int(hf_cfg.num_experts_per_tok)
         kw["moe_norm_topk"] = bool(hf_cfg.norm_topk_prob)
