@@ -1022,6 +1022,93 @@ def _pin_spec_pool(mesh, pool: "_SpecPool") -> "_SpecPool":
     )
 
 
+def _admit_install(cfg, draft_cfg, params, draft_params, pspec, pparams,
+                   state, embs, prefix_ids, slots, fresh, req, T, Td,
+                   budget, pad_token_id, k, eos, sample, sample_key,
+                   req_base, prefill_params=None, draft_prefill_params=None):
+    """Prefill one chunk of prompts (target + draft) and install it into
+    `slots` of a _SpecPool: rows with fresh[i]=False keep the (dead)
+    slot's state.  Shared by the on-device bulk admission branch and the
+    host-driven online engine (which passes explicit slots/req from its
+    own occupancy bookkeeping).  Leaves out/qptr untouched."""
+    from dmi_tpu.models import mmmodel
+    from dmi_tpu.models import projector as proj
+
+    pp = params if prefill_params is None else prefill_params
+    dpp = (draft_params if draft_prefill_params is None
+           else draft_prefill_params)
+    chunk = slots.shape[0]
+    S = state.core.valid.shape[0]
+    Sd = state.valid_d.shape[0]
+    core = state.core
+
+    soft = proj.apply(pspec, pparams, embs, train=False)
+    inputs = mmmodel.assemble_prompt(cfg, pp, soft, prefix_ids)
+    caches = dec.init_cache(cfg, chunk, T)
+    logits0, caches = dec.prefill(cfg, pp, inputs, caches)
+    chunk_kv = jnp.stack(
+        [caches[0].transpose(0, 2, 3, 4, 1),
+         caches[1].transpose(0, 2, 3, 4, 1)], axis=1,
+    )
+    d_caches = dec.init_cache(draft_cfg, chunk, Td)
+    _, d_caches = dec.prefill(draft_cfg, dpp, inputs, d_caches)
+    chunk_kv_d = jnp.stack(
+        [d_caches[0].transpose(0, 2, 3, 4, 1),
+         d_caches[1].transpose(0, 2, 3, 4, 1)], axis=1,
+    )
+
+    if sample is None:
+        tok0 = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
+    else:
+        # token 0 (age 0) draws with the batch sampler's own
+        # (request, age) keys; trash rows burn keys no real request uses
+        temperature, top_k, top_p = sample
+        keys0 = dec._req_keys(sample_key, req_base + req, budget, 0)
+        tok0 = dec._sample_pick_bl(logits0.T, keys0, temperature,
+                                   top_k, top_p)
+    done0 = ~fresh | jnp.isin(tok0, eos)
+    fresh_tokens = jnp.full((chunk, budget), pad_token_id, jnp.int32)
+    fresh_tokens = fresh_tokens.at[:, 0].set(
+        jnp.where(fresh, tok0, pad_token_id)
+    )
+    col = jnp.concatenate(
+        [jnp.ones((T, chunk), bool), jnp.zeros((S - T, chunk), bool)],
+        axis=0,
+    )
+    col_d = jnp.concatenate(
+        [jnp.ones((Td, chunk), bool), jnp.zeros((Sd - Td, chunk), bool)],
+        axis=0,
+    )
+    keep = ~fresh  # padding rows keep the (already dead) slot's state
+    core = _SpecCore(
+        done=core.done.at[slots].set(jnp.where(keep, core.done[slots],
+                                               done0)),
+        last=core.last.at[slots].set(jnp.where(keep, core.last[slots],
+                                               tok0)),
+        out_pos=core.out_pos.at[slots].set(
+            jnp.where(keep, core.out_pos[slots], 1)
+        ),
+        tokens=core.tokens.at[slots].set(
+            jnp.where(keep[:, None], core.tokens[slots], fresh_tokens)
+        ),
+        kv=core.kv.at[:, :, :, :T, :, slots].set(chunk_kv),
+        valid=core.valid.at[:, slots].set(
+            jnp.where(fresh[None, :], col, core.valid[:, slots])
+        ),
+        # row_pos untouched: prompt rows are position-identical for
+        # every tenant; generated rows are stamped at write time
+        row_pos=core.row_pos,
+    )
+    return state._replace(
+        core=core,
+        kv_d=state.kv_d.at[:, :, :, :Td, :, slots].set(chunk_kv_d),
+        valid_d=state.valid_d.at[:, slots].set(
+            jnp.where(fresh[None, :], col_d, state.valid_d[:, slots])
+        ),
+        slot_req=state.slot_req.at[slots].set(req),
+    )
+
+
 @partial(jax.jit, static_argnames=(
     "cfg", "draft_cfg", "pspec", "T", "budget", "pad_token_id", "chunk",
     "pool", "k", "mesh", "sample"))
@@ -1138,74 +1225,14 @@ def speculative_bulk_caption(
         req = jnp.where(
             fresh, state.qptr + jnp.arange(chunk), Nq
         ).astype(jnp.int32)
-
-        soft = proj.apply(pspec, pparams, embs, train=False)
-        inputs = mmmodel.assemble_prompt(cfg, pp, soft, prefix_ids)
-        caches = dec.init_cache(cfg, chunk, T)
-        logits0, caches = dec.prefill(cfg, pp, inputs, caches)
-        chunk_kv = jnp.stack(
-            [caches[0].transpose(0, 2, 3, 4, 1),
-             caches[1].transpose(0, 2, 3, 4, 1)], axis=1,
+        state = _admit_install(
+            cfg, draft_cfg, params, draft_params, pspec, pparams, state,
+            embs, prefix_ids, slots, fresh, req, T, Td, budget,
+            pad_token_id, k, eos, sample, sample_key, req_base,
+            prefill_params=prefill_params,
+            draft_prefill_params=draft_prefill_params,
         )
-        d_caches = dec.init_cache(draft_cfg, chunk, Td)
-        _, d_caches = dec.prefill(draft_cfg, dpp, inputs, d_caches)
-        chunk_kv_d = jnp.stack(
-            [d_caches[0].transpose(0, 2, 3, 4, 1),
-             d_caches[1].transpose(0, 2, 3, 4, 1)], axis=1,
-        )
-
-        if sample is None:
-            tok0 = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
-        else:
-            # token 0 (age 0) draws with the batch sampler's own
-            # (request, age) keys; trash rows (req = Nq) burn keys that no
-            # real request ever uses
-            keys0 = dec._req_keys(sample_key, req_base + req, budget, 0)
-            tok0 = dec._sample_pick_bl(logits0.T, keys0, temperature,
-                                       top_k, top_p)
-        done0 = ~fresh | jnp.isin(tok0, eos)
-        fresh_tokens = jnp.full((chunk, budget), pad_token_id, jnp.int32)
-        fresh_tokens = fresh_tokens.at[:, 0].set(
-            jnp.where(fresh, tok0, pad_token_id)
-        )
-        col = jnp.concatenate(
-            [jnp.ones((T, chunk), bool), jnp.zeros((S - T, chunk), bool)],
-            axis=0,
-        )
-        col_d = jnp.concatenate(
-            [jnp.ones((Td, chunk), bool), jnp.zeros((Sd - Td, chunk), bool)],
-            axis=0,
-        )
-        keep = ~fresh  # padding rows keep the (already dead) slot's state
-        core = _SpecCore(
-            done=core.done.at[slots].set(jnp.where(keep, core.done[slots],
-                                                   done0)),
-            last=core.last.at[slots].set(jnp.where(keep, core.last[slots],
-                                                   tok0)),
-            out_pos=core.out_pos.at[slots].set(
-                jnp.where(keep, core.out_pos[slots], 1)
-            ),
-            tokens=core.tokens.at[slots].set(
-                jnp.where(keep[:, None], core.tokens[slots], fresh_tokens)
-            ),
-            kv=core.kv.at[:, :, :, :T, :, slots].set(chunk_kv),
-            valid=core.valid.at[:, slots].set(
-                jnp.where(fresh[None, :], col, core.valid[:, slots])
-            ),
-            # row_pos untouched: prompt rows are position-identical for
-            # every tenant; generated rows are stamped at write time
-            row_pos=core.row_pos,
-        )
-        return state._replace(
-            core=core,
-            kv_d=state.kv_d.at[:, :, :, :Td, :, slots].set(chunk_kv_d),
-            valid_d=state.valid_d.at[:, slots].set(
-                jnp.where(fresh[None, :], col_d, state.valid_d[:, slots])
-            ),
-            out=out,
-            slot_req=state.slot_req.at[slots].set(req),
-            qptr=state.qptr + chunk,
-        )
+        return state._replace(out=out, qptr=state.qptr + chunk)
 
     def cond(state):
         return jnp.any(~state.core.done) | (state.qptr < n_real)
@@ -1214,37 +1241,269 @@ def speculative_bulk_caption(
         free = jnp.sum(state.core.done)
         do_admit = (free >= chunk) & (state.qptr < n_real)
         state = jax.lax.cond(do_admit, admit, lambda s: s, state)
-
-        rt = T + (state.rnd % ring) * (k + 1)
-        rd = Td + (state.rnd % ring) * (k + 1)
-        core = state.core
-        if sample is None:
-            props, kv_d, valid_d, rp_d = _draft_steps_greedy(
-                draft_cfg, draft_params, core.last, core.done, core.out_pos,
-                state.kv_d, state.valid_d, state.rp_d, rd, Td, k, d_sliding,
-            )
-            core, n_acc = _verify_round(
-                cfg, params, core, props, state.rnd, k, T, budget,
-                pad_token_id, eos, sliding_on, rt=rt,
-            )
-        else:
-            req_ids = req_base + state.slot_req
-            props, q_w, kv_d, valid_d, rp_d = _draft_steps_sample(
-                draft_cfg, draft_params, core.last, core.done, core.out_pos,
-                state.kv_d, state.valid_d, state.rp_d, rd, Td, k, d_sliding,
-                sample_key, req_ids, budget, temperature, top_k, top_p,
-            )
-            core, n_acc = _verify_round_sample(
-                cfg, params, core, props, q_w, state.rnd, k, T, budget,
-                pad_token_id, eos, sliding_on, sample_key, req_ids,
-                temperature, top_k, top_p, rt=rt,
-            )
-        valid_d = _retract_rows(valid_d, rd, k, n_acc)
-        return state._replace(
-            core=core, kv_d=kv_d, valid_d=valid_d, rp_d=rp_d,
-            rnd=state.rnd + 1,
+        return _spec_round_step(
+            cfg, params, draft_cfg, draft_params, state, T, Td, budget,
+            pad_token_id, k, eos, sliding_on, d_sliding, ring, sample,
+            sample_key, req_base,
         )
 
     state = jax.lax.while_loop(cond, body, state0)
     # final flush of every remaining tenant
     return state.out.at[state.slot_req].set(state.core.tokens)
+
+
+def _spec_round_step(cfg, params, draft_cfg, draft_params, state, T, Td,
+                     budget, pad_token_id, k, eos, sliding_on, d_sliding,
+                     ring, sample, sample_key, req_base):
+    """One engine round (k draft steps + one verify) for the whole pool,
+    at the ring row for state.rnd — shared by the on-device bulk loop and
+    the host-driven online engine."""
+    rt = T + (state.rnd % ring) * (k + 1)
+    rd = Td + (state.rnd % ring) * (k + 1)
+    core = state.core
+    if sample is None:
+        props, kv_d, valid_d, rp_d = _draft_steps_greedy(
+            draft_cfg, draft_params, core.last, core.done, core.out_pos,
+            state.kv_d, state.valid_d, state.rp_d, rd, Td, k, d_sliding,
+        )
+        core, n_acc = _verify_round(
+            cfg, params, core, props, state.rnd, k, T, budget,
+            pad_token_id, eos, sliding_on, rt=rt,
+        )
+    else:
+        temperature, top_k, top_p = sample
+        req_ids = req_base + state.slot_req
+        props, q_w, kv_d, valid_d, rp_d = _draft_steps_sample(
+            draft_cfg, draft_params, core.last, core.done, core.out_pos,
+            state.kv_d, state.valid_d, state.rp_d, rd, Td, k, d_sliding,
+            sample_key, req_ids, budget, temperature, top_k, top_p,
+        )
+        core, n_acc = _verify_round_sample(
+            cfg, params, core, props, q_w, state.rnd, k, T, budget,
+            pad_token_id, eos, sliding_on, sample_key, req_ids,
+            temperature, top_k, top_p, rt=rt,
+        )
+    valid_d = _retract_rows(valid_d, rd, k, n_acc)
+    return state._replace(
+        core=core, kv_d=kv_d, valid_d=valid_d, rp_d=rp_d,
+        rnd=state.rnd + 1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Online (host-loop) speculative continuous batching: requests arrive over
+# time, so admission/harvest run from the host while the pool's
+# draft-verify rounds run in amortized multi-round dispatches — the same
+# relay discipline as streaming.StreamingCaptioner.run() (one packed
+# occupancy fetch per iteration, token buffer fetched only on completions).
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=(
+    "cfg", "draft_cfg", "pspec", "T", "budget", "pad_token_id", "k",
+    "sample"))
+def spec_admit_chunk(cfg, params, draft_cfg, draft_params, pspec, pparams,
+                     state, embs, prefix_ids, slots, fresh, req, T, budget,
+                     pad_token_id, k, prefill_params=None,
+                     draft_prefill_params=None, sample=None,
+                     sample_key=None, req_base=0):
+    """Host-loop admission entry: prefill + install one fixed-size chunk
+    (rows with fresh=False install nothing — they point at the reserved
+    scratch slot)."""
+    eos = jnp.asarray(cfg.eos_token_ids)
+    return _admit_install(
+        cfg, draft_cfg, params, draft_params, pspec, pparams, state, embs,
+        prefix_ids, slots, fresh, req, T, T, budget, pad_token_id, k, eos,
+        sample, sample_key, req_base, prefill_params=prefill_params,
+        draft_prefill_params=draft_prefill_params,
+    )
+
+
+@partial(jax.jit, static_argnames=(
+    "cfg", "draft_cfg", "T", "budget", "pad_token_id", "k", "n_rounds",
+    "sample"))
+def spec_rounds(cfg, params, draft_cfg, draft_params, state, T, budget,
+                pad_token_id, k, n_rounds, sample=None, sample_key=None,
+                req_base=0):
+    """n_rounds draft-verify rounds for the whole pool in one dispatch
+    (amortizes the ~25 ms relay dispatch like stream_steps' k_steps)."""
+    eos = jnp.asarray(cfg.eos_token_ids)
+    ring = budget - 1
+    sliding_on = llama.sliding_effective(cfg, T + budget)
+    d_sliding = llama.sliding_effective(draft_cfg, T + budget)
+
+    def body(_i, st):
+        return _spec_round_step(
+            cfg, params, draft_cfg, draft_params, st, T, T, budget,
+            pad_token_id, k, eos, sliding_on, d_sliding, ring, sample,
+            sample_key, req_base,
+        )
+
+    return jax.lax.fori_loop(0, n_rounds, body, state)
+
+
+def _spec_pool_state(cfg, draft_cfg, pool, T, budget, k, pad_token_id,
+                     mesh=None) -> _SpecPool:
+    """Fresh all-free pool state (out is a 1-row stub: the host loop
+    harvests from core.tokens directly; qptr is unused)."""
+    ring = budget - 1
+    S = T + (k + 1) * ring
+
+    def kv_shape(c):
+        return (c.num_hidden_layers, 2, c.num_key_value_heads, S,
+                c.head_dim, pool)
+
+    rp = jnp.broadcast_to(
+        jnp.minimum(jnp.arange(S), T - 1)[:, None].astype(jnp.int32),
+        (S, pool),
+    )
+    state = _SpecPool(
+        core=_SpecCore(
+            done=jnp.ones((pool,), bool),
+            last=jnp.zeros((pool,), jnp.int32),
+            out_pos=jnp.zeros((pool,), jnp.int32),
+            tokens=jnp.full((pool, budget), pad_token_id, jnp.int32),
+            kv=jnp.zeros(kv_shape(cfg), cfg.dtype),
+            valid=jnp.zeros((S, pool), bool),
+            row_pos=rp,
+        ),
+        kv_d=jnp.zeros(kv_shape(draft_cfg), draft_cfg.dtype),
+        valid_d=jnp.zeros((S, pool), bool),
+        rp_d=rp,
+        out=jnp.full((1, budget), pad_token_id, jnp.int32),
+        slot_req=jnp.full((pool,), -1, jnp.int32),
+        qptr=jnp.zeros((), jnp.int32),
+        rnd=jnp.zeros((), jnp.int32),
+    )
+    return _pin_spec_pool(mesh, state)
+
+
+class SpeculativeStreamingCaptioner:
+    """Online speculative continuous batching over a fixed slot pool.
+
+    The host loop admits arrivals in fixed-size chunks, dispatches
+    `rounds` draft-verify rounds at a time, and harvests finished slots —
+    greedy tokens are IDENTICAL to the batch captioner's for any draft
+    and sampling draws with (request, age) keys (engine-invariant, equal
+    to the batch speculative sampler row-for-row).  Prefer run_bulk-style
+    speculative_bulk_caption when the whole workload is known upfront
+    (one dispatch instead of a host loop)."""
+
+    def __init__(self, cfg: LlamaConfig, llm_params: dict,
+                 draft_cfg: LlamaConfig, draft_params: dict, pspec, pparams,
+                 prefix_ids, budget: int, pad_token_id: int, pool: int = 64,
+                 admit: int = 16, rounds: int = 2, k: int = 4,
+                 prefill_params: Optional[dict] = None,
+                 draft_prefill_params: Optional[dict] = None, mesh=None,
+                 temperature: Optional[float] = None, top_k: int = 0,
+                 top_p: float = 1.0,
+                 sample_key: Optional[jax.Array] = None, req_base: int = 0):
+        import numpy as np
+
+        if budget < 2:
+            raise ValueError("speculative engine needs budget >= 2")
+        if k < 1:
+            raise ValueError("speculative engine needs k >= 1")
+        if pool < 2:
+            raise ValueError("pool must be >= 2 (one slot is scratch)")
+        if not 1 <= admit <= pool - 1:
+            # the LAST slot is reserved scratch for padded admission rows
+            # (duplicate scatter indices need a never-live target)
+            raise ValueError(f"admit must be in [1, pool-1], got {admit}")
+        self.cfg, self.params = cfg, llm_params
+        self.draft_cfg, self.draft_params = draft_cfg, draft_params
+        self.pspec, self.pparams = pspec, pparams
+        self.prefix = jnp.asarray(prefix_ids, jnp.int32)
+        self.T = 1 + int(self.prefix.shape[0])
+        self.budget, self.pad = int(budget), int(pad_token_id)
+        self.pool, self.admit, self.rounds = int(pool), int(admit), int(rounds)
+        self.k = int(k)
+        self.prefill_params = prefill_params
+        self.draft_prefill_params = draft_prefill_params
+        self.mesh = mesh
+        self.sample = (
+            (float(temperature), int(top_k), float(top_p))
+            if temperature is not None else None
+        )
+        self.sample_key = (
+            sample_key if sample_key is not None else jax.random.key(0)
+        )
+        self.req_base = int(req_base)
+        self.scratch = self.pool - 1
+        self.state = None
+        self._occupied = np.zeros(self.pool, bool)
+        self._slot_req = np.full(self.pool, -1, np.int64)
+        self.dispatches = 0
+
+    def run(self, embeddings) -> "np.ndarray":
+        import numpy as np
+
+        N = embeddings.shape[0]
+        if self.state is None:
+            self.state = _spec_pool_state(
+                self.cfg, self.draft_cfg, self.pool, self.T, self.budget,
+                self.k, self.pad, mesh=self.mesh,
+            )
+        out = np.full((N, self.budget), self.pad, np.int32)
+        next_req = 0
+        prefix_chunk = jnp.tile(self.prefix[None, :], (self.admit, 1))
+
+        def fetch_and_harvest():
+            nonlocal out
+            core = self.state.core
+            packed = np.asarray(jnp.concatenate(
+                [core.done.astype(jnp.int32), core.out_pos]
+            ))  # one transfer
+            done = packed[: self.pool].astype(bool)
+            n = packed[self.pool:]
+            finished = self._occupied & done & (n > 0)
+            finished[self.scratch] = False
+            if finished.any():
+                toks = np.asarray(core.tokens)
+                for b in np.nonzero(finished)[0]:
+                    out[self._slot_req[b]] = toks[b]
+                    self._occupied[b] = False
+                    self._slot_req[b] = -1
+
+        while next_req < N or self._occupied[: self.scratch].any():
+            while next_req < N:
+                free = np.nonzero(~self._occupied[: self.scratch])[0][
+                    : self.admit]
+                take = min(len(free), N - next_req)
+                if take == 0:
+                    break
+                slots = np.full(self.admit, self.scratch, np.int32)
+                slots[:take] = free[:take]
+                fresh = np.zeros(self.admit, bool)
+                fresh[:take] = True
+                chunk = np.zeros((self.admit, embeddings.shape[1]),
+                                 np.float32)
+                chunk[:take] = embeddings[next_req: next_req + take]
+                req = np.full(self.admit, -1, np.int32)
+                req[:take] = np.arange(next_req, next_req + take)
+                self.state = spec_admit_chunk(
+                    self.cfg, self.params, self.draft_cfg, self.draft_params,
+                    self.pspec, self.pparams, self.state, jnp.asarray(chunk),
+                    prefix_chunk, jnp.asarray(slots), jnp.asarray(fresh),
+                    jnp.asarray(req), self.T, self.budget, self.pad, self.k,
+                    prefill_params=self.prefill_params,
+                    draft_prefill_params=self.draft_prefill_params,
+                    sample=self.sample, sample_key=self.sample_key,
+                    req_base=self.req_base,
+                )
+                self.dispatches += 1
+                self._occupied[free[:take]] = True
+                self._slot_req[free[:take]] = np.arange(
+                    next_req, next_req + take
+                )
+                next_req += take
+            if self._occupied[: self.scratch].any():
+                self.state = spec_rounds(
+                    self.cfg, self.params, self.draft_cfg, self.draft_params,
+                    self.state, self.T, self.budget, self.pad, self.k,
+                    self.rounds, sample=self.sample,
+                    sample_key=self.sample_key, req_base=self.req_base,
+                )
+                self.dispatches += 1
+            fetch_and_harvest()
+        return out

@@ -523,3 +523,66 @@ def test_spec_bulk_sampling_matches_batch_sampler(temperature, top_k, top_p):
                          sample=(temperature, top_k, top_p),
                          sample_key=key)
     np.testing.assert_array_equal(got, np.asarray(want))
+
+
+# --------------------------- online (host-loop) spec engine -----------------
+
+from dmi_tpu.models.speculative import SpeculativeStreamingCaptioner  # noqa: E402
+
+
+@pytest.mark.parametrize("pool,admit,rounds,k,budget", [
+    (5, 2, 2, 3, 7),   # refills + staggered EOS; scratch slot exercised
+    (9, 4, 1, 2, 5),   # ring wraps repeatedly across tenant generations
+])
+def test_spec_online_matches_batch_path(pool, admit, rounds, k, budget):
+    """The HOST-LOOP speculative engine (online arrivals: host admission/
+    harvest around multi-round dispatches) is token-identical to the batch
+    captioner — self-draft AND a W4A8 draft (greedy rejection)."""
+    from dmi_tpu.models.quant import quantize_llama
+
+    cfg, params, pspec, pparams, prefix = _pool_setup(seed=33)
+    N = 17
+    embs = np.random.default_rng(34).normal(size=(N, 16)).astype(np.float32)
+    want = _batch_oracle(cfg, params, pspec, pparams, prefix, embs, budget)
+
+    for draft, dpp in [(params, None),
+                       (quantize_llama(params, bits=4), params)]:
+        eng = SpeculativeStreamingCaptioner(
+            cfg, params, cfg, draft, pspec, pparams, prefix, budget, PAD,
+            pool=pool, admit=admit, rounds=rounds, k=k,
+            draft_prefill_params=dpp,
+        )
+        got = eng.run(embs)
+        np.testing.assert_array_equal(got, want)
+        assert not eng._occupied[: eng.scratch].any()
+
+
+def test_spec_online_sampling_matches_batch_sampler():
+    """Sampling through the online engine: (request, age)-keyed draws make
+    it bit-identical to the batch speculative sampler on the same rows —
+    and therefore to the bulk spec engine too (engine-invariance)."""
+    from dmi_tpu.models.quant import quantize_llama
+    from dmi_tpu.models.speculative import speculative_sample_bl
+
+    cfg, params, pspec, pparams, prefix = _pool_setup(seed=35)
+    budget, k = 6, 2
+    N = 11
+    embs = np.random.default_rng(36).normal(size=(N, 16)).astype(np.float32)
+    key = jax.random.key(13)
+    draft = quantize_llama(params, bits=4)
+
+    soft = proj.apply(pspec, pparams, jnp.asarray(embs), train=False)
+    prefix_ids = jnp.tile(jnp.asarray(prefix)[None, :], (N, 1))
+    inputs = mmmodel.assemble_prompt(cfg, params, soft, prefix_ids)
+    want, _ = speculative_sample_bl(
+        cfg, params, cfg, draft, inputs, inputs, budget, PAD, key,
+        temperature=1.2, top_k=8, k=k, draft_prefill_params=params,
+    )
+
+    eng = SpeculativeStreamingCaptioner(
+        cfg, params, cfg, draft, pspec, pparams, prefix, budget, PAD,
+        pool=5, admit=2, rounds=2, k=k, draft_prefill_params=params,
+        temperature=1.2, top_k=8, sample_key=key,
+    )
+    got = eng.run(embs)
+    np.testing.assert_array_equal(got, np.asarray(want))
