@@ -204,6 +204,7 @@ def caption_generate_speculative(
     prefill_params: Optional[dict] = None,
     draft_prefill_params: Optional[dict] = None,
     draft_prompt_embeds: Optional[jax.Array] = None,
+    share_prefill: bool = False,
 ) -> jax.Array:
     """Greedy caption decode through the draft-verify speculative loop
     (dmi_tpu/models/speculative.py) — token-identical to caption_generate
@@ -232,6 +233,7 @@ def caption_generate_speculative(
         draft_prompt_embeds, max_new_tokens, pad_token_id, k=k,
         prefill_params=prefill_params,
         draft_prefill_params=draft_prefill_params,
+        share_prefill=share_prefill,
     )
     return tokens
 
@@ -254,6 +256,7 @@ def caption_sample_speculative(
     prefill_params: Optional[dict] = None,
     draft_prefill_params: Optional[dict] = None,
     draft_prompt_embeds: Optional[jax.Array] = None,
+    share_prefill: bool = False,
 ) -> jax.Array:
     """Stochastic caption decode through the speculative draft-verify loop
     (speculative.speculative_sample_bl): the emitted tokens keep
@@ -274,5 +277,6 @@ def caption_sample_speculative(
         temperature=temperature, top_k=top_k, top_p=top_p, req_ids=req_ids,
         k=k, prefill_params=prefill_params,
         draft_prefill_params=draft_prefill_params,
+        share_prefill=share_prefill,
     )
     return tokens

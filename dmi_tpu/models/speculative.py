@@ -371,23 +371,45 @@ def _advance(cfg, core: _SpecCore, props, a_ids, k, T, budget, pad_token_id,
 
 
 def _draft_setup(draft_cfg, draft_params, draft_prefill_params,
-                 draft_inputs_embeds, k, max_rounds):
+                 draft_inputs_embeds, k, max_rounds, from_target=None):
     """Draft-side prefill + row bookkeeping init, shared by the greedy and
     sampling batch loops: Sd = Td + (k+1)*max_rounds monotone rows.
-    Returns (kv_d, valid_d, rp_d, Td)."""
+    Returns (kv_d, valid_d, rp_d, Td).
+
+    from_target: the target's freshly-prefilled kv [L, 2, nkv, S, hd, B]
+    (share_prefill): the SELF-draft prefills the same inputs with the
+    same weights/config, so its cache IS the target's — skip the second
+    prefill entirely (zero copies: jnp arrays are immutable, the buffers
+    diverge on first write)."""
     Bd, Td, _ = draft_inputs_embeds.shape
     Sd = Td + (k + 1) * max_rounds
-    d_caches = dec.init_cache(draft_cfg, Bd, Sd)
-    _, d_caches = dec.prefill(
-        draft_cfg,
-        draft_params if draft_prefill_params is None else draft_prefill_params,
-        draft_inputs_embeds, d_caches,
-    )
-    kv_d = jnp.stack(
-        [d_caches[0].transpose(0, 2, 3, 4, 1),
-         d_caches[1].transpose(0, 2, 3, 4, 1)],
-        axis=1,
-    )
+    if from_target is not None:
+        if from_target.shape[0] != draft_cfg.num_hidden_layers or (
+            from_target.shape[2] != draft_cfg.num_key_value_heads
+        ) or from_target.shape[3] != Sd or (
+            from_target.shape[4] != draft_cfg.head_dim
+        ):
+            raise ValueError(
+                "share_prefill needs the draft's cache layout to equal the "
+                f"target's; got target {from_target.shape} vs draft "
+                f"(L={draft_cfg.num_hidden_layers}, "
+                f"nkv={draft_cfg.num_key_value_heads}, S={Sd}, "
+                f"hd={draft_cfg.head_dim})"
+            )
+        kv_d = from_target
+    else:
+        d_caches = dec.init_cache(draft_cfg, Bd, Sd)
+        _, d_caches = dec.prefill(
+            draft_cfg,
+            draft_params if draft_prefill_params is None
+            else draft_prefill_params,
+            draft_inputs_embeds, d_caches,
+        )
+        kv_d = jnp.stack(
+            [d_caches[0].transpose(0, 2, 3, 4, 1),
+             d_caches[1].transpose(0, 2, 3, 4, 1)],
+            axis=1,
+        )
     valid_d = jnp.concatenate(
         [jnp.ones((Td, Bd), bool), jnp.zeros((Sd - Td, Bd), bool)], axis=0
     )
@@ -543,7 +565,8 @@ def _verify_round(cfg, params, core, props, rnd, k, T, budget, pad_token_id,
 
 
 @partial(jax.jit, static_argnames=(
-    "cfg", "draft_cfg", "max_new_tokens", "pad_token_id", "k"))
+    "cfg", "draft_cfg", "max_new_tokens", "pad_token_id", "k",
+    "share_prefill"))
 def speculative_generate_bl(
     cfg: LlamaConfig,
     params: dict,
@@ -556,6 +579,7 @@ def speculative_generate_bl(
     k: int = 4,
     prefill_params: Optional[dict] = None,
     draft_prefill_params: Optional[dict] = None,
+    share_prefill: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Draft-model speculative greedy decode.
 
@@ -569,6 +593,13 @@ def speculative_generate_bl(
     prompts are soft-token + chat prefix, so callers typically embed the
     prefix ids with the draft's table).  The draft must share the
     target's tokenizer/vocab ids.
+
+    share_prefill: SELF-draft fast path — when the draft prefills the
+    SAME inputs with the SAME weights/config as the target (the
+    production W4A8 self-draft: both prefill the bf16 tree), its prefill
+    cache is bit-identical to the target's, so the second prefill is
+    skipped and the draft starts from the target's cache.  Exact; only
+    valid under that precondition (the caller asserts it).
 
     Returns (tokens [B, max_new_tokens], rounds []) — `rounds` is the
     number of verify forwards executed, the quantity acceptance buys
@@ -590,7 +621,7 @@ def speculative_generate_bl(
     # draft-side state (same bookkeeping design, single-token steps)
     kv_d, valid_d, rp_d, Td = _draft_setup(
         draft_cfg, draft_params, draft_prefill_params, draft_inputs_embeds,
-        k, max_rounds,
+        k, max_rounds, from_target=core.kv if share_prefill else None,
     )
     d_sliding = llama.sliding_effective(draft_cfg, Td + budget)
 
@@ -870,7 +901,7 @@ def _verify_round_sample(cfg, params, core, props, q_w, rnd, k, T, budget,
 
 @partial(jax.jit, static_argnames=(
     "cfg", "draft_cfg", "max_new_tokens", "pad_token_id", "k",
-    "temperature", "top_k", "top_p"))
+    "temperature", "top_k", "top_p", "share_prefill"))
 def speculative_sample_bl(
     cfg: LlamaConfig,
     params: dict,
@@ -888,12 +919,15 @@ def speculative_sample_bl(
     k: int = 4,
     prefill_params: Optional[dict] = None,
     draft_prefill_params: Optional[dict] = None,
+    share_prefill: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Stochastic speculative decode: the emitted tokens are distributed
     exactly as dec.sample_generate_bl's (warped-target marginal preserved
     for ANY draft), and are BIT-IDENTICAL to it when draft == target (see
     the RNG-discipline note above).  EOS/pad/budget semantics as the
-    plain sampler.  Returns (tokens [B, max_new_tokens], verify rounds).
+    plain sampler.  share_prefill as in speculative_generate_bl (exact
+    self-draft fast path).  Returns (tokens [B, max_new_tokens], verify
+    rounds).
     """
     if k < 1:
         raise ValueError("speculative sampling needs k >= 1")
@@ -924,7 +958,7 @@ def speculative_sample_bl(
 
     kv_d, valid_d, rp_d, Td = _draft_setup(
         draft_cfg, draft_params, draft_prefill_params, draft_inputs_embeds,
-        k, max_rounds,
+        k, max_rounds, from_target=core.kv if share_prefill else None,
     )
     d_sliding = llama.sliding_effective(draft_cfg, Td + budget)
 
@@ -1025,12 +1059,16 @@ def _pin_spec_pool(mesh, pool: "_SpecPool") -> "_SpecPool":
 def _admit_install(cfg, draft_cfg, params, draft_params, pspec, pparams,
                    state, embs, prefix_ids, slots, fresh, req, T, Td,
                    budget, pad_token_id, k, eos, sample, sample_key,
-                   req_base, prefill_params=None, draft_prefill_params=None):
+                   req_base, prefill_params=None, draft_prefill_params=None,
+                   share_prefill=False):
     """Prefill one chunk of prompts (target + draft) and install it into
     `slots` of a _SpecPool: rows with fresh[i]=False keep the (dead)
     slot's state.  Shared by the on-device bulk admission branch and the
     host-driven online engine (which passes explicit slots/req from its
-    own occupancy bookkeeping).  Leaves out/qptr untouched."""
+    own occupancy bookkeeping).  Leaves out/qptr untouched.
+    share_prefill: the SELF-draft prefills the same inputs with the same
+    weights/config, so its chunk cache IS the target's (exact; skips the
+    second prefill)."""
     from dmi_tpu.models import mmmodel
     from dmi_tpu.models import projector as proj
 
@@ -1050,12 +1088,23 @@ def _admit_install(cfg, draft_cfg, params, draft_params, pspec, pparams,
         [caches[0].transpose(0, 2, 3, 4, 1),
          caches[1].transpose(0, 2, 3, 4, 1)], axis=1,
     )
-    d_caches = dec.init_cache(draft_cfg, chunk, Td)
-    _, d_caches = dec.prefill(draft_cfg, dpp, inputs, d_caches)
-    chunk_kv_d = jnp.stack(
-        [d_caches[0].transpose(0, 2, 3, 4, 1),
-         d_caches[1].transpose(0, 2, 3, 4, 1)], axis=1,
-    )
+    if share_prefill:
+        if state.kv_d.shape[:3] != core.kv.shape[:3] or (
+            state.kv_d.shape[4] != core.kv.shape[4]
+        ) or Td != T:
+            raise ValueError(
+                "share_prefill needs the draft's cache layout to equal "
+                f"the target's; got draft {state.kv_d.shape} vs target "
+                f"{core.kv.shape}"
+            )
+        chunk_kv_d = chunk_kv
+    else:
+        d_caches = dec.init_cache(draft_cfg, chunk, Td)
+        _, d_caches = dec.prefill(draft_cfg, dpp, inputs, d_caches)
+        chunk_kv_d = jnp.stack(
+            [d_caches[0].transpose(0, 2, 3, 4, 1),
+             d_caches[1].transpose(0, 2, 3, 4, 1)], axis=1,
+        )
 
     if sample is None:
         tok0 = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
@@ -1111,7 +1160,7 @@ def _admit_install(cfg, draft_cfg, params, draft_params, pspec, pparams,
 
 @partial(jax.jit, static_argnames=(
     "cfg", "draft_cfg", "pspec", "T", "budget", "pad_token_id", "chunk",
-    "pool", "k", "mesh", "sample"))
+    "pool", "k", "mesh", "sample", "share_prefill"))
 def speculative_bulk_caption(
     cfg: LlamaConfig,
     params: dict,
@@ -1134,6 +1183,7 @@ def speculative_bulk_caption(
     sample=None,
     sample_key: Optional[jax.Array] = None,
     req_base=0,
+    share_prefill: bool = False,
 ) -> jax.Array:
     """Speculative continuous batching over a whole caption workload.
 
@@ -1231,6 +1281,7 @@ def speculative_bulk_caption(
             pad_token_id, k, eos, sample, sample_key, req_base,
             prefill_params=prefill_params,
             draft_prefill_params=draft_prefill_params,
+            share_prefill=share_prefill,
         )
         return state._replace(out=out, qptr=state.qptr + chunk)
 
@@ -1301,12 +1352,12 @@ def _spec_round_step(cfg, params, draft_cfg, draft_params, state, T, Td,
 
 @partial(jax.jit, static_argnames=(
     "cfg", "draft_cfg", "pspec", "T", "budget", "pad_token_id", "k",
-    "sample"))
+    "sample", "share_prefill"))
 def spec_admit_chunk(cfg, params, draft_cfg, draft_params, pspec, pparams,
                      state, embs, prefix_ids, slots, fresh, req, T, budget,
                      pad_token_id, k, prefill_params=None,
                      draft_prefill_params=None, sample=None,
-                     sample_key=None, req_base=0):
+                     sample_key=None, req_base=0, share_prefill=False):
     """Host-loop admission entry: prefill + install one fixed-size chunk
     (rows with fresh=False install nothing — they point at the reserved
     scratch slot)."""
@@ -1316,6 +1367,7 @@ def spec_admit_chunk(cfg, params, draft_cfg, draft_params, pspec, pparams,
         prefix_ids, slots, fresh, req, T, T, budget, pad_token_id, k, eos,
         sample, sample_key, req_base, prefill_params=prefill_params,
         draft_prefill_params=draft_prefill_params,
+        share_prefill=share_prefill,
     )
 
 
@@ -1397,7 +1449,8 @@ class SpeculativeStreamingCaptioner:
                  draft_prefill_params: Optional[dict] = None, mesh=None,
                  temperature: Optional[float] = None, top_k: int = 0,
                  top_p: float = 1.0,
-                 sample_key: Optional[jax.Array] = None, req_base: int = 0):
+                 sample_key: Optional[jax.Array] = None, req_base: int = 0,
+                 share_prefill: bool = False):
         import numpy as np
 
         if budget < 2:
@@ -1429,6 +1482,7 @@ class SpeculativeStreamingCaptioner:
             sample_key if sample_key is not None else jax.random.key(0)
         )
         self.req_base = int(req_base)
+        self.share_prefill = bool(share_prefill)
         self.scratch = self.pool - 1
         self.state = None
         self._occupied = np.zeros(self.pool, bool)
@@ -1490,6 +1544,7 @@ class SpeculativeStreamingCaptioner:
                     draft_prefill_params=self.draft_prefill_params,
                     sample=self.sample, sample_key=self.sample_key,
                     req_base=self.req_base,
+                    share_prefill=self.share_prefill,
                 )
                 self.dispatches += 1
                 self._occupied[free[:take]] = True

@@ -76,12 +76,14 @@ def _caption_pipeline_spec(cfg, pspec, pparams, llm_params, prefill_params,
     """Speculative twin of _caption_pipeline: projector -> prompt assembly
     -> draft-verify greedy decode as ONE program.  Token-identical to the
     greedy pipeline (greedy-rejection invariant, speculative.py); the
-    draft is a W4A8 copy of the target so draft_cfg == cfg."""
+    draft is a W4A8 copy of the target so draft_cfg == cfg AND the draft
+    prefill rides the same bf16 tree — share_prefill skips the redundant
+    second prefill (the admission-side cost of speculation)."""
     soft = proj.apply(pspec, pparams, embs, train=False)
     return mmmodel.caption_generate_speculative(
         cfg, llm_params, cfg, draft_params, soft, prefix_ids, max_new,
         pad_id, k=k, prefill_params=prefill_params,
-        draft_prefill_params=draft_prefill_params,
+        draft_prefill_params=draft_prefill_params, share_prefill=True,
     )
 
 
@@ -260,6 +262,7 @@ class Captioner:
                                    dtype=jnp.int32),
                 k=self.spec_k, prefill_params=self.llm_params_prefill,
                 draft_prefill_params=self.draft_prefill_params,
+                share_prefill=True,
             )
         else:
             soft = proj.apply(self.proj_spec, self.proj_params, embs,
@@ -338,6 +341,8 @@ class Captioner:
             k=self.spec_k, prefill_params=self.llm_params_prefill,
             draft_prefill_params=self.draft_prefill_params, mesh=self.mesh,
             sample=sample, sample_key=jax.random.key(seed),
+            # self-draft: draft prefill == target prefill (same bf16 tree)
+            share_prefill=True,
         )
         return self.tokenizer.batch_decode(
             np.asarray(toks)[:N], skip_special_tokens=True

@@ -586,3 +586,50 @@ def test_spec_online_sampling_matches_batch_sampler():
     )
     got = eng.run(embs)
     np.testing.assert_array_equal(got, np.asarray(want))
+
+
+def test_share_prefill_exact():
+    """share_prefill (self-draft fast path: the draft starts from the
+    target's prefill cache instead of prefilling again) is EXACT — tokens
+    and round counts are bit-equal with and without it, for greedy,
+    sampling, and the bulk engine."""
+    from dmi_tpu.models.quant import quantize_llama
+    from dmi_tpu.models.speculative import speculative_sample_bl
+
+    cfg, params = make_model(seed=50)
+    draft = quantize_llama(params, bits=4)
+    budget, k = 8, 3
+    embeds = prompt_embeds(cfg, B=4, T=5, seed=51)
+
+    t0, r0 = speculative_generate_bl(
+        cfg, params, cfg, draft, embeds, embeds, budget, PAD, k=k,
+        draft_prefill_params=params,
+    )
+    t1, r1 = speculative_generate_bl(
+        cfg, params, cfg, draft, embeds, embeds, budget, PAD, k=k,
+        draft_prefill_params=params, share_prefill=True,
+    )
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    assert int(np.asarray(r0)) == int(np.asarray(r1))
+
+    key = jax.random.key(5)
+    s0, _ = speculative_sample_bl(
+        cfg, params, cfg, draft, embeds, embeds, budget, PAD, key,
+        temperature=1.3, top_k=8, k=k, draft_prefill_params=params,
+    )
+    s1, _ = speculative_sample_bl(
+        cfg, params, cfg, draft, embeds, embeds, budget, PAD, key,
+        temperature=1.3, top_k=8, k=k, draft_prefill_params=params,
+        share_prefill=True,
+    )
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+
+    cfgp, paramsp, pspec, pparams, prefix = _pool_setup(seed=52)
+    draftp = quantize_llama(paramsp, bits=4)
+    embs = np.random.default_rng(53).normal(size=(11, 16)).astype(np.float32)
+    b0 = _run_spec_bulk(cfgp, paramsp, cfgp, draftp, pspec, pparams, prefix,
+                        embs, 6, 2, 5, 2, draft_prefill_params=paramsp)
+    b1 = _run_spec_bulk(cfgp, paramsp, cfgp, draftp, pspec, pparams, prefix,
+                        embs, 6, 2, 5, 2, draft_prefill_params=paramsp,
+                        share_prefill=True)
+    np.testing.assert_array_equal(b0, b1)
