@@ -149,6 +149,10 @@ def main():
                 lambda: speculative_generate_bl(
                     cfg, params, cfg, draft_params, embeds, embeds,
                     budget, 0, k=k, draft_prefill_params=params,
+                    # the production config: the self-draft starts from
+                    # the target's prefill cache (exact, halves the
+                    # admission prefill)
+                    share_prefill=True,
                 )
             )
             toks, rounds = r
