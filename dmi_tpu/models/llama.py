@@ -13,7 +13,9 @@ sliding attention), phi-3 (fused checkpoints, all-layer sliding), olmo2
 residual/logits scalar multipliers), gemma-3 text (per-head (1+w) q/k
 RMSNorm, lookup-scaled embeddings, dual rope: sliding layers at the local
 theta, full layers linear-scaled), mixtral (sparse MoE: top-k softmax
-router over dense-evaluated experts, expert-parallel shardable) — behind
+router over dense-evaluated experts, expert-parallel shardable), olmoe
+(olmo2's full-width q/k RMSNorm in standard pre-norm blocks + the MoE
+block without top-k renormalization) — behind
 one config + one stacked-layer pytree:
 
   * pytree params with **stacked per-layer weights** so the transformer body
@@ -233,6 +235,21 @@ def tiny_qwen3moe_config(n_experts=4, top_k=2, **kw) -> LlamaConfig:
 
     return dataclasses.replace(
         tiny_config(**kw), qk_norm=True, num_experts=n_experts,
+        num_experts_per_tok=top_k, moe_norm_topk=False,
+    )
+
+
+def tiny_olmoe_config(n_experts=4, top_k=2, **kw) -> LlamaConfig:
+    """OLMoE-family tiny config: olmo2's RMSNorm over the FULL q/k
+    projections before rope — but in STANDARD pre-norm blocks (HF
+    OlmoeDecoderLayer: input/post-attention layernorms, unlike olmo2's
+    post-norm) — plus the sparse-MoE MLP without top-k renormalization
+    (HF OlmoeSparseMoeBlock, norm_topk_prob=False on the released
+    checkpoints and the config default)."""
+    import dataclasses
+
+    return dataclasses.replace(
+        tiny_config(**kw), qk_norm_wide=True, num_experts=n_experts,
         num_experts_per_tok=top_k, moe_norm_topk=False,
     )
 

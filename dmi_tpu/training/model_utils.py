@@ -61,7 +61,7 @@ def build_tokenizer(lm_args):
 
 _SUPPORTED_FAMILIES = ("llama", "mistral", "qwen2", "gemma2", "qwen3", "phi3",
                        "olmo2", "granite", "gemma3_text", "mixtral",
-                       "qwen3_moe")
+                       "qwen3_moe", "olmoe")
 
 
 def _hf_to_config(hf_cfg, dtype, tokenizer) -> llama.LlamaConfig:
@@ -158,6 +158,20 @@ def _hf_to_config(hf_cfg, dtype, tokenizer) -> llama.LlamaConfig:
         kw["num_experts_per_tok"] = int(hf_cfg.num_experts_per_tok)
         kw["moe_norm_topk"] = bool(hf_cfg.norm_topk_prob)
         kw["intermediate_override"] = int(hf_cfg.moe_intermediate_size)
+    elif family == "olmoe":
+        # olmo2's full-width q/k RMSNorm but in STANDARD pre-norm blocks
+        # (HF OlmoeDecoderLayer), plus the sparse-MoE MLP with the
+        # norm_topk_prob knob (False on the released checkpoints and the
+        # OlmoeConfig default).  clip_qkv (elementwise clamp on q/k/v
+        # projections) is null on released checkpoints and not modeled.
+        if getattr(hf_cfg, "clip_qkv", None) is not None:
+            raise ValueError("olmoe clip_qkv is not supported")
+        if getattr(hf_cfg, "attention_bias", False):
+            raise ValueError("olmoe attention_bias=True is not supported")
+        kw["qk_norm_wide"] = True
+        kw["num_experts"] = int(hf_cfg.num_experts)
+        kw["num_experts_per_tok"] = int(hf_cfg.num_experts_per_tok)
+        kw["moe_norm_topk"] = bool(hf_cfg.norm_topk_prob)
     elif family == "olmo2":
         # RMSNorm over the FULL q/k projections before rope + post-norm
         # blocks (no input layernorms; the post-attention/post-feedforward

@@ -79,6 +79,13 @@ def _hf_config(family, tie=True, sliding_window=None):
             moe_intermediate_size=128, norm_topk_prob=False,
             decoder_sparse_step=1, mlp_only_layers=[],
         )
+    if family == "olmoe":
+        # full-width q/k RMSNorm in standard PRE-norm blocks (vs olmo2's
+        # post-norm), MoE without top-k renormalization (config default)
+        return transformers.OlmoeConfig(
+            **_COMMON, tie_word_embeddings=tie,
+            num_experts=4, num_experts_per_tok=2,
+        )
     if family == "gemma3":
         # distinct global (1e6, linear-scaled) vs local (1e4, unscaled)
         # rope bases so the per-layer table split is discriminative; one
@@ -136,7 +143,7 @@ def make_pair(family, seed=0, tie=True, sliding_window=None):
 
 
 FAMILIES = ["qwen2", "gemma2", "mistral", "qwen3", "phi3", "olmo2", "granite",
-            "gemma3", "mixtral", "qwen3moe"]
+            "gemma3", "mixtral", "qwen3moe", "olmoe"]
 
 
 @pytest.mark.parametrize("family", FAMILIES)
@@ -183,6 +190,14 @@ def test_config_mapping(family):
         # expert shapes from moe_intermediate_size (128), NOT the dense 96
         assert params["layers"]["moe_w1"].shape == (2, 4, 64, 128)
         assert params["layers"]["q_norm"].shape == (2, 16)
+    if family == "olmoe":
+        assert cfg.qk_norm_wide and cfg.num_experts == 4
+        assert not cfg.norm_after  # standard PRE-norm blocks, unlike olmo2
+        assert not cfg.moe_norm_topk  # OlmoeConfig default norm_topk_prob
+        assert params["layers"]["q_norm"].shape == (2, 64)
+        assert params["layers"]["k_norm"].shape == (2, 32)
+        assert params["layers"]["moe_w1"].shape == (2, 4, 64, 128)
+        assert "w_gate" not in params["layers"]
     if family == "gemma3":
         assert cfg.qk_norm and cfg.post_block_norms and cfg.norm_plus_one
         assert cfg.rope_local_theta == pytest.approx(10_000.0)

@@ -122,7 +122,7 @@ def test_sharded_decode_runs(setup):
 
 
 @pytest.mark.parametrize("family", ["qwen2", "gemma2", "qwen3", "olmo2",
-                                    "granite", "gemma3", "mixtral"])
+                                    "granite", "gemma3", "mixtral", "olmoe"])
 def test_sharded_family_loss_and_decode_match(family):
     """Tensor-parallel shardings cover the family param extensions: qwen2
     qkv biases shard with their matmul's output column, gemma-2/3
@@ -136,7 +136,8 @@ def test_sharded_family_loss_and_decode_match(family):
              "qwen3": llama.tiny_qwen3_config, "olmo2": llama.tiny_olmo2_config,
              "granite": llama.tiny_granite_config,
              "gemma3": llama.tiny_gemma3_config,
-             "mixtral": llama.tiny_mixtral_config}
+             "mixtral": llama.tiny_mixtral_config,
+             "olmoe": llama.tiny_olmoe_config}
     cfg = maker[family](vocab_size=256, hidden_size=64, n_layers=2,
                         n_heads=4, n_kv=2)
     llm_params = llama.init(jax.random.key(10), cfg)

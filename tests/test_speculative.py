@@ -178,6 +178,7 @@ def test_model_draft_is_target():
     (llama.tiny_granite_config, {}),
     (llama.tiny_gemma3_config, {}),
     (llama.tiny_mixtral_config, {}),
+    (llama.tiny_olmoe_config, {}),
 ])
 def test_families(cfg_fn, extra):
     cfg, params = make_model(seed=17, cfg_fn=cfg_fn, **extra)

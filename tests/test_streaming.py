@@ -175,7 +175,7 @@ def test_bulk_on_device_under_tp_mesh():
 
 
 @pytest.mark.parametrize("family", ["qwen2", "gemma2", "qwen3", "olmo2",
-                                    "granite", "gemma3", "mixtral"])
+                                    "granite", "gemma3", "mixtral", "olmoe"])
 def test_streaming_families_match_batch_path(family):
     """The engine shares _decode_step_bl with the batch path, so family
     features (qwen2 qkv biases; gemma-2 GeGLU/post-block norms/softcap/
@@ -189,7 +189,8 @@ def test_streaming_families_match_batch_path(family):
              # gemma3's default window 8 BINDS here (T=4 + budget 6): the
              # ring engine exercises dual rope AND per-slot lookback masks
              "gemma3": llama.tiny_gemma3_config,
-             "mixtral": llama.tiny_mixtral_config}
+             "mixtral": llama.tiny_mixtral_config,
+             "olmoe": llama.tiny_olmoe_config}
     cfg = maker[family](vocab_size=64, hidden_size=32, n_layers=2,
                         n_heads=4, n_kv=2, intermediate=64)
     cfg = dataclasses.replace(cfg, eos_token_ids=(5,))
