@@ -110,6 +110,42 @@ class LlamaConfig:
     norm_after: bool = False              # olmo2: no pre-norms; norm block OUTPUTS
     residual_multiplier: Optional[float] = None  # granite: residual + out * m
     logit_scale: Optional[float] = None   # granite: logits / logits_scaling
+    # ---- deepseek-v2 multi-head latent attention (MLA) -------------------
+    # kv_lora_rank set => MLA (HF DeepseekV2Attention): q projects to
+    # nh * (qk_nope + qk_rope) — optionally through a q_lora_rank
+    # bottleneck with RMSNorm — while k/v derive from ONE compressed
+    # latent: kv_a = x @ W_a -> [kv_lora_rank | qk_rope] where the rope
+    # part is a SINGLE shared key (MQA on the positional channel) and the
+    # normed latent expands through W_b to per-head [qk_nope | v_head_dim].
+    # head_dim here is the Q/K width (qk_nope + qk_rope); values are
+    # v_head_dim wide.  Rope is INTERLEAVED (adjacent complex pairs, HF
+    # apply_rotary_emb) over qk_rope_head_dim, optionally yarn-scaled.
+    q_lora_rank: Optional[int] = None
+    kv_lora_rank: Optional[int] = None
+    qk_nope_head_dim: int = 0
+    qk_rope_head_dim: int = 0
+    v_head_dim: Optional[int] = None
+    rope_interleaved: bool = False
+    # yarn rope scaling (HF _compute_yarn_parameters; deepseek long-context
+    # checkpoints carry mscale/mscale_all_dim).  rope_yarn_factor set =>
+    # yarn; the attention factor multiplies BOTH cos and sin (HF scales the
+    # complex phasor), so scores scale by its square.
+    rope_yarn_factor: Optional[float] = None
+    rope_yarn_beta_fast: float = 32.0
+    rope_yarn_beta_slow: float = 1.0
+    rope_yarn_mscale: Optional[float] = None
+    rope_yarn_mscale_all_dim: Optional[float] = None
+    rope_yarn_attention_factor: Optional[float] = None
+    rope_yarn_truncate: bool = True
+    # ---- deepseek-v2 MoE extensions ---------------------------------------
+    # routed weights scale by routed_scaling_factor after top-k (the HF
+    # greedy gate never renormalizes — norm_topk_prob is dead there), the
+    # gate matmul runs in f32 (HF casts input AND weight), and
+    # n_shared_experts always-on gated MLPs (width n * moe_intermediate)
+    # add to the routed combination.
+    routed_scaling_factor: float = 1.0
+    n_shared_experts: int = 0
+    moe_gate_fp32: bool = False
 
 
 def llama32_1b(dtype=jnp.bfloat16) -> LlamaConfig:
@@ -254,6 +290,36 @@ def tiny_olmoe_config(n_experts=4, top_k=2, **kw) -> LlamaConfig:
     )
 
 
+def tiny_deepseek_config(q_lora_rank=None, n_experts=0, top_k=2,
+                         n_shared=0, routed_scale=1.0, **kw) -> LlamaConfig:
+    """DeepSeek-V2-family tiny config: MLA attention (kv latent rank 16,
+    qk 8 nope + 4 rope dims, 8-wide values, interleaved rope), optionally
+    a q_lora_rank bottleneck (the full-size checkpoints; None = the Lite
+    layout's plain q projection), optionally the deepseek MoE block
+    (greedy top-k over an f32 gate, routed_scaling_factor, n_shared
+    always-on shared experts).  head_dim is the q/k width (12)."""
+    import dataclasses
+
+    cfg = tiny_config(**kw)
+    return dataclasses.replace(
+        cfg,
+        num_key_value_heads=cfg.num_attention_heads,
+        head_dim=12,
+        q_lora_rank=q_lora_rank,
+        kv_lora_rank=16,
+        qk_nope_head_dim=8,
+        qk_rope_head_dim=4,
+        v_head_dim=8,
+        rope_interleaved=True,
+        num_experts=n_experts,
+        num_experts_per_tok=top_k,
+        moe_norm_topk=False,
+        moe_gate_fp32=bool(n_experts),
+        routed_scaling_factor=routed_scale,
+        n_shared_experts=n_shared,
+    )
+
+
 def tiny_gemma3_config(sliding_window=8, **kw) -> LlamaConfig:
     """Gemma-3 (text) tiny config: gemma-2's GeGLU / (1+w) norms /
     post-block norms / sqrt(H) embedding scale WITHOUT the softcaps, plus
@@ -306,19 +372,43 @@ def init(key: jax.Array, cfg: LlamaConfig) -> dict:
             "moe_w3": w(next(keys), (L, E, H, I)),
             "moe_w2": w(next(keys), (L, E, I, H)),
         }
+        if cfg.n_shared_experts:
+            Is = I * cfg.n_shared_experts
+            mlp["w_shared_gate"] = w(next(keys), (L, H, Is))
+            mlp["w_shared_up"] = w(next(keys), (L, H, Is))
+            mlp["w_shared_down"] = w(next(keys), (L, Is, H))
     else:
         mlp = {
             "w_gate": w(next(keys), (L, H, I)),
             "w_up": w(next(keys), (L, H, I)),
             "w_down": w(next(keys), (L, I, H)),
         }
-    params = {
-        "embed": w(next(keys), (cfg.vocab_size, H)),
-        "layers": {
+    if cfg.kv_lora_rank is not None:  # deepseek-v2 MLA
+        r, dn, dr = cfg.kv_lora_rank, cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
+        dv = cfg.v_head_dim
+        attn = {
+            "wkv_a": w(next(keys), (L, H, r + dr)),
+            "kv_a_norm": jnp.ones((L, r), cfg.dtype),
+            "wkv_b": w(next(keys), (L, r, nh * (dn + dv))),
+            "wo": w(next(keys), (L, nh * dv, H)),
+        }
+        if cfg.q_lora_rank is None:
+            attn["wq"] = w(next(keys), (L, H, nh * (dn + dr)))
+        else:
+            attn["wq_a"] = w(next(keys), (L, H, cfg.q_lora_rank))
+            attn["q_a_norm"] = jnp.ones((L, cfg.q_lora_rank), cfg.dtype)
+            attn["wq_b"] = w(next(keys), (L, cfg.q_lora_rank, nh * (dn + dr)))
+    else:
+        attn = {
             "wq": w(next(keys), (L, H, nh * hd)),
             "wk": w(next(keys), (L, H, nkv * hd)),
             "wv": w(next(keys), (L, H, nkv * hd)),
             "wo": w(next(keys), (L, nh * hd, H)),
+        }
+    params = {
+        "embed": w(next(keys), (cfg.vocab_size, H)),
+        "layers": {
+            **attn,
             **mlp,
             "ln_attn": jnp.ones((L, H), cfg.dtype),
             "ln_mlp": jnp.ones((L, H), cfg.dtype),
@@ -415,8 +505,10 @@ def from_hf_state_dict(state_dict, cfg: LlamaConfig) -> dict:
                    cfg.head_dim)
     if cfg.num_experts:
         # sparse-MoE checkpoint layouts: mixtral ships
-        # block_sparse_moe.{gate, experts.N.w1/w3/w2}; qwen3-moe ships
-        # mlp.{gate, experts.N.gate_proj/up_proj/down_proj}
+        # block_sparse_moe.{gate, experts.N.w1/w3/w2}; qwen3-moe AND
+        # deepseek-v2 ship mlp.{gate, experts.N.gate_proj/up_proj/down_proj}
+        # (deepseek's gate weight is a bare nn.Parameter named .weight on
+        # the gate module — same key); deepseek adds mlp.shared_experts.*
         def stack_experts(fmt):
             out = []
             for i in range(L):
@@ -442,37 +534,59 @@ def from_hf_state_dict(state_dict, cfg: LlamaConfig) -> dict:
                 moe_pfx + ".experts.{}." + e_names[2] + ".weight"
             ),
         }
-        wq = stack("model.layers.{}.self_attn.q_proj.weight")
-        wk = stack("model.layers.{}.self_attn.k_proj.weight")
-        wv = stack("model.layers.{}.self_attn.v_proj.weight")
+        if cfg.n_shared_experts:
+            mlp["w_shared_gate"] = stack(moe_pfx + ".shared_experts.gate_proj.weight")
+            mlp["w_shared_up"] = stack(moe_pfx + ".shared_experts.up_proj.weight")
+            mlp["w_shared_down"] = stack(moe_pfx + ".shared_experts.down_proj.weight")
     elif "model.layers.0.self_attn.qkv_proj.weight" in state_dict:
         # phi-3 layout: the checkpoint ITSELF ships fused qkv / gate_up
         # projections (q|k|v rows, gate|up rows) — split into the unfused
         # stacked layout (shardable; fuse_projections re-fuses for serving)
-        qkv = stack("model.layers.{}.self_attn.qkv_proj.weight")
-        wq, wk, wv = (qkv[:, :, : nh * hd],
-                      qkv[:, :, nh * hd : nh * hd + nkv * hd],
-                      qkv[:, :, nh * hd + nkv * hd :])
         gu = stack("model.layers.{}.mlp.gate_up_proj.weight")
         w_gate, w_up = jnp.split(gu, 2, axis=-1)
         mlp = {"w_gate": w_gate, "w_up": w_up,
                "w_down": stack("model.layers.{}.mlp.down_proj.weight")}
     else:
-        wq = stack("model.layers.{}.self_attn.q_proj.weight")
-        wk = stack("model.layers.{}.self_attn.k_proj.weight")
-        wv = stack("model.layers.{}.self_attn.v_proj.weight")
         mlp = {
             "w_gate": stack("model.layers.{}.mlp.gate_proj.weight"),
             "w_up": stack("model.layers.{}.mlp.up_proj.weight"),
             "w_down": stack("model.layers.{}.mlp.down_proj.weight"),
         }
+    if cfg.kv_lora_rank is not None:
+        # deepseek-v2 MLA layout (HF DeepseekV2Attention): kv_a_proj_with_mqa
+        # packs [kv latent | shared rope key]; kv_b expands the normed
+        # latent to per-head [qk_nope | v_head_dim]
+        attn = {
+            "wkv_a": stack("model.layers.{}.self_attn.kv_a_proj_with_mqa.weight"),
+            "kv_a_norm": norm("model.layers.{}.self_attn.kv_a_layernorm.weight"),
+            "wkv_b": stack("model.layers.{}.self_attn.kv_b_proj.weight"),
+            "wo": stack("model.layers.{}.self_attn.o_proj.weight"),
+        }
+        if cfg.q_lora_rank is None:  # the Lite layout
+            attn["wq"] = stack("model.layers.{}.self_attn.q_proj.weight")
+        else:
+            attn["wq_a"] = stack("model.layers.{}.self_attn.q_a_proj.weight")
+            attn["q_a_norm"] = norm("model.layers.{}.self_attn.q_a_layernorm.weight")
+            attn["wq_b"] = stack("model.layers.{}.self_attn.q_b_proj.weight")
+    elif "model.layers.0.self_attn.qkv_proj.weight" in state_dict:
+        qkv = stack("model.layers.{}.self_attn.qkv_proj.weight")
+        attn = {
+            "wq": qkv[:, :, : nh * hd],
+            "wk": qkv[:, :, nh * hd : nh * hd + nkv * hd],
+            "wv": qkv[:, :, nh * hd + nkv * hd :],
+            "wo": stack("model.layers.{}.self_attn.o_proj.weight"),
+        }
+    else:
+        attn = {
+            "wq": stack("model.layers.{}.self_attn.q_proj.weight"),
+            "wk": stack("model.layers.{}.self_attn.k_proj.weight"),
+            "wv": stack("model.layers.{}.self_attn.v_proj.weight"),
+            "wo": stack("model.layers.{}.self_attn.o_proj.weight"),
+        }
     params = {
         "embed": jnp.asarray(get("model.embed_tokens.weight"), cfg.dtype),
         "layers": {
-            "wq": wq,
-            "wk": wk,
-            "wv": wv,
-            "wo": stack("model.layers.{}.self_attn.o_proj.weight"),
+            **attn,
             **mlp,
             "ln_attn": norm(attn_norm_key),
             "ln_mlp": norm(pre_mlp_key),
@@ -514,8 +628,11 @@ def rope_inv_freq(cfg: LlamaConfig, local: bool = False) -> jax.Array:
     "linear" scaling (inv_freq / factor — gemma-3 global layers).
     local=True returns the gemma-3 sliding-layer table: plain rope at
     rope_local_theta, NEVER scaled (HF Gemma3TextModel.rotary_emb_local is
-    built with rope_type 'default')."""
-    hd = cfg.head_dim
+    built with rope_type 'default').  MLA (deepseek) ropes only the
+    qk_rope_head_dim decoupled channel, optionally yarn-scaled (HF
+    _compute_yarn_parameters: interpolated/extrapolated frequency blend
+    over a linear ramp between the beta_fast/beta_slow correction dims)."""
+    hd = rope_dim(cfg)
     if local:
         return 1.0 / (
             cfg.rope_local_theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd)
@@ -523,6 +640,27 @@ def rope_inv_freq(cfg: LlamaConfig, local: bool = False) -> jax.Array:
     inv_freq = 1.0 / (
         cfg.rope_theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd)
     )
+    if cfg.rope_yarn_factor is not None:
+        import math
+
+        def corr_dim(n_rot):
+            return (hd * math.log(cfg.rope_original_max_position /
+                                  (n_rot * 2 * math.pi))) / (2 * math.log(cfg.rope_theta))
+
+        low = corr_dim(cfg.rope_yarn_beta_fast)
+        high = corr_dim(cfg.rope_yarn_beta_slow)
+        if cfg.rope_yarn_truncate:
+            low, high = math.floor(low), math.ceil(high)
+        low, high = max(low, 0), min(high, hd - 1)
+        if low == high:
+            high += 0.001  # HF singularity guard
+        ramp = jnp.clip(
+            (jnp.arange(hd // 2, dtype=jnp.float32) - low) / (high - low), 0, 1
+        )
+        extrapolation_w = 1.0 - ramp
+        return (inv_freq / cfg.rope_yarn_factor) * (1 - extrapolation_w) + (
+            inv_freq * extrapolation_w
+        )
     if cfg.rope_linear_factor is not None:
         return inv_freq / cfg.rope_linear_factor
     if cfg.rope_scaling_factor is None:
@@ -546,14 +684,44 @@ def rope_inv_freq(cfg: LlamaConfig, local: bool = False) -> jax.Array:
     return scaled
 
 
+def rope_dim(cfg: LlamaConfig) -> int:
+    """Width the rope tables cover: the full head_dim, except MLA
+    (deepseek), where only the decoupled qk_rope_head_dim channel ropes."""
+    return cfg.qk_rope_head_dim if cfg.kv_lora_rank is not None else cfg.head_dim
+
+
+def rope_attention_factor(cfg: LlamaConfig) -> float:
+    """Yarn post-scaling of the cos/sin tables (HF attention_factor; for
+    deepseek's mscale/mscale_all_dim checkpoints the ratio of the two
+    mscale corrections).  HF multiplies the complex phasor, so BOTH cos
+    and sin carry it; 1.0 for every non-yarn table."""
+    if cfg.rope_yarn_factor is None:
+        return 1.0
+    if cfg.rope_yarn_attention_factor is not None:
+        return float(cfg.rope_yarn_attention_factor)
+    import math
+
+    def get_mscale(scale, mscale=1.0):
+        if scale <= 1:
+            return 1.0
+        return 0.1 * mscale * math.log(scale) + 1.0
+
+    f = cfg.rope_yarn_factor
+    if cfg.rope_yarn_mscale and cfg.rope_yarn_mscale_all_dim:
+        return float(get_mscale(f, cfg.rope_yarn_mscale)
+                     / get_mscale(f, cfg.rope_yarn_mscale_all_dim))
+    return float(get_mscale(f))
+
+
 def rope_tables(cfg: LlamaConfig, positions: jax.Array,
                 local: bool = False) -> Tuple[jax.Array, jax.Array]:
-    """cos/sin tables [*, head_dim] in f32 (HF duplicates freqs: cat(f, f)).
+    """cos/sin tables [*, rope_dim] in f32 (HF duplicates freqs: cat(f, f)).
     local=True builds the gemma-3 sliding-layer tables (rope_local_theta)."""
     inv = rope_inv_freq(cfg, local=local)
     freqs = positions[..., None].astype(jnp.float32) * inv  # [..., hd/2]
     emb = jnp.concatenate([freqs, freqs], axis=-1)
-    return jnp.cos(emb), jnp.sin(emb)
+    scale = rope_attention_factor(cfg)
+    return jnp.cos(emb) * scale, jnp.sin(emb) * scale
 
 
 def rope_dual(cfg: LlamaConfig) -> bool:
@@ -584,6 +752,28 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     sin = sin[:, None, :, :].astype(jnp.float32)
     xf = x.astype(jnp.float32)
     out = xf * cos + _rotate_half(xf) * sin
+    return out.astype(x.dtype)
+
+
+def apply_rope_interleaved(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """Deepseek rope: ADJACENT pairs (x0,x1),(x2,x3),... rotate as complex
+    numbers (HF apply_rotary_emb via view_as_complex), vs rotate_half's
+    front/back-half pairing.  cos/sin tables are the standard duplicated
+    [*, d] layout; pair j reads entry j (the first copy).  Any yarn
+    attention factor is already baked into the tables — it multiplies the
+    phasor, so it scales both terms here exactly like HF."""
+    if cos.ndim == 2:
+        cos = cos[None]
+        sin = sin[None]
+    d2 = x.shape[-1] // 2
+    cos = cos[:, None, :, :d2].astype(jnp.float32)
+    sin = sin[:, None, :, :d2].astype(jnp.float32)
+    xf = x.astype(jnp.float32)
+    x_even = xf[..., 0::2]
+    x_odd = xf[..., 1::2]
+    out_even = x_even * cos - x_odd * sin
+    out_odd = x_odd * cos + x_even * sin
+    out = jnp.stack([out_even, out_odd], axis=-1).reshape(x.shape)
     return out.astype(x.dtype)
 
 
