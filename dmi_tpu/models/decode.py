@@ -20,7 +20,6 @@ TPU-first design:
 
 from __future__ import annotations
 
-import os
 from functools import partial
 from typing import Tuple
 
@@ -665,16 +664,12 @@ def _decode_step_bl(cfg, params, h, caches, pos, bias, s_window=None,
         if (bias_sw is not None or dual)
         else (params["layers"], jnp.arange(L))
     )
-    # DMI_DECODE_LAYER_UNROLL (experiment knob, trace-time): unroll the
-    # layer scan so XLA may software-pipeline the next layer's weight
-    # stream against the current layer's compute (the loop runs at 69-79%
-    # of HBM peak, BASELINE.md).  Token-exact: unroll only duplicates the
-    # body lexically.  NOTE the enclosing greedy_generate_bl jit caches its
-    # trace for the process lifetime — flipping the env after the first
-    # call is ignored unless jax.clear_caches() runs first
-    # (scripts/profile_layer_unroll.py does).
-    layer_unroll = int(os.environ.get("DMI_DECODE_LAYER_UNROLL", "1"))
-    (h, kv_cache), _ = jax.lax.scan(body, (h, kv_cache), xs, unroll=layer_unroll)
+    # Layer scan stays unroll=1: unrolling (the former
+    # DMI_DECODE_LAYER_UNROLL knob) let XLA fuse across body copies,
+    # changing bf16 rounding enough to flip near-tie argmaxes — the chip
+    # A/B failed token parity (73% mismatch at unroll=2/4 W8A8, 34.8%
+    # bf16; BASELINE.md round-4 owed-run record) and the knob was deleted.
+    (h, kv_cache), _ = jax.lax.scan(body, (h, kv_cache), xs)
     h = _rms_norm_bl(h, params["final_norm"], cfg.rms_norm_eps)
     if not head:
         # caller runs the fused head+argmax kernel on the normed state

@@ -383,6 +383,10 @@ def init(key: jax.Array, cfg: LlamaConfig) -> dict:
             "w_up": w(next(keys), (L, H, I)),
             "w_down": w(next(keys), (L, I, H)),
         }
+    # Draw the embed key BEFORE any attention weights: seeded-init
+    # reproducibility pins the historical order mlp -> embed -> attention
+    # (seed-pinned fixtures across tests depend on it).
+    embed = w(next(keys), (cfg.vocab_size, H))
     if cfg.kv_lora_rank is not None:  # deepseek-v2 MLA
         r, dn, dr = cfg.kv_lora_rank, cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
         dv = cfg.v_head_dim
@@ -406,7 +410,7 @@ def init(key: jax.Array, cfg: LlamaConfig) -> dict:
             "wo": w(next(keys), (L, nh * hd, H)),
         }
     params = {
-        "embed": w(next(keys), (cfg.vocab_size, H)),
+        "embed": embed,
         "layers": {
             **attn,
             **mlp,
