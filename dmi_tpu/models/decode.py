@@ -32,14 +32,21 @@ from dmi_tpu.models.llama import LlamaConfig
 
 
 def init_cache(cfg: LlamaConfig, batch: int, max_len: int) -> Tuple[jax.Array, jax.Array]:
-    shape = (
-        cfg.num_hidden_layers,
-        batch,
-        cfg.num_key_value_heads,
-        max_len,
-        cfg.head_dim,
+    """Per-head K/V caches for the generic batch-first path.  MLA
+    (deepseek) stores EXPANDED per-head tensors here — K at the q/k width
+    (qk_nope+qk_rope = head_dim, nkv == nh) and V at v_head_dim; the
+    batch-last serving path uses the compressed-latent layout instead."""
+    nkv = (
+        cfg.num_attention_heads
+        if cfg.kv_lora_rank is not None
+        else cfg.num_key_value_heads
     )
-    return jnp.zeros(shape, cfg.dtype), jnp.zeros(shape, cfg.dtype)
+    base = (cfg.num_hidden_layers, batch, nkv, max_len)
+    v_dim = cfg.v_head_dim if cfg.kv_lora_rank is not None else cfg.head_dim
+    return (
+        jnp.zeros(base + (cfg.head_dim,), cfg.dtype),
+        jnp.zeros(base + (v_dim,), cfg.dtype),
+    )
 
 
 def _run_layers(cfg, params, x, cos, sin, bias, caches, cache_index, last_only=False,
@@ -298,17 +305,25 @@ def sample_generate_bl(
     if req_ids is None:
         req_ids = jnp.arange(B, dtype=jnp.int32)
     total = T + max_new_tokens
-    caches = init_cache(cfg, B, total)
     eos = jnp.asarray(cfg.eos_token_ids)
 
-    logits0, caches = prefill(
-        cfg, params if prefill_params is None else prefill_params,
-        inputs_embeds, caches,
-    )
-    kv_cache = jnp.stack(
-        [caches[0].transpose(0, 2, 3, 4, 1), caches[1].transpose(0, 2, 3, 4, 1)],
-        axis=1,
-    )
+    if cfg.kv_lora_rank is not None:
+        # deepseek-v2: compressed-latent cache (see _mla_attn_bl)
+        logits0, kv_cache = _mla_prefill_compressed(
+            cfg, params if prefill_params is None else prefill_params,
+            inputs_embeds, total,
+        )
+    else:
+        caches = init_cache(cfg, B, total)
+        logits0, caches = prefill(
+            cfg, params if prefill_params is None else prefill_params,
+            inputs_embeds, caches,
+        )
+        kv_cache = jnp.stack(
+            [caches[0].transpose(0, 2, 3, 4, 1),
+             caches[1].transpose(0, 2, 3, 4, 1)],
+            axis=1,
+        )
     logits = logits0.T  # [V, B]
     tokens0 = jnp.full((B, max_new_tokens), pad_token_id, jnp.int32)
     done0 = jnp.zeros((B,), bool)
@@ -402,6 +417,26 @@ def _rope_bl(x, cos, sin):
     return (xf * c + _rotate_half_rows(xf) * s).astype(x.dtype)
 
 
+def _rope_interleaved_bl(x, cos, sin):
+    """Deepseek interleaved rope for batch-last tensors: adjacent rows
+    (x[2j], x[2j+1]) rotate as complex pairs (llama.apply_rope_interleaved
+    semantics).  x: [..., d, B]; cos/sin: duplicated [d] tables for one
+    shared position, or [d, B] per-slot — pair j reads entry j (the first
+    copy), like the batch-first helper."""
+    d2 = x.shape[-2] // 2
+    c = (cos[:, None] if cos.ndim == 1 else cos)[:d2].astype(jnp.float32)
+    s = (sin[:, None] if sin.ndim == 1 else sin)[:d2].astype(jnp.float32)
+    xf = x.astype(jnp.float32)
+    x_even = xf[..., 0::2, :]
+    x_odd = xf[..., 1::2, :]
+    out_even = x_even * c - x_odd * s
+    out_odd = x_odd * c + x_even * s
+    # interleave back: stacking pairs on a new axis after d2 makes the
+    # (d2, 2) C-order flattening restore the original row order
+    out = jnp.stack([out_even, out_odd], axis=-2)  # [..., d2, 2, B]
+    return out.reshape(x.shape).astype(x.dtype)
+
+
 def _rms_norm_head_bl(x, scale, eps):
     """rms_norm over the head axis (-2) of batch-last per-head tensors
     ([..., hd, B]); scale [hd] (qwen3 q/k norms)."""
@@ -485,9 +520,17 @@ def _moe_mlp_bl(cfg, lw, hn):
     shards as expert parallelism."""
     from dmi_tpu.models.quant import dequantize
 
-    router = jax.lax.dot_general(
-        lw["w_router"], hn, (((0,), (0,)), ((), ()))
-    )  # [E, N]
+    if cfg.moe_gate_fp32:
+        # deepseek-v2 gate runs in f32 (HF casts input AND weight)
+        router = jax.lax.dot_general(
+            dequantize(lw["w_router"], jnp.float32).astype(jnp.float32),
+            hn.astype(jnp.float32),
+            (((0,), (0,)), ((), ())),
+        )
+    else:
+        router = jax.lax.dot_general(
+            lw["w_router"], hn, (((0,), (0,)), ((), ()))
+        )  # [E, N]
     w_e = llama.moe_gate_weights(cfg, router.T).T.astype(hn.dtype)  # [E, N]
     w1 = dequantize(lw["moe_w1"], hn.dtype)
     w3 = dequantize(lw["moe_w3"], hn.dtype)
@@ -497,7 +540,88 @@ def _moe_mlp_bl(cfg, lw, hn):
     y = jnp.einsum(
         "eih,ein->ehn", w2, llama.mlp_activation(cfg, g) * u
     )
-    return jnp.sum(y * w_e[:, None, :], axis=0)
+    out = jnp.sum(y * w_e[:, None, :], axis=0)
+    if cfg.n_shared_experts:
+        # deepseek-v2 always-on shared experts add to the routed output
+        gate = llama.mlp_activation(cfg, _mm_bl(lw["w_shared_gate"], hn))
+        out = out + _mm_bl(
+            lw["w_shared_down"], gate * _mm_bl(lw["w_shared_up"], hn)
+        )
+    return out
+
+
+def _mla_attn_bl(cfg, lw, hn, kvcache, li, row, s_window, bias, cos, sin):
+    """Absorbed-MLA single-position attention over the COMPRESSED latent
+    cache — the TPU-first deepseek-v2 decode formulation.
+
+    Instead of materializing per-head K [nh, S, dn+dr] / V [nh, S, dv]
+    (llama._block's HF-parity oracle), the cache holds ONE row per token:
+    [normed kv latent (r) | roped shared key (dr)] — [L, 1, 1, S, r+dr, B]
+    in the merged layout.  Attention runs in the latent space by weight
+    absorption (the DeepSeek-V2 paper's deployment trick):
+
+      scores[h,s] = q_nope[h] . (Wb_k[h] lat[s]) + q_pe[h] . k_pe[s]
+                  = [Wb_k[h]^T q_nope[h] | q_pe[h]] . cache_row[s]
+      out[h]      = Wb_v[h]^T (sum_s probs[h,s] lat[s])
+
+    so the per-token cache is (r+dr) values for ALL heads — 8.9x smaller
+    than the expanded layout for V2-Lite (576 vs 5120 per layer-token) —
+    and both reductions keep B in the lane dimension (the multiply-reduce
+    idiom of _decode_attention_bl, f32 accumulation, products in the
+    input dtype).  Exactness vs the oracle: same math reassociated
+    (absorption moves a matmul across the softmax-linear value sum);
+    token parity is pinned in tests/test_families.py.
+
+    hn [H, B] normed input; returns (attn [nh*dv, B], kvcache)."""
+    from dmi_tpu.models.quant import dequantize
+
+    nh = cfg.num_attention_heads
+    r, dn, dr = cfg.kv_lora_rank, cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
+    dv = cfg.v_head_dim
+    B = hn.shape[1]
+    if "wq" in lw:  # the Lite layout: plain q projection
+        q = _mm_bl(lw["wq"], hn)
+    else:
+        qa = _rms_norm_bl(
+            _mm_bl(lw["wq_a"], hn), lw["q_a_norm"], cfg.rms_norm_eps
+        )
+        q = _mm_bl(lw["wq_b"], qa)
+    q = q.reshape(nh, dn + dr, B)
+    q_nope, q_pe = q[:, :dn], q[:, dn:]
+    q_pe = _rope_interleaved_bl(q_pe, cos, sin)
+
+    kv_a = _mm_bl(lw["wkv_a"], hn)  # [r + dr, B]
+    lat = _rms_norm_bl(kv_a[:r], lw["kv_a_norm"], cfg.rms_norm_eps)
+    k_pe = _rope_interleaved_bl(kv_a[r:], cos, sin)
+    row_vec = jnp.concatenate([lat, k_pe], axis=0)  # [r + dr, B]
+    kvcache = jax.lax.dynamic_update_slice(
+        kvcache, row_vec[None, None, None, None], (li, 0, 0, row, 0, 0)
+    )
+    cache_s = jax.lax.dynamic_slice(
+        kvcache,
+        (li, 0, 0, 0, 0, 0),
+        (1, 1, 1, s_window) + kvcache.shape[4:],
+    )[0, 0, 0]  # [S, r + dr, B]
+
+    # wkv_b is read once per step either way (the oracle expands K/V with
+    # it); here it absorbs into q and out instead
+    wkv_b = dequantize(lw["wkv_b"], hn.dtype).reshape(r, nh, dn + dv)
+    q_eff = jnp.einsum("rhd,hdb->hrb", wkv_b[:, :, :dn], q_nope)
+    q_abs = jnp.concatenate([q_eff, q_pe], axis=1)  # [nh, r + dr, B]
+
+    scores = jnp.sum(
+        q_abs[:, None] * cache_s[None], axis=2, dtype=jnp.float32
+    )  # [nh, S, B]
+    scores = scores * llama.attn_score_scale(cfg)
+    b = bias[None, :, None] if bias.ndim == 1 else bias[None]
+    scores = scores + b
+    probs = jax.nn.softmax(scores, axis=1).astype(cache_s.dtype)
+    ctx = jnp.sum(
+        probs[:, :, None, :] * cache_s[None, :, :r, :], axis=1,
+        dtype=jnp.float32,
+    ).astype(cache_s.dtype)  # [nh, r, B]
+    v_out = jnp.einsum("rhv,hrb->hvb", wkv_b[:, :, dn:], ctx)
+    return v_out.reshape(nh * dv, B), kvcache
 
 
 def _decode_attention_bl(q, kc, vc, bias, scale=None, softcap=None):
@@ -525,6 +649,42 @@ def _decode_attention_bl(q, kc, vc, bias, scale=None, softcap=None):
         probs[:, :, :, None, :] * vc[:, None, :, :, :], axis=2, dtype=jnp.float32
     )  # [nkv, g, hd, B]
     return out.astype(vc.dtype)
+
+
+def _mla_prefill_compressed(cfg, params, inputs_embeds, total):
+    """MLA (deepseek-v2) prompt pass for the batch-last loop: run the
+    standard batch-first prefill math through llama._block (expanded
+    attention — prefill is MXU compute-bound either way) while collecting
+    each layer's COMPRESSED rows [normed latent | roped shared key] as
+    scan outputs, then lay them into the [L, 1, 1, S, r+dr, B] merged
+    latent cache that _mla_attn_bl consumes.
+
+    Returns (last-position logits [B, V] incl. final_softcap, kv_cache)."""
+    B, T, _ = inputs_embeds.shape
+    L = cfg.num_hidden_layers
+    r, dr = cfg.kv_lora_rank, cfg.qk_rope_head_dim
+    positions = jnp.arange(T)
+    cos, sin = llama.rope_tables(cfg, positions)
+    causal = jnp.tril(jnp.ones((T, T), bool))
+    bias = jnp.broadcast_to(
+        jnp.where(causal, 0.0, jnp.finfo(jnp.float32).min)[None], (B, T, T)
+    )
+    x = llama.scale_embeds(cfg, inputs_embeds.astype(cfg.dtype))
+
+    def body(carry, lw):
+        y, rows = llama._block(cfg, carry, lw, cos, sin, bias)
+        return y, rows
+
+    x, (lat, k_pe) = jax.lax.scan(body, x, params["layers"])
+    # lat [L, B, T, r]; k_pe [L, B, T, dr]
+    x = llama.rms_norm(x[:, -1:, :], params["final_norm"], cfg.rms_norm_eps)
+    logits = llama.final_softcap(cfg, llama._head_matmul(x, params, cfg))
+    rows = jnp.concatenate([lat, k_pe], axis=-1)  # [L, B, T, r+dr]
+    kv = jnp.zeros((L, 1, 1, total, r + dr, B), cfg.dtype)
+    kv = jax.lax.dynamic_update_slice(
+        kv, rows.transpose(0, 2, 3, 1)[:, None, None], (0, 0, 0, 0, 0, 0)
+    )
+    return logits[:, 0, :], kv
 
 
 def _decode_step_bl(cfg, params, h, caches, pos, bias, s_window=None,
@@ -596,39 +756,44 @@ def _decode_step_bl(cfg, params, h, caches, pos, bias, s_window=None,
         hn = x if cfg.norm_after else _rms_norm_bl(
             x, lw["ln_attn"], cfg.rms_norm_eps
         )
-        if "w_qkv" in lw:
-            qkv = _mm_bl(lw["w_qkv"], hn)
-            if "b_qkv" in lw:
-                qkv = qkv + lw["b_qkv"][:, None]
-            q, k, v = jnp.split(qkv, [nh * hd, nh * hd + nkv * hd], axis=0)
+        if cfg.kv_lora_rank is not None:  # deepseek-v2 absorbed MLA
+            attn, kvcache = _mla_attn_bl(
+                cfg, lw, hn, kvcache, li, row, s_window, b, c, s
+            )
         else:
-            q, k, v = _mm_bl(lw["wq"], hn), _mm_bl(lw["wk"], hn), _mm_bl(lw["wv"], hn)
-            if "bq" in lw:
-                q = q + lw["bq"][:, None]
-                k = k + lw["bk"][:, None]
-                v = v + lw["bv"][:, None]
-        if cfg.qk_norm_wide:  # olmo2: RMSNorm over the FULL projection
-            q = _rms_norm_bl(q, lw["q_norm"], cfg.rms_norm_eps)
-            k = _rms_norm_bl(k, lw["k_norm"], cfg.rms_norm_eps)
-        q = q.reshape(nkv, g, hd, B)
-        k = k.reshape(nkv, hd, B)
-        if cfg.qk_norm:  # qwen3/gemma3: per-head RMSNorm before rope
-            q = _rms_norm_head_bl(q, lw["q_norm"], cfg.rms_norm_eps)
-            k = _rms_norm_head_bl(k, lw["k_norm"], cfg.rms_norm_eps)
-        q = _rope_bl(q, c, s)
-        k = _rope_bl(k, c, s)
-        v = v.reshape(nkv, hd, B)
-        kvcache = jax.lax.dynamic_update_slice(
-            kvcache,
-            jnp.stack([k, v])[None, :, :, None],  # [1, 2, nkv, 1, hd, B]
-            (li, 0, 0, row, 0, 0),
-        )
-        kvc = jax.lax.dynamic_slice(
-            kvcache, (li, 0, 0, 0, 0, 0), (1, 2, nkv, s_window, hd, B)
-        )[0]
-        attn = _decode_attention_bl(q, kvc[0], kvc[1], b, a_scale, a_cap).reshape(
-            nh * hd, B
-        )
+            if "w_qkv" in lw:
+                qkv = _mm_bl(lw["w_qkv"], hn)
+                if "b_qkv" in lw:
+                    qkv = qkv + lw["b_qkv"][:, None]
+                q, k, v = jnp.split(qkv, [nh * hd, nh * hd + nkv * hd], axis=0)
+            else:
+                q, k, v = _mm_bl(lw["wq"], hn), _mm_bl(lw["wk"], hn), _mm_bl(lw["wv"], hn)
+                if "bq" in lw:
+                    q = q + lw["bq"][:, None]
+                    k = k + lw["bk"][:, None]
+                    v = v + lw["bv"][:, None]
+            if cfg.qk_norm_wide:  # olmo2: RMSNorm over the FULL projection
+                q = _rms_norm_bl(q, lw["q_norm"], cfg.rms_norm_eps)
+                k = _rms_norm_bl(k, lw["k_norm"], cfg.rms_norm_eps)
+            q = q.reshape(nkv, g, hd, B)
+            k = k.reshape(nkv, hd, B)
+            if cfg.qk_norm:  # qwen3/gemma3: per-head RMSNorm before rope
+                q = _rms_norm_head_bl(q, lw["q_norm"], cfg.rms_norm_eps)
+                k = _rms_norm_head_bl(k, lw["k_norm"], cfg.rms_norm_eps)
+            q = _rope_bl(q, c, s)
+            k = _rope_bl(k, c, s)
+            v = v.reshape(nkv, hd, B)
+            kvcache = jax.lax.dynamic_update_slice(
+                kvcache,
+                jnp.stack([k, v])[None, :, :, None],  # [1, 2, nkv, 1, hd, B]
+                (li, 0, 0, row, 0, 0),
+            )
+            kvc = jax.lax.dynamic_slice(
+                kvcache, (li, 0, 0, 0, 0, 0), (1, 2, nkv, s_window, hd, B)
+            )[0]
+            attn = _decode_attention_bl(
+                q, kvc[0], kvc[1], b, a_scale, a_cap
+            ).reshape(nh * hd, B)
         attn_out = _mm_bl(lw["wo"], attn)
         if cfg.post_block_norms:
             attn_out = _rms_norm_bl(attn_out, lw["ln_post_attn"], cfg.rms_norm_eps)
@@ -731,23 +896,30 @@ def greedy_generate_bl(
     if max_new_tokens == 0:
         return jnp.zeros((B, 0), jnp.int32)
     total = T + max_new_tokens
-    caches = init_cache(cfg, B, total)
     eos = jnp.asarray(cfg.eos_token_ids)
 
-    # no pre-transposed [H, V] head copy: prefill's single last-position
-    # head matmul folds the transpose into dot_general, and the loop's
-    # dot_general(embed, h) consumes [V, H] directly
-    logits0, caches = prefill(
-        cfg, params if prefill_params is None else prefill_params,
-        inputs_embeds, caches,
-    )
+    if cfg.kv_lora_rank is not None:
+        # deepseek-v2: compressed-latent cache (see _mla_attn_bl)
+        logits0, kv_cache = _mla_prefill_compressed(
+            cfg, params if prefill_params is None else prefill_params,
+            inputs_embeds, total,
+        )
+    else:
+        caches = init_cache(cfg, B, total)
+        # no pre-transposed [H, V] head copy: prefill's single last-position
+        # head matmul folds the transpose into dot_general, and the loop's
+        # dot_general(embed, h) consumes [V, H] directly
+        logits0, caches = prefill(
+            cfg, params if prefill_params is None else prefill_params,
+            inputs_embeds, caches,
+        )
 
-    # one-time layout flip out of prefill into the merged batch-last
-    # cache: [L,B,nkv,S,hd] x2 -> [L,2,nkv,S,hd,B]
-    kv_cache = jnp.stack(
-        [caches[0].transpose(0, 2, 3, 4, 1), caches[1].transpose(0, 2, 3, 4, 1)],
-        axis=1,
-    )
+        # one-time layout flip out of prefill into the merged batch-last
+        # cache: [L,B,nkv,S,hd] x2 -> [L,2,nkv,S,hd,B]
+        kv_cache = jnp.stack(
+            [caches[0].transpose(0, 2, 3, 4, 1), caches[1].transpose(0, 2, 3, 4, 1)],
+            axis=1,
+        )
     logits = logits0.T  # [V, B]
 
     tokens0 = jnp.full((B, max_new_tokens), pad_token_id, jnp.int32)

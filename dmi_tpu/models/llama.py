@@ -446,8 +446,13 @@ def fuse_projections(params: dict) -> dict:
     fused column blocks straddle shard boundaries (use the unfused layout
     there)."""
     layers = dict(params["layers"])
-    w_qkv = jnp.concatenate([layers.pop("wq"), layers.pop("wk"), layers.pop("wv")], axis=-1)
-    layers["w_qkv"] = w_qkv
+    if "wk" in layers:
+        # MLA (deepseek) has no separate wk/wv to fuse — its q projection
+        # stays as-is; only the gate/up fusion below applies
+        w_qkv = jnp.concatenate(
+            [layers.pop("wq"), layers.pop("wk"), layers.pop("wv")], axis=-1
+        )
+        layers["w_qkv"] = w_qkv
     if "w_gate" in layers:  # MoE layers (mixtral) have no gate/up to fuse
         layers["w_gu"] = jnp.concatenate(
             [layers.pop("w_gate"), layers.pop("w_up")], axis=-1
@@ -698,7 +703,17 @@ def rope_attention_factor(cfg: LlamaConfig) -> float:
     """Yarn post-scaling of the cos/sin tables (HF attention_factor; for
     deepseek's mscale/mscale_all_dim checkpoints the ratio of the two
     mscale corrections).  HF multiplies the complex phasor, so BOTH cos
-    and sin carry it; 1.0 for every non-yarn table."""
+    and sin carry it; 1.0 for every non-yarn table.
+
+    The `mscale and mscale_all_dim` TRUTHINESS test deliberately matches
+    native transformers (modeling_rope_utils._compute_yarn_parameters,
+    4.57.6: `if mscale and mscale_all_dim:`): a checkpoint carrying
+    mscale with mscale_all_dim=0 falls through to get_mscale(factor)
+    there too.  Note the native DeepseekV2 port keeps softmax scaling at
+    qk_head_dim**-0.5 and puts the ENTIRE yarn attention factor in the
+    rope phasor (unlike the original remote-code modeling_deepseek.py,
+    which folded mscale**2 into softmax_scale) — we pin against the
+    native executed module."""
     if cfg.rope_yarn_factor is None:
         return 1.0
     if cfg.rope_yarn_attention_factor is not None:
@@ -919,6 +934,11 @@ def moe_gate_weights(cfg: LlamaConfig, router_logits: jax.Array) -> jax.Array:
     vals, idx = jax.lax.top_k(probs, cfg.num_experts_per_tok)
     if cfg.moe_norm_topk:
         vals = vals / jnp.sum(vals, axis=-1, keepdims=True)
+    if cfg.routed_scaling_factor != 1.0:
+        # deepseek-v2: kept weights scale AFTER top-k (HF DeepseekV2MoEGate
+        # topk_weight * routed_scaling_factor; the greedy gate never
+        # renormalizes, so this composes with moe_norm_topk=False)
+        vals = vals * cfg.routed_scaling_factor
     onehot = jax.nn.one_hot(idx, cfg.num_experts, dtype=vals.dtype)
     return jnp.sum(onehot * vals[..., None], axis=-2)  # [..., E]
 
@@ -933,7 +953,15 @@ def _moe_mlp(cfg: LlamaConfig, lw: dict, h: jax.Array) -> jax.Array:
     the stream reads ALL experts' weights either way."""
     from dmi_tpu.models.quant import dequantize
 
-    router = _mm(h, lw["w_router"])  # [B, T, E]
+    if cfg.moe_gate_fp32:
+        # deepseek-v2 gate runs in f32 (HF casts input AND weight)
+        router = jnp.einsum(
+            "bth,he->bte",
+            h.astype(jnp.float32),
+            dequantize(lw["w_router"], jnp.float32).astype(jnp.float32),
+        )
+    else:
+        router = _mm(h, lw["w_router"])  # [B, T, E]
     w_e = moe_gate_weights(cfg, router).astype(h.dtype)
     w1 = dequantize(lw["moe_w1"], h.dtype)
     w3 = dequantize(lw["moe_w3"], h.dtype)
@@ -941,7 +969,14 @@ def _moe_mlp(cfg: LlamaConfig, lw: dict, h: jax.Array) -> jax.Array:
     g = jnp.einsum("bth,ehi->beti", h, w1)
     u = jnp.einsum("bth,ehi->beti", h, w3)
     y = jnp.einsum("beti,eih->beth", mlp_activation(cfg, g) * u, w2)
-    return jnp.einsum("beth,bte->bth", y, w_e)
+    out = jnp.einsum("beth,bte->bth", y, w_e)
+    if cfg.n_shared_experts:
+        # deepseek-v2 shared experts: an always-on gated MLP (width
+        # n_shared * moe_intermediate) ADDED to the routed combination
+        # (HF DeepseekV2MoE.forward: moe(...) + shared_experts(residuals))
+        gate = mlp_activation(cfg, _mm(h, lw["w_shared_gate"]))
+        out = out + _mm(gate * _mm(h, lw["w_shared_up"]), lw["w_shared_down"])
+    return out
 
 
 def _softcap(scores, cap):
@@ -970,7 +1005,7 @@ def _attention(q, k, v, bias, scale=None, softcap=None):
     scores = scores + bias[:, None, None, :, :]  # bias: [B, T, S]
     probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     out = jnp.einsum("bkgts,bksd->bkgtd", probs, v)
-    return out.reshape(B, nh, T, hd)
+    return out.reshape(B, nh, T, v.shape[-1])  # MLA: v width != q/k width
 
 
 def _decode_attention_blockdiag(q, k, v, bias):
@@ -1045,7 +1080,7 @@ def _decode_attention(q, k, v, bias, scale=None, softcap=None):
     out = jnp.sum(
         probs[..., None] * v[:, :, None, :, :], axis=3, dtype=jnp.float32
     )
-    return out.reshape(B, nh, 1, hd).astype(v.dtype)
+    return out.reshape(B, nh, 1, v.shape[-1]).astype(v.dtype)
 
 
 def _flash_attention(cfg, q, k, v, seg_ids):
@@ -1102,26 +1137,62 @@ def _block(cfg: LlamaConfig, x, lw, cos, sin, bias, cache_kv=None, cache_index=N
 
     # olmo2 (norm_after) has no input norm: attention reads the raw stream
     h = x if cfg.norm_after else rms_norm(x, lw["ln_attn"], cfg.rms_norm_eps)
-    if "w_qkv" in lw:  # fused layout (fuse_projections)
-        qkv = _mm(h, lw["w_qkv"])
-        if "b_qkv" in lw:
-            qkv = qkv + lw["b_qkv"]
-        q, k, v = jnp.split(qkv, [nh * hd, nh * hd + nkv * hd], axis=-1)
+    if cfg.kv_lora_rank is not None:
+        # deepseek-v2 MLA (HF DeepseekV2Attention): q is per-head
+        # [qk_nope | qk_rope]; k/v expand from ONE normed latent through
+        # wkv_b to per-head [qk_nope | v_head_dim], plus a SINGLE shared
+        # roped key channel (MQA on the positional dims).  This generic
+        # path materializes per-head K [B,nh,T,dn+dr] / V [B,nh,T,dv]
+        # (the HF-parity oracle); the batch-last serving path uses the
+        # absorbed formulation over the compressed latent cache instead
+        # (decode._decode_step_bl).
+        r, dn, dr = cfg.kv_lora_rank, cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
+        dv = cfg.v_head_dim
+        if "wq" in lw:  # the Lite layout: plain q projection
+            q = _mm(h, lw["wq"])
+        else:
+            qa = rms_norm(_mm(h, lw["wq_a"]), lw["q_a_norm"], cfg.rms_norm_eps)
+            q = _mm(qa, lw["wq_b"])
+        q = q.reshape(B, T, nh, dn + dr).transpose(0, 2, 1, 3)
+        q_nope, q_pe = q[..., :dn], q[..., dn:]
+        kv_a = _mm(h, lw["wkv_a"])  # [B, T, r + dr]
+        latent = rms_norm(kv_a[..., :r], lw["kv_a_norm"], cfg.rms_norm_eps)
+        k_pe = kv_a[..., None, :, r:]  # [B, 1, T, dr] shared across heads
+        kv = _mm(latent, lw["wkv_b"]).reshape(B, T, nh, dn + dv)
+        kv = kv.transpose(0, 2, 1, 3)
+        k_nope, v = kv[..., :dn], kv[..., dn:]
+        q_pe = apply_rope_interleaved(q_pe, cos, sin)
+        k_pe = apply_rope_interleaved(k_pe, cos, sin)
+        # compressed-cache rows (normed latent | roped shared key) — the
+        # batch-last decode path prefills through this block and collects
+        # them as scan outputs (decode._mla_prefill_compressed)
+        mla_rows = (latent, k_pe[:, 0])
+        q = jnp.concatenate([q_nope, q_pe], axis=-1)
+        k = jnp.concatenate(
+            [k_nope, jnp.broadcast_to(k_pe, (B, nh, T, dr))], axis=-1
+        )
     else:
-        q, k, v = _mm(h, lw["wq"]), _mm(h, lw["wk"]), _mm(h, lw["wv"])
-        if "bq" in lw:
-            q, k, v = q + lw["bq"], k + lw["bk"], v + lw["bv"]
-    if cfg.qk_norm_wide:  # olmo2: RMSNorm over the FULL projection width
-        q = rms_norm(q, lw["q_norm"], cfg.rms_norm_eps)
-        k = rms_norm(k, lw["k_norm"], cfg.rms_norm_eps)
-    q = q.reshape(B, T, nh, hd).transpose(0, 2, 1, 3)
-    k = k.reshape(B, T, nkv, hd).transpose(0, 2, 1, 3)
-    v = v.reshape(B, T, nkv, hd).transpose(0, 2, 1, 3)
-    if cfg.qk_norm:  # qwen3: per-head RMSNorm before rope
-        q = rms_norm(q, lw["q_norm"], cfg.rms_norm_eps)
-        k = rms_norm(k, lw["k_norm"], cfg.rms_norm_eps)
-    q = apply_rope(q, cos, sin)
-    k = apply_rope(k, cos, sin)
+        mla_rows = None
+        if "w_qkv" in lw:  # fused layout (fuse_projections)
+            qkv = _mm(h, lw["w_qkv"])
+            if "b_qkv" in lw:
+                qkv = qkv + lw["b_qkv"]
+            q, k, v = jnp.split(qkv, [nh * hd, nh * hd + nkv * hd], axis=-1)
+        else:
+            q, k, v = _mm(h, lw["wq"]), _mm(h, lw["wk"]), _mm(h, lw["wv"])
+            if "bq" in lw:
+                q, k, v = q + lw["bq"], k + lw["bk"], v + lw["bv"]
+        if cfg.qk_norm_wide:  # olmo2: RMSNorm over the FULL projection width
+            q = rms_norm(q, lw["q_norm"], cfg.rms_norm_eps)
+            k = rms_norm(k, lw["k_norm"], cfg.rms_norm_eps)
+        q = q.reshape(B, T, nh, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(B, T, nkv, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(B, T, nkv, hd).transpose(0, 2, 1, 3)
+        if cfg.qk_norm:  # qwen3: per-head RMSNorm before rope
+            q = rms_norm(q, lw["q_norm"], cfg.rms_norm_eps)
+            k = rms_norm(k, lw["k_norm"], cfg.rms_norm_eps)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
 
     new_cache = None
     if cache_kv is not None:
@@ -1145,7 +1216,9 @@ def _block(cfg: LlamaConfig, x, lw, cos, sin, bias, cache_kv=None, cache_index=N
         attn = _decode_attention(q, k, v, bias, scale, cap)
     else:
         attn = _attention(q, k, v, bias, scale, cap)
-    attn = attn.transpose(0, 2, 1, 3).reshape(B, T, nh * hd)
+    # width from the attention output itself: MLA values are v_head_dim
+    # wide (!= the q/k width hd); every other family has them equal
+    attn = attn.transpose(0, 2, 1, 3).reshape(B, T, nh * attn.shape[-1])
     attn_out = _mm(attn, lw["wo"])
     if cfg.post_block_norms:
         attn_out = rms_norm(attn_out, lw["ln_post_attn"], cfg.rms_norm_eps)
@@ -1172,6 +1245,10 @@ def _block(cfg: LlamaConfig, x, lw, cos, sin, bias, cache_kv=None, cache_index=N
     if cfg.residual_multiplier is not None:
         mlp_out = mlp_out * cfg.residual_multiplier
     x = x + mlp_out
+    # MLA without a cache: hand the compressed rows to the caller (the
+    # batch-last prefill scans them out; forward() ignores them)
+    if cache_kv is None and mla_rows is not None:
+        return x, mla_rows
     return x, new_cache
 
 
@@ -1239,6 +1316,9 @@ def forward(
         # dual-rope (gemma-3) layers need per-layer tables; the flash
         # branch scans without the layer flags — take the oracle
         and cfg.rope_local_theta is None
+        # MLA (deepseek): q/k and v widths differ — the flash kernel
+        # assumes one head_dim; take the oracle
+        and cfg.kv_lora_rank is None
     )
     if use_flash:
         # pad-exact masking: queries unmasked, keys masked (see

@@ -26,7 +26,12 @@ import jax.numpy as jnp
 # step); they are consumed through dequantize() fused into the expert
 # einsums — the reads stay int8/packed, the math runs in the model dtype.
 _QUANT_KEYS = {"wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down", "w_qkv",
-               "w_gu", "moe_w1", "moe_w3", "moe_w2"}
+               "w_gu", "moe_w1", "moe_w3", "moe_w2",
+               # deepseek-v2: MLA projections + MoE shared experts (the
+               # a-norms q_a_norm/kv_a_norm stay unquantized like every
+               # other norm)
+               "wq_a", "wq_b", "wkv_a", "wkv_b",
+               "w_shared_gate", "w_shared_up", "w_shared_down"}
 
 
 def quantize_tensor(w: jax.Array, native: bool = False) -> dict:

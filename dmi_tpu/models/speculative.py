@@ -425,6 +425,14 @@ def _spec_setup(cfg, params, prefill_params, inputs_embeds, max_new_tokens,
     """Shared prefill + state init for all draft flavors.  pick0 maps the
     prefill logits [B, V] (already final_softcap'd by dec.prefill) to the
     first token [B]; None = greedy argmax."""
+    if cfg.kv_lora_rank is not None:
+        raise NotImplementedError(
+            "speculative decoding does not support MLA (deepseek-v2) "
+            "targets/drafts yet — the verify forward uses the expanded "
+            "per-head KV layout; use the plain batch/engine decode paths "
+            "(greedy_generate_bl / streaming), which run MLA on the "
+            "compressed-latent cache"
+        )
     B, T, _ = inputs_embeds.shape
     max_rounds = max(max_new_tokens - 1, 0)
     S = T + (k + 1) * max_rounds

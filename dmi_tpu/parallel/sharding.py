@@ -72,6 +72,22 @@ def llm_param_specs(expert_axis: str = "model") -> Dict[str, Any]:
             "moe_w1": P(None, expert_axis, None, None),
             "moe_w3": P(None, expert_axis, None, None),
             "moe_w2": P(None, expert_axis, None, None),
+            # deepseek-v2 MLA: per-head projections shard the head dim
+            # (wq / wq_b / wkv_b columns are nh * per-head widths; wo
+            # contracts nh*v_head_dim rows -> the attention psum), while
+            # the COMPRESSED latent path replicates — every shard's heads
+            # read the same [kv latent | shared key] row (wkv_a out and
+            # its norm are shared by all heads), like the q_a bottleneck
+            "wq_a": P(None, None, None),
+            "wq_b": P(None, None, "model"),
+            "q_a_norm": P(None, None),
+            "wkv_a": P(None, None, None),
+            "kv_a_norm": P(None, None),
+            "wkv_b": P(None, None, "model"),
+            # deepseek-v2 MoE shared experts: dense-MLP tp layout
+            "w_shared_gate": P(None, None, "model"),
+            "w_shared_up": P(None, None, "model"),
+            "w_shared_down": P(None, "model", None),
         },
         "final_norm": P(None),
         "lm_head": P(None, "model"),

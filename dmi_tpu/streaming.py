@@ -100,11 +100,20 @@ class SlotState(NamedTuple):
 def init_state(cfg: LlamaConfig, pool: int, prompt_len: int, budget: int,
                pad_token_id: int) -> SlotState:
     total = prompt_len + budget
-    kv = jnp.zeros(
-        (cfg.num_hidden_layers, 2, cfg.num_key_value_heads, total,
-         cfg.head_dim, pool),
-        cfg.dtype,
-    )
+    if cfg.kv_lora_rank is not None:
+        # deepseek-v2 MLA: compressed-latent rows (dec._mla_attn_bl) —
+        # one [kv latent | roped shared key] row per token, all heads
+        kv = jnp.zeros(
+            (cfg.num_hidden_layers, 1, 1, total,
+             cfg.kv_lora_rank + cfg.qk_rope_head_dim, pool),
+            cfg.dtype,
+        )
+    else:
+        kv = jnp.zeros(
+            (cfg.num_hidden_layers, 2, cfg.num_key_value_heads, total,
+             cfg.head_dim, pool),
+            cfg.dtype,
+        )
     # prompt rows hold positions 0..T-1 for EVERY tenant (uniform-length
     # prompts); the generated-region init value is arbitrary (rows are
     # invalid until their first write stamps them)
@@ -270,8 +279,12 @@ def _admit_core(cfg, params, prefill_params, pspec, pparams, state, embs,
     soft = proj.apply(pspec, pparams, embs, train=False)
     inputs = mmmodel.assemble_prompt(cfg, pp, soft, prefix_ids)  # [M, T, H]
     M = inputs.shape[0]
-    caches = dec.init_cache(cfg, M, T)
-    logits0, caches = dec.prefill(cfg, pp, inputs, caches)
+    if cfg.kv_lora_rank is not None:
+        # deepseek-v2: compressed-latent rows, already batch-last
+        logits0, chunk_kv = dec._mla_prefill_compressed(cfg, pp, inputs, T)
+    else:
+        caches = dec.init_cache(cfg, M, T)
+        logits0, caches = dec.prefill(cfg, pp, inputs, caches)
     if req is None:
         req = jnp.full((M,), -1, jnp.int32)
     if sample is None:
@@ -283,11 +296,13 @@ def _admit_core(cfg, params, prefill_params, pspec, pparams, state, embs,
         keys0 = dec._req_keys(sample_key, req, budget, 0)
         tok0 = dec._sample_pick_bl(logits0.T, keys0, temperature, top_k, top_p)
 
-    # [L, M, nkv, T, hd] x2 -> [L, 2, nkv, T, hd, M]
-    chunk_kv = jnp.stack(
-        [caches[0].transpose(0, 2, 3, 4, 1), caches[1].transpose(0, 2, 3, 4, 1)],
-        axis=1,
-    )
+    if cfg.kv_lora_rank is None:
+        # [L, M, nkv, T, hd] x2 -> [L, 2, nkv, T, hd, M]
+        chunk_kv = jnp.stack(
+            [caches[0].transpose(0, 2, 3, 4, 1),
+             caches[1].transpose(0, 2, 3, 4, 1)],
+            axis=1,
+        )
     kv = state.kv.at[:, :, :, :T, :, slots].set(chunk_kv)
     pool, budget_ = state.tokens.shape
     fresh_row = jnp.full((M, budget_), pad_token_id, jnp.int32)

@@ -61,7 +61,7 @@ def build_tokenizer(lm_args):
 
 _SUPPORTED_FAMILIES = ("llama", "mistral", "qwen2", "gemma2", "qwen3", "phi3",
                        "olmo2", "granite", "gemma3_text", "mixtral",
-                       "qwen3_moe", "olmoe")
+                       "qwen3_moe", "olmoe", "deepseek_v2")
 
 
 def _hf_to_config(hf_cfg, dtype, tokenizer) -> llama.LlamaConfig:
@@ -172,6 +172,72 @@ def _hf_to_config(hf_cfg, dtype, tokenizer) -> llama.LlamaConfig:
         kw["num_experts"] = int(hf_cfg.num_experts)
         kw["num_experts_per_tok"] = int(hf_cfg.num_experts_per_tok)
         kw["moe_norm_topk"] = bool(hf_cfg.norm_topk_prob)
+    elif family == "deepseek_v2":
+        # MLA attention (q/k width = qk_nope+qk_rope, values v_head_dim
+        # wide, compressed kv latent) + deepseek MoE (f32 greedy gate,
+        # routed_scaling_factor, always-on shared experts), interleaved
+        # rope over the decoupled qk_rope channel, optional yarn scaling
+        # (HF DeepseekV2Attention / DeepseekV2MoE, native transformers).
+        L = hf_cfg.num_hidden_layers
+        fkd = int(getattr(hf_cfg, "first_k_dense_replace", 0) or 0)
+        if 0 < fkd < L:
+            # the stacked scan needs UNIFORM layers; HF makes the first
+            # fkd layers dense MLPs.  fkd >= L is the all-dense degenerate
+            # case (usable for MLA-only configs); mixed stacks are out.
+            raise ValueError(
+                "deepseek_v2 mixed dense/MoE stacks are not supported "
+                f"(first_k_dense_replace={fkd} with {L} layers; only 0 "
+                "or >= num_hidden_layers)"
+            )
+        if getattr(hf_cfg, "attention_bias", False):
+            raise ValueError("deepseek_v2 attention_bias=True is not supported")
+        kw.update(
+            q_lora_rank=getattr(hf_cfg, "q_lora_rank", None),
+            kv_lora_rank=int(hf_cfg.kv_lora_rank),
+            qk_nope_head_dim=int(hf_cfg.qk_nope_head_dim),
+            qk_rope_head_dim=int(hf_cfg.qk_rope_head_dim),
+            v_head_dim=int(hf_cfg.v_head_dim),
+            rope_interleaved=True,
+            # the q/k width; HF's config.head_dim is the ROPE dim only
+            head_dim_override=int(hf_cfg.qk_nope_head_dim)
+            + int(hf_cfg.qk_rope_head_dim),
+            # MLA expands the shared latent per-head: nkv == nh
+            nkv_override=int(hf_cfg.num_attention_heads),
+        )
+        if fkd == 0 and getattr(hf_cfg, "n_routed_experts", None):
+            if getattr(hf_cfg, "topk_method", "greedy") != "greedy":
+                raise ValueError(
+                    "deepseek_v2 topk_method "
+                    f"{hf_cfg.topk_method!r} is not supported (greedy only; "
+                    "group_limited_greedy needs n_group routing)"
+                )
+            kw.update(
+                num_experts=int(hf_cfg.n_routed_experts),
+                num_experts_per_tok=int(hf_cfg.num_experts_per_tok),
+                moe_norm_topk=bool(getattr(hf_cfg, "norm_topk_prob", False)),
+                routed_scaling_factor=float(hf_cfg.routed_scaling_factor),
+                n_shared_experts=int(getattr(hf_cfg, "n_shared_experts", 0)
+                                     or 0),
+                moe_gate_fp32=True,
+                intermediate_override=int(hf_cfg.moe_intermediate_size),
+            )
+        if rs.get("rope_type", rs.get("type")) == "yarn":
+            kw.update(
+                rope_yarn_factor=float(rs["factor"]),
+                rope_yarn_beta_fast=float(rs.get("beta_fast") or 32),
+                rope_yarn_beta_slow=float(rs.get("beta_slow") or 1),
+                rope_yarn_mscale=rs.get("mscale"),
+                rope_yarn_mscale_all_dim=rs.get("mscale_all_dim"),
+                rope_yarn_attention_factor=rs.get("attention_factor"),
+                rope_yarn_truncate=bool(rs.get("truncate", True)),
+                # yarn's correction range falls back to the config's
+                # max_position_embeddings, NOT the llama3 8192 default
+                # (HF _compute_yarn_parameters)
+                rope_original_max_position_override=int(
+                    rs.get("original_max_position_embeddings")
+                    or hf_cfg.max_position_embeddings
+                ),
+            )
     elif family == "olmo2":
         # RMSNorm over the FULL q/k projections before rope + post-norm
         # blocks (no input layernorms; the post-attention/post-feedforward
@@ -243,16 +309,23 @@ def _hf_to_config(hf_cfg, dtype, tokenizer) -> llama.LlamaConfig:
                                  hf_cfg.intermediate_size),
         num_hidden_layers=hf_cfg.num_hidden_layers,
         num_attention_heads=hf_cfg.num_attention_heads,
-        num_key_value_heads=hf_cfg.num_key_value_heads,
-        head_dim=getattr(hf_cfg, "head_dim", None)
-        or hf_cfg.hidden_size // hf_cfg.num_attention_heads,
+        num_key_value_heads=kw.pop("nkv_override",
+                                   hf_cfg.num_key_value_heads),
+        head_dim=kw.pop(
+            "head_dim_override",
+            getattr(hf_cfg, "head_dim", None)
+            or hf_cfg.hidden_size // hf_cfg.num_attention_heads,
+        ),
         rms_norm_eps=hf_cfg.rms_norm_eps,
         rope_theta=hf_cfg.rope_theta,
         rope_scaling_factor=rs.get("factor") if rs.get("rope_type") == "llama3" else None,
         rope_linear_factor=rs.get("factor") if rs.get("rope_type") == "linear" else None,
         rope_low_freq_factor=rs.get("low_freq_factor", 1.0),
         rope_high_freq_factor=rs.get("high_freq_factor", 4.0),
-        rope_original_max_position=rs.get("original_max_position_embeddings", 8192),
+        rope_original_max_position=kw.pop(
+            "rope_original_max_position_override",
+            rs.get("original_max_position_embeddings", 8192),
+        ),
         tie_word_embeddings=hf_cfg.tie_word_embeddings,
         dtype=dtype,
         eos_token_ids=eos,

@@ -26,6 +26,10 @@ def _run_bench(tmp_path, extra_env):
         os.environ,
         PYTHONPATH=REPO,
         _DMI_BENCH_FORCE_CPU="1",  # don't touch (or wait for) the relay
+        # share the suite's persistent compile cache: the subprocess's
+        # fresh XLA compiles are what made these tests minutes-long (and
+        # timeout-flaky) on a loaded 1-core host
+        JAX_COMPILATION_CACHE_DIR="/tmp/jax_compile_cache_dmi",
         **extra_env,
     )
     r = subprocess.run(
@@ -61,9 +65,10 @@ def test_bench_mid_run_crash_recovery(tmp_path):
         os.environ, PYTHONPATH=REPO,
         _DMI_BENCH_CRASH_TEST="1", DMI_BENCH_SMALL="1",
         # a dead relay must not add 150s probe stalls to this test, and a
-        # fully loaded 1-core host needs headroom for the fresh compile
-        # (no persistent cache in the subprocess) — seen flaking at 600s
+        # fully loaded 1-core host needs headroom for the compile —
+        # seen flaking at 600s before the shared persistent cache
         DMI_BENCH_PROBE_TIMEOUT="5",
+        JAX_COMPILATION_CACHE_DIR="/tmp/jax_compile_cache_dmi",
     )
     r = subprocess.run(
         [sys.executable, str(tmp_path / "bench.py")],

@@ -109,6 +109,34 @@ def _hf_config(family, tie=True, sliding_window=None):
             residual_multiplier=0.22,
             logits_scaling=16.0,
         )
+    if family == "deepseek":
+        # MLA with the full-size q_lora bottleneck, all-dense MLP stack
+        # (first_k_dense_replace >= L is HF's only dense deepseek shape;
+        # mixed dense/MoE stacks are rejected by the config mapping)
+        common = {**_COMMON, "num_key_value_heads": 4}
+        return transformers.DeepseekV2Config(
+            **common, tie_word_embeddings=tie,
+            q_lora_rank=24, kv_lora_rank=16,
+            qk_nope_head_dim=8, qk_rope_head_dim=4, v_head_dim=8,
+            first_k_dense_replace=2, n_routed_experts=None,
+        )
+    if family == "deepseekmoe":
+        # the Lite attention layout (no q bottleneck) + deepseek MoE:
+        # f32 greedy gate, NO top-k renormalization, routed_scaling_factor,
+        # always-on shared experts; a DIFFERENT dense intermediate proves
+        # expert shapes come from moe_intermediate_size
+        common = {**_COMMON, "num_key_value_heads": 4,
+                  "intermediate_size": 96}
+        return transformers.DeepseekV2Config(
+            **common, tie_word_embeddings=tie,
+            q_lora_rank=None, kv_lora_rank=16,
+            qk_nope_head_dim=8, qk_rope_head_dim=4, v_head_dim=8,
+            first_k_dense_replace=0,
+            n_routed_experts=4, num_experts_per_tok=2,
+            moe_intermediate_size=128, norm_topk_prob=False,
+            n_shared_experts=2, routed_scaling_factor=2.5,
+            topk_method="greedy",
+        )
     if family == "mistral":
         return transformers.MistralConfig(
             **_COMMON,
@@ -143,7 +171,8 @@ def make_pair(family, seed=0, tie=True, sliding_window=None):
 
 
 FAMILIES = ["qwen2", "gemma2", "mistral", "qwen3", "phi3", "olmo2", "granite",
-            "gemma3", "mixtral", "qwen3moe", "olmoe"]
+            "gemma3", "mixtral", "qwen3moe", "olmoe", "deepseek",
+            "deepseekmoe"]
 
 
 @pytest.mark.parametrize("family", FAMILIES)
@@ -207,6 +236,30 @@ def test_config_mapping(family):
         assert cfg.final_logit_softcap is None
         assert cfg.layer_sliding == (True, False)
         assert cfg.embedding_normalizer == pytest.approx(8.0)
+    if family == "deepseek":
+        assert cfg.kv_lora_rank == 16 and cfg.q_lora_rank == 24
+        assert cfg.head_dim == 12  # qk width (8 nope + 4 rope), NOT HF's
+        assert cfg.num_key_value_heads == cfg.num_attention_heads
+        assert cfg.v_head_dim == 8 and cfg.rope_interleaved
+        assert cfg.num_experts == 0  # first_k_dense_replace >= L -> dense
+        assert params["layers"]["wq_a"].shape == (2, 64, 24)
+        assert params["layers"]["wq_b"].shape == (2, 24, 4 * 12)
+        assert params["layers"]["wkv_a"].shape == (2, 64, 16 + 4)
+        assert params["layers"]["wkv_b"].shape == (2, 16, 4 * (8 + 8))
+        assert params["layers"]["wo"].shape == (2, 4 * 8, 64)
+        assert params["layers"]["kv_a_norm"].shape == (2, 16)
+        assert "wk" not in params["layers"]
+    if family == "deepseekmoe":
+        assert cfg.kv_lora_rank == 16 and cfg.q_lora_rank is None
+        assert "wq" in params["layers"] and "wq_a" not in params["layers"]
+        assert cfg.num_experts == 4 and not cfg.moe_norm_topk
+        assert cfg.moe_gate_fp32
+        assert cfg.routed_scaling_factor == pytest.approx(2.5)
+        assert cfg.n_shared_experts == 2
+        # expert shapes from moe_intermediate_size (128), NOT the dense 96
+        assert params["layers"]["moe_w1"].shape == (2, 4, 64, 128)
+        assert params["layers"]["w_shared_gate"].shape == (2, 64, 256)
+        assert params["layers"]["w_shared_down"].shape == (2, 256, 64)
     if family == "granite":
         assert cfg.embedding_normalizer == pytest.approx(12.0)
         assert cfg.attn_scale == pytest.approx(0.03125)
@@ -375,6 +428,39 @@ def test_sliding_window_greedy_matches_hf(family):
     W = theirs.shape[1]
     np.testing.assert_array_equal(ours[:, :W], theirs)
     np.testing.assert_array_equal(ours_bl, ours)
+
+
+def test_deepseek_yarn_rope_matches_hf():
+    """Yarn-scaled interleaved rope (deepseek long-context checkpoints):
+    inv_freq blend over the beta_fast/beta_slow correction ramp + the
+    mscale-ratio attention factor on the cos/sin tables, vs the executed
+    native HF module (ROPE_INIT_FUNCTIONS['yarn'])."""
+    common = {**_COMMON, "num_key_value_heads": 4}
+    hf_cfg = transformers.DeepseekV2Config(
+        **common, tie_word_embeddings=True,
+        q_lora_rank=None, kv_lora_rank=16,
+        qk_nope_head_dim=8, qk_rope_head_dim=4, v_head_dim=8,
+        first_k_dense_replace=2, n_routed_experts=None,
+        rope_scaling={"rope_type": "yarn", "factor": 4.0,
+                      "beta_fast": 32.0, "beta_slow": 1.0,
+                      "mscale": 0.707, "mscale_all_dim": 0.707,
+                      "original_max_position_embeddings": 64},
+    )
+    torch.manual_seed(12)
+    hf = transformers.AutoModelForCausalLM.from_config(hf_cfg)
+    hf.eval()
+    cfg = _hf_to_config(hf_cfg, jnp.float32, None)
+    assert cfg.rope_yarn_factor == pytest.approx(4.0)
+    assert cfg.rope_original_max_position == 64
+    params = llama.from_hf_state_dict(hf.state_dict(), cfg)
+    rng = np.random.default_rng(12)
+    # positions far past original_max so both ramp regimes contribute
+    B, T = 2, 96
+    embeds = rng.normal(size=(B, T, 64)).astype(np.float32) * 0.1
+    ours = np.asarray(llama.forward(cfg, params, jnp.asarray(embeds)))
+    with torch.no_grad():
+        theirs = hf(inputs_embeds=torch.tensor(embeds)).logits.numpy()
+    np.testing.assert_allclose(ours, theirs, atol=2e-3, rtol=2e-3)
 
 
 def test_decode_cache_matches_full_forward_families():

@@ -415,6 +415,7 @@ def _run_spec_bulk(cfg, params, draft_cfg, draft_params, pspec, pparams,
     return np.asarray(toks)[:N]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("pool,chunk,k,budget", [
     (5, 2, 3, 7),   # refills + staggered EOS
     (9, 4, 2, 5),   # ring = 4: ~6 generations of tenants wrap it repeatedly
@@ -443,6 +444,7 @@ def test_spec_bulk_matches_batch_path(pool, chunk, k, budget):
     np.testing.assert_array_equal(got_q, want)
 
 
+@pytest.mark.slow
 def test_spec_bulk_sliding_family():
     """gemma-2 with a BINDING window (T=4 + budget 8 > window 4): the
     engine's ring row_pos lookback masks must reproduce the batch path."""
@@ -459,6 +461,7 @@ def test_spec_bulk_sliding_family():
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_spec_bulk_no_eos_and_empty():
     """EOS disabled: every tenant runs the full budget (maximum ring
     pressure); zero-request workloads return the trash row only."""
@@ -487,6 +490,7 @@ def test_spec_bulk_guards():
                        embs, 1, chunk=2, pool=4, k=2)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("temperature,top_k,top_p", [
     (1.3, 0, 1.0),
     (0.9, 6, 0.9),
@@ -531,6 +535,7 @@ def test_spec_bulk_sampling_matches_batch_sampler(temperature, top_k, top_p):
 from dmi_tpu.models.speculative import SpeculativeStreamingCaptioner  # noqa: E402
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("pool,admit,rounds,k,budget", [
     (5, 2, 2, 3, 7),   # refills + staggered EOS; scratch slot exercised
     (9, 4, 1, 2, 5),   # ring wraps repeatedly across tenant generations
@@ -558,6 +563,7 @@ def test_spec_online_matches_batch_path(pool, admit, rounds, k, budget):
         assert not eng._occupied[: eng.scratch].any()
 
 
+@pytest.mark.slow
 def test_spec_online_sampling_matches_batch_sampler():
     """Sampling through the online engine: (request, age)-keyed draws make
     it bit-identical to the batch speculative sampler on the same rows —

@@ -1,6 +1,8 @@
 """Continuous-batching engine (dmi_tpu/streaming.py): greedy-token parity
 with the batch captioner path, slot recycling, and scratch-slot safety."""
 
+from functools import partial
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -175,7 +177,8 @@ def test_bulk_on_device_under_tp_mesh():
 
 
 @pytest.mark.parametrize("family", ["qwen2", "gemma2", "qwen3", "olmo2",
-                                    "granite", "gemma3", "mixtral", "olmoe"])
+                                    "granite", "gemma3", "mixtral", "olmoe",
+                                    "deepseek", "deepseekmoe"])
 def test_streaming_families_match_batch_path(family):
     """The engine shares _decode_step_bl with the batch path, so family
     features (qwen2 qkv biases; gemma-2 GeGLU/post-block norms/softcap/
@@ -190,7 +193,12 @@ def test_streaming_families_match_batch_path(family):
              # ring engine exercises dual rope AND per-slot lookback masks
              "gemma3": llama.tiny_gemma3_config,
              "mixtral": llama.tiny_mixtral_config,
-             "olmoe": llama.tiny_olmoe_config}
+             "olmoe": llama.tiny_olmoe_config,
+             # deepseek: the engine runs the COMPRESSED-latent MLA ring
+             # (dec._mla_attn_bl) against the expanded-oracle batch path
+             "deepseek": partial(llama.tiny_deepseek_config, q_lora_rank=12),
+             "deepseekmoe": partial(llama.tiny_deepseek_config, n_experts=4,
+                                    top_k=2, n_shared=1, routed_scale=1.7)}
     cfg = maker[family](vocab_size=64, hidden_size=32, n_layers=2,
                         n_heads=4, n_kv=2, intermediate=64)
     cfg = dataclasses.replace(cfg, eos_token_ids=(5,))
