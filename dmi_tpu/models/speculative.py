@@ -1,4 +1,4 @@
-"""Speculative (draft-verify) greedy decode — batch-last, token-exact.
+"""Speculative (draft-verify) greedy decode — batch-last.
 
 The decode loop is HBM-bandwidth bound below pool saturation (BASELINE.md
 binding-limit analysis: the per-step weight stream costs the same bytes
@@ -6,11 +6,24 @@ at B=32 as at B=256).  Speculative decoding attacks exactly that term: a
 cheap DRAFT model proposes k tokens, then the target verifies all k in
 ONE forward over k+1 positions — one loop weight-stream read per
 accepted run instead of one per token.  Greedy rejection sampling makes
-the output provably identical to plain greedy decode for ANY draft:
+every emitted token the argmax of a TARGET forward given its prefix:
 a proposal is accepted iff it equals the target's own argmax at that
 position, and the first mismatch is replaced by the target's argmax
-(which the verify forward already computed), so every emitted token is
-the target-greedy token given its prefix.
+(which the verify forward already computed).
+
+Exactness contract (measured, scripts/diag_spec_exact.py + BASELINE.md
+round-5): under identical forward numerics (f32; CPU bf16 on this
+stack) the output is BIT-IDENTICAL to plain greedy decode for ANY
+draft — pinned in tests/test_speculative.py.  On TPU bf16 the
+k+1-position verify forward and the 1-position step forward are
+bit-equal GIVEN the same cache content (measured max|dlogit| = 0 at the
+1B shape), but cache rows written inside a verify round drift ~1.4% of
+logit scale through downstream layers vs rows written by single steps,
+so an argmax whose top-2 margin is below that noise may resolve
+differently.  Both outputs are valid target-greedy decodes; they can
+differ at near-tie positions.  Trained checkpoints hold margins far
+above this noise (random-init 1B weights sit AT it, which is why
+random-weight chip profiles under-accept; see the profiler notes).
 
 The reference decodes greedily through HF generate with no speculation
 (dmi/model/mmmodel.py:149-169); this is framework serving surface, like
@@ -594,7 +607,12 @@ def speculative_generate_bl(
     Token-identical to dec.greedy_generate_bl(cfg, params, ...) for ANY
     draft model (the draft only steers which prefix lengths get verified
     per round, never what is emitted) — pinned by
-    tests/test_speculative.py against random drafts.
+    tests/test_speculative.py against random drafts — UNDER IDENTICAL
+    FORWARD NUMERICS.  On TPU bf16, near-tie argmaxes may resolve
+    differently between the verify and step forwards (see the module
+    docstring's exactness contract); the output is then a valid
+    target-greedy decode that can differ from the plain loop's at
+    positions whose top-2 margin is below ~1.4% of logit scale.
 
     draft_inputs_embeds: the prompt in the DRAFT model's embedding space
     (the draft conditions on its own projection of the prompt; caption
@@ -688,7 +706,12 @@ def speculative_generate_oracle_bl(
     isolates the verify-side economics (the ceiling any real draft can
     reach).  Output is token-identical to greedy decode REGARDLESS of
     oracle content (the greedy-rejection invariant), which is exactly
-    what the tests exploit with garbage oracles.
+    what the tests exploit with garbage oracles — under identical
+    forward numerics (see the module docstring's exactness contract for
+    the TPU bf16 near-tie caveat).  NOTE on bf16 chips the fixed oracle
+    stream CASCADES after the first near-tie flip (every later proposal
+    comes from a stale prefix), so long-budget oracle acceptance
+    understates what a re-drafting real draft achieves.
 
     Returns (tokens [B, max_new_tokens], rounds [])."""
     B, T_, _ = inputs_embeds.shape

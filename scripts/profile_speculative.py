@@ -139,10 +139,41 @@ def main():
             )
             toks, rounds = r
             exact = bool(np.array_equal(np.asarray(toks), np.asarray(g_toks)))
+            rounds = int(np.asarray(rounds))
             out[f"b{B}_spec_p{p}_cps"] = round(B / t_ms, 1)
             out[f"b{B}_spec_p{p}_speedup"] = round(g_ms / t_ms, 3)
-            out[f"b{B}_spec_p{p}_rounds"] = int(np.asarray(rounds))
+            out[f"b{B}_spec_p{p}_rounds"] = rounds
+            out[f"b{B}_spec_p{p}_tok_per_round"] = round(
+                (budget - 1) / max(rounds, 1), 2
+            )
             out[f"b{B}_spec_p{p}_exact"] = exact
+            # NOTE the oracle stream is a FIXED precomputed trajectory:
+            # on bf16 chips the first near-tie argmax flip (see
+            # diag_spec_exact.py) makes every later oracle proposal come
+            # from a stale prefix, so acceptance cascades to ~1/round for
+            # the rest of the decode — oracle cells UNDERSTATE real-draft
+            # acceptance at long budgets; the self-draft cells re-draft
+            # from the true prefix each round and do not cascade.
+
+        if args.self_draft:
+            # bf16 self-draft (draft == target, share_prefill): a real,
+            # cascade-free draft paying FULL draft price — its tok/round
+            # is the pure bf16 cross-forward acceptance rate; its speedup
+            # is expected < 1 (k extra full-price steps/round), so read
+            # it for acceptance, not throughput
+            t_ms, r = measure(
+                lambda: speculative_generate_bl(
+                    cfg, params, cfg, params, embeds, embeds,
+                    budget, 0, k=k, share_prefill=True,
+                )
+            )
+            toks, rounds = r
+            rounds = int(np.asarray(rounds))
+            out[f"b{B}_bf16draft_speedup"] = round(g_ms / t_ms, 3)
+            out[f"b{B}_bf16draft_rounds"] = rounds
+            out[f"b{B}_bf16draft_tok_per_round"] = round(
+                (budget - 1) / max(rounds, 1), 2
+            )
 
         if draft_params is not None:
             t_ms, r = measure(
