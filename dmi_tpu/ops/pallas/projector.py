@@ -240,7 +240,7 @@ def _lora0_kernel(x_ref, w0_ref, b0_ref, a_ref, b_ref, d_ref, out_ref):
     base = jnp.dot(x_ref[:], w0_ref[:], preferred_element_type=jnp.float32)
     inter = jnp.dot(x_ref[:], a_ref[:], preferred_element_type=jnp.float32)
     delta = jnp.dot(inter.astype(b_ref.dtype), b_ref[:], preferred_element_type=jnp.float32)
-    y = base + delta + b0_ref[:].astype(jnp.float32) + d_ref[:].astype(jnp.float32)
+    y = base + delta + b0_ref[0].astype(jnp.float32) + d_ref[0].astype(jnp.float32)
     out_ref[:] = _gelu_tanh(y).astype(out_ref.dtype)
 
 
@@ -262,20 +262,27 @@ def _lora0_pallas(x, w0, b0, a, b, d):
         b = jnp.pad(b, ((0, pad_r), (0, 0)))
         r = r + pad_r
     grid = (xp.shape[0] // TILE_B,)
+    # bias vectors ride as (1, lm) blocks, not (lm,): a 1-D spec lowers
+    # fine standalone but breaks under jax.vmap (the stage-2 coalesced
+    # path vmaps this kernel over adapter groups, so the batched bias
+    # becomes a (G, lm) array whose squeezed leading block Mosaic
+    # rejects); with (1, lm) the vmapped block is (1, lm) == the array's
+    # trailing dims and lowers everywhere.  Measured on chip via
+    # scripts/profile_coalesce.py.
     out = pl.pallas_call(
         _lora0_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((TILE_B, mm), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((mm, lm), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((lm,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lm), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((mm, r), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((r, lm), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((lm,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lm), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((TILE_B, lm), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((xp.shape[0], lm), x.dtype),
-    )(xp, w0, b0, a, b, d)
+    )(xp, w0, b0[None, :], a, b, d[None, :])
     return out[:B] if pad_b else out
 
 

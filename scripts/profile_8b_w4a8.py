@@ -8,7 +8,16 @@ prefill runs the SAME packed weights (quality is irrelevant for a
 throughput row; the W4A8 XLA-twin/pallas matmuls handle prefill shapes).
 The embed stays int8 per-vocab-row like quantize_llama(bits=4).
 
-Usage: python scripts/profile_8b_w4a8.py [--batch 64] [--new 22]
+--spec adds the speculative leg for the regime BASELINE.md's round-5
+write-off points at (big target + genuinely small draft): the 8B W4A8
+target with a 1B W4A8 draft (~0.29 GB/step stream vs the target's
+~4.3 GB).  Cells: oracle p0 (cascade-poisoned ceiling), oracle p1
+(verify-cost floor: 1/speedup = verify forward in plain-step units),
+and the REAL 1B draft (random-init, so acceptance ~1 t/r — reads as the
+full-pipeline cost floor; 1/speedup = verify + k draft steps in
+plain-step units).  Breakeven acceptance = that round cost in tokens.
+
+Usage: python scripts/profile_8b_w4a8.py [--batch 64] [--new 22] [--spec]
 Prints one JSON line.  Run with the host otherwise idle.
 """
 
@@ -30,6 +39,9 @@ def main():
     ap.add_argument("--prefix", type=int, default=32)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--small", action="store_true", help="1B shape smoke")
+    ap.add_argument("--spec", action="store_true",
+                    help="add the 8B-target/1B-draft speculative leg")
+    ap.add_argument("--k", type=int, default=4)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -45,52 +57,58 @@ def main():
 
     print("backend:", jax.default_backend(), flush=True)
     cfg = llama.llama32_1b() if args.small else llama.llama31_8b()
-    L, H = cfg.num_hidden_layers, cfg.hidden_size
-    nh, nkv, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
-                   cfg.head_dim)
-    I, V = cfg.intermediate_size, cfg.vocab_size
 
     cpu = jax.devices("cpu")[0]
     rng = np.random.default_rng(0)
 
-    def dev_w4(shape):
-        """Random bf16-scale weight -> packed int4 dict, quantized on the
-        host CPU device, then transferred (never bf16 on the chip)."""
-        w = (rng.standard_normal(shape, dtype=np.float32) * 0.02)
-        with jax.default_device(cpu):
-            q = quantize_tensor_int4(jnp.asarray(w))
-        return jax.tree.map(jax.device_put, q)
+    def build_w4_tree(c):
+        """Random W4A8 packed tree for config c, quantized on the host
+        CPU device and device_put piecewise (never bf16 on the chip)."""
+        L, H = c.num_hidden_layers, c.hidden_size
+        nh, nkv, hd = (c.num_attention_heads, c.num_key_value_heads,
+                       c.head_dim)
+        I, V = c.intermediate_size, c.vocab_size
 
-    def dev_norm(shape):
-        return jax.device_put(jnp.ones(shape, cfg.dtype))
+        def dev_w4(shape):
+            w = (rng.standard_normal(shape, dtype=np.float32) * 0.02)
+            with jax.default_device(cpu):
+                q = quantize_tensor_int4(jnp.asarray(w))
+            return jax.tree.map(jax.device_put, q)
+
+        def dev_norm(shape):
+            return jax.device_put(jnp.ones(shape, c.dtype))
+
+        layers = {
+            "wq": dev_w4((L, H, nh * hd)),
+            "wk": dev_w4((L, H, nkv * hd)),
+            "wv": dev_w4((L, H, nkv * hd)),
+            "wo": dev_w4((L, nh * hd, H)),
+            "w_gate": dev_w4((L, H, I)),
+            "w_up": dev_w4((L, H, I)),
+            "w_down": dev_w4((L, I, H)),
+            "ln_attn": dev_norm((L, H)),
+            "ln_mlp": dev_norm((L, H)),
+        }
+        emb = (rng.standard_normal((V, H), dtype=np.float32) * 0.02)
+        with jax.default_device(cpu):
+            embed = quantize_embed_tensor(jnp.asarray(emb), native=True)
+        p = {
+            "layers": layers,
+            "embed": jax.tree.map(jax.device_put, embed),
+            "final_norm": dev_norm((H,)),
+        }
+        if not c.tie_word_embeddings:
+            p["lm_head"] = dev_w4((H, V))
+        return p
 
     t0 = time.time()
-    layers = {
-        "wq": dev_w4((L, H, nh * hd)),
-        "wk": dev_w4((L, H, nkv * hd)),
-        "wv": dev_w4((L, H, nkv * hd)),
-        "wo": dev_w4((L, nh * hd, H)),
-        "w_gate": dev_w4((L, H, I)),
-        "w_up": dev_w4((L, H, I)),
-        "w_down": dev_w4((L, I, H)),
-        "ln_attn": dev_norm((L, H)),
-        "ln_mlp": dev_norm((L, H)),
-    }
-    emb = (rng.standard_normal((V, H), dtype=np.float32) * 0.02)
-    with jax.default_device(cpu):
-        embed = quantize_embed_tensor(jnp.asarray(emb), native=True)
-    params = {
-        "layers": layers,
-        "embed": jax.tree.map(jax.device_put, embed),
-        "final_norm": dev_norm((H,)),
-    }
-    if not cfg.tie_word_embeddings:
-        params["lm_head"] = dev_w4((H, V))
+    params = build_w4_tree(cfg)
     n_bytes = sum(
         x.nbytes for x in jax.tree.leaves(params)
     )
     print(f"packed tree built+transferred {time.time()-t0:.1f}s, "
           f"{n_bytes/1e9:.2f} GB on device", flush=True)
+    H = cfg.hidden_size
 
     B, T, NEW = args.batch, args.prefix, args.new
     embs = jnp.asarray(

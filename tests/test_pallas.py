@@ -45,6 +45,30 @@ def test_fused_lora0_interpret_matches_xla():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+def test_fused_lora0_vmapped_interpret_matches_xla():
+    """The stage-2 coalesced path vmaps the lora0 kernel over adapter
+    groups (hypernet_trainer micro_step_k -> lora_apply); 1-D bias block
+    specs lowered standalone but broke under vmap on real Mosaic (round-5
+    coalesce chip run), so the kernel carries (1, lm) bias blocks now —
+    pin the vmapped numerics against the XLA twin."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    x, w0, b0, _, _, a, b, d = _data(seed=2)
+    G = 3
+    xg = jnp.stack([x + i for i in range(G)])
+    ag = jnp.stack([a * (1 + 0.1 * i) for i in range(G)])
+    bg = jnp.stack([b * (1 - 0.1 * i) for i in range(G)])
+    dg = jnp.stack([d + 0.05 * i for i in range(G)])
+    ref = jax.vmap(
+        lambda x_, a_, b_, d_: pk._lora0_xla(x_, w0, b0, a_, b_, d_)
+    )(xg, ag, bg, dg)
+    with pltpu.force_tpu_interpret_mode():
+        out = jax.vmap(
+            lambda x_, a_, b_, d_: pk._lora0_pallas(x_, w0, b0, a_, b_, d_)
+        )(xg, ag, bg, dg)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
 def test_wrappers_fall_back_off_tpu():
     x, w0, b0, w1, b1, a, b, d = _data(B=8)
     # default_backend is cpu under tests -> wrapper must use the XLA twin
