@@ -77,9 +77,12 @@ class TrainArgs:
     # --- TPU-native extensions (absent from reference configs; defaulted) ---
     mesh_shape: Optional[List[int]] = None  # e.g. [8, 1] -> (data, model)
     # coalesce k same-loader grad-accum micro-batches into one dispatch
-    # (k*B rows through the frozen LLM — fills the MXU that stage-2's
-    # B=8 micro-shape underfills; numerics equal up to summation order,
-    # test_hypernet_e2e.py::test_coalesced_micro_steps_match_sequential)
+    # (k*B rows through the frozen LLM; numerics equal up to summation
+    # order, test_hypernet_e2e.py::test_coalesced_micro_steps_match_
+    # sequential).  Chip A/B (BASELINE.md round-5): k=2 is +3.2% at the
+    # production stage-2 shape, k>=4 OOMs on the [k*B*T, V] loss temps.
+    # Default stays 1 = the reference-exact sequential form; set 2 for
+    # chip training throughput.
     micro_batch_coalesce: int = 1
     use_pallas: bool = True
     profile_dir: Optional[str] = None

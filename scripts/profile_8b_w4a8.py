@@ -39,6 +39,8 @@ def main():
     ap.add_argument("--prefix", type=int, default=32)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--small", action="store_true", help="1B shape smoke")
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny-config CPU smoke (code-path check only)")
     ap.add_argument("--spec", action="store_true",
                     help="add the 8B-target/1B-draft speculative leg")
     ap.add_argument("--k", type=int, default=4)
@@ -56,7 +58,12 @@ def main():
     from dmi_tpu.models.quant import quantize_embed_tensor, quantize_tensor_int4
 
     print("backend:", jax.default_backend(), flush=True)
-    cfg = llama.llama32_1b() if args.small else llama.llama31_8b()
+    if args.tiny:
+        cfg = llama.tiny_config(hidden_size=128, n_layers=2, n_heads=4,
+                                n_kv=2, intermediate=256, vocab_size=512,
+                                dtype=jnp.float32)
+    else:
+        cfg = llama.llama32_1b() if args.small else llama.llama31_8b()
 
     cpu = jax.devices("cpu")[0]
     rng = np.random.default_rng(0)
@@ -137,6 +144,79 @@ def main():
         "packed_gb": round(n_bytes / 1e9, 2),
         "iter_ms": [round(t, 1) for t in times],
     }
+
+    if args.spec:
+        from dmi_tpu.models.speculative import (
+            speculative_generate_bl,
+            speculative_generate_oracle_bl,
+        )
+
+        k = args.k
+        out["k"] = k
+        g_toks = jnp.asarray(
+            np.asarray(dec.greedy_generate_bl(cfg, params, embs, NEW, 0))
+        )
+
+        def measure(fn):
+            r = jax.tree.map(np.asarray, fn())  # compile + first
+            ts = []
+            for _ in range(args.iters):
+                t0 = time.perf_counter()
+                r = jax.tree.map(np.asarray, fn())
+                ts.append((time.perf_counter() - t0) * 1e3)
+            ts.sort()
+            return ts[len(ts) // 2], r
+
+        for name, wp in (("p0", 0), ("p1", 1)):
+            t_ms, (toks, rounds) = measure(
+                lambda wp=wp: speculative_generate_oracle_bl(
+                    cfg, params, embs, g_toks, NEW, 0, k=k, wrong_period=wp,
+                )
+            )
+            rounds = int(rounds)
+            out[f"spec_{name}_speedup"] = round(med / t_ms, 3)
+            out[f"spec_{name}_rounds"] = rounds
+            out[f"spec_{name}_tok_per_round"] = round(
+                (NEW - 1) / max(rounds, 1), 2
+            )
+
+        # the real small draft: a 1B W4A8 tree (~1.0 GB packed stream vs
+        # the target's ~4.3 GB).  Random-init, so cross-model acceptance
+        # is ~0 and the cell reads as the FULL-PIPELINE COST FLOOR:
+        # 1/speedup = (verify + k draft steps) in plain-step units, and
+        # breakeven acceptance = that many tokens/round.
+        if args.tiny:
+            dcfg = llama.tiny_config(hidden_size=64, n_layers=1, n_heads=2,
+                                     n_kv=1, intermediate=128,
+                                     vocab_size=512, dtype=jnp.float32)
+        else:
+            dcfg = llama.llama32_1b()
+        t0 = time.time()
+        dparams = build_w4_tree(dcfg)
+        d_bytes = sum(x.nbytes for x in jax.tree.leaves(dparams))
+        print(f"draft tree built+transferred {time.time()-t0:.1f}s, "
+              f"{d_bytes/1e9:.2f} GB on device", flush=True)
+        dembs = jnp.asarray(
+            rng.standard_normal((B, T, dcfg.hidden_size), dtype=np.float32)
+            * 0.1
+        )
+        t_ms, (toks, rounds) = measure(
+            lambda: speculative_generate_bl(
+                cfg, params, dcfg, dparams, embs, dembs, NEW, 0, k=k,
+            )
+        )
+        rounds = int(rounds)
+        out["spec_1bdraft_speedup"] = round(med / t_ms, 3)
+        out["spec_1bdraft_rounds"] = rounds
+        out["spec_1bdraft_tok_per_round"] = round(
+            (NEW - 1) / max(rounds, 1), 2
+        )
+        # per-round cost in plain-step units -> tokens/round needed to tie
+        out["spec_1bdraft_breakeven_tpr"] = round(
+            (t_ms / max(rounds, 1)) / (med / (NEW - 1)), 2
+        )
+        out["draft_packed_gb"] = round(d_bytes / 1e9, 2)
+
     print(json.dumps(out), flush=True)
 
 

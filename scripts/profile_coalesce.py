@@ -189,14 +189,25 @@ def main():
     dt_seq = measure(run_seq)
     out["seq_s_per_window"] = round(dt_seq / args.windows, 4)
     out["seq_samples_per_sec"] = round(B * accum * args.windows / dt_seq, 2)
+    print(json.dumps(out), flush=True)  # partial, in case a k OOMs
     for k in ks:
         if accum % k:
             out[f"coal{k}"] = "skipped (accum % k != 0)"
             continue
-        dt = measure(lambda n, k=k: run_coal(k, n))
+        try:
+            dt = measure(lambda n, k=k: run_coal(k, n))
+        except Exception as e:  # RESOURCE_EXHAUSTED at compile: the k*B-row
+            # fwd/bwd's [k*B*T, V] logits+grads don't fit; record and move on
+            msg = str(e)
+            out[f"coal{k}"] = ("oom" if "memory" in msg.lower()
+                               or "RESOURCE_EXHAUSTED" in msg else
+                               f"error: {msg[:160]}")
+            print(json.dumps(out), flush=True)
+            continue
         out[f"coal{k}_s_per_window"] = round(dt / args.windows, 4)
         out[f"coal{k}_samples_per_sec"] = round(B * accum * args.windows / dt, 2)
         out[f"coal{k}_speedup"] = round(dt_seq / dt, 3)
+        print(json.dumps(out), flush=True)
     print(json.dumps(out))
 
 
