@@ -808,9 +808,21 @@ def _decode_step_bl(cfg, params, h, caches, pos, bias, s_window=None,
         if cfg.num_experts:  # mixtral sparse MoE (dense-evaluated)
             mlp_out = _moe_mlp_bl(cfg, lw, hn)
         elif "w_gu" in lw:
-            gu = _mm_bl(lw["w_gu"], hn)
-            gate, up = jnp.split(gu, 2, axis=0)
-            mlp_out = _mm_bl(lw["w_down"], llama.mlp_activation(cfg, gate) * up)
+            from dmi_tpu.ops.pallas.decode_mlp import (
+                _mlp_pallas_bl, decode_mlp_available)
+
+            if decode_mlp_available(lw["w_gu"], hn):
+                # single-pass streamed MLP kernel (opt-in,
+                # DMI_PALLAS_DECODE_MLP=1; chip A/B in BASELINE.md)
+                mlp_out = _mlp_pallas_bl(
+                    lw["w_gu"], lw["w_down"], hn, cfg.mlp_act
+                )
+            else:
+                gu = _mm_bl(lw["w_gu"], hn)
+                gate, up = jnp.split(gu, 2, axis=0)
+                mlp_out = _mm_bl(
+                    lw["w_down"], llama.mlp_activation(cfg, gate) * up
+                )
         else:
             gate = llama.mlp_activation(cfg, _mm_bl(lw["w_gate"], hn))
             mlp_out = _mm_bl(lw["w_down"], gate * _mm_bl(lw["w_up"], hn))

@@ -44,7 +44,14 @@ def quantize_tensor(w: jax.Array, native: bool = False) -> dict:
     native=True ("q8" key): W8A8 — activations are quantized per token and
     the matmul runs int8 x int8 -> int32 on the MXU (2x bf16 throughput on
     v5e), halving BOTH the weight stream and the matmul time.  The key name
-    is the mode marker so dispatch is static under tracing."""
+    is the mode marker so dispatch is static under tracing.
+
+    Stacked (L, in, out) leaves quantize layer-by-layer via lax.map: the
+    math is per-layer independent (scales reduce over the in axis only),
+    and the full-leaf f32 temp OOM'd the 3B in-process companion build
+    (round-4/5 bench: bf16 tree + int8 copy + a 2.8 GB f32 temp)."""
+    if w.ndim == 3 and w.shape[0] > 1:
+        return jax.lax.map(lambda wl: quantize_tensor(wl, native), w)
     wf = w.astype(jnp.float32)
     s = jnp.max(jnp.abs(wf), axis=-2, keepdims=True) / 127.0
     s = jnp.maximum(s, 1e-12)
@@ -97,7 +104,14 @@ def quantize_tensor_int4(w: jax.Array, group_size: int | None = None) -> dict:
     group_size k: scales per k-sized block of the contraction axis
     ({"qp", "s4g"}, s4g (..., G, out)) — recovers most of int4's quality
     loss from absmax outliers; the matmul unpacks then runs G-batched
-    partial dots weighted by s4g (the accuracy-oracle formulation)."""
+    partial dots weighted by s4g (the accuracy-oracle formulation).
+
+    Stacked leaves chunk layer-by-layer like quantize_tensor (exact; the
+    f32 temp of a whole 3B stacked leaf OOMs the in-process companion)."""
+    if w.ndim == 3 and w.shape[0] > 1:
+        return jax.lax.map(
+            lambda wl: quantize_tensor_int4(wl, group_size), w
+        )
     wf = w.astype(jnp.float32)
     if group_size is None:
         s = jnp.max(jnp.abs(wf), axis=-2, keepdims=True) / 7.0

@@ -45,6 +45,49 @@ def test_fused_lora0_interpret_matches_xla():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+def test_fused_decode_mlp_interpret_matches_xla():
+    """Single-pass streamed decode-MLP kernel (ops/pallas/decode_mlp) vs
+    its XLA twin — silu and gelu_tanh, at shapes exercising multi-tile
+    grids and the resident f32 accumulator."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from dmi_tpu.ops.pallas import decode_mlp as dm
+
+    key = jax.random.PRNGKey(3)
+    H, I, B = 256, 512, 16
+    k1, k2, k3 = jax.random.split(key, 3)
+    w_gu = jax.random.normal(k1, (H, 2 * I), jnp.float32) * 0.05
+    w_down = jax.random.normal(k2, (I, H), jnp.float32) * 0.05
+    h = jax.random.normal(k3, (H, B), jnp.float32)
+    for act in ("silu", "gelu_tanh"):
+        ref = dm._mlp_xla_bl(w_gu, w_down, h, act)
+        with pltpu.force_tpu_interpret_mode():
+            out = dm._mlp_pallas_bl(w_gu, w_down, h, act)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5
+        )
+
+
+def test_fused_decode_mlp_gating():
+    """decode_mlp_available: off by default (opt-in), off for quant
+    dicts and unaligned shapes."""
+    from dmi_tpu.ops.pallas import decode_mlp as dm
+
+    w = jnp.zeros((256, 1024), jnp.float32)
+    h = jnp.zeros((256, 16), jnp.float32)
+    assert not dm.decode_mlp_available(w, h)  # env flag unset
+    import os
+
+    os.environ["DMI_PALLAS_DECODE_MLP"] = "1"
+    try:
+        assert not dm.decode_mlp_available({"q8": w}, h)  # quant dict
+        assert not dm.decode_mlp_available(
+            jnp.zeros((250, 1024), jnp.float32), h
+        )  # H not 128-aligned
+    finally:
+        del os.environ["DMI_PALLAS_DECODE_MLP"]
+
+
 def test_fused_lora0_vmapped_interpret_matches_xla():
     """The stage-2 coalesced path vmaps the lora0 kernel over adapter
     groups (hypernet_trainer micro_step_k -> lora_apply); 1-D bias block
