@@ -49,8 +49,11 @@ def quantize_tensor(w: jax.Array, native: bool = False) -> dict:
     Stacked (L, in, out) leaves quantize layer-by-layer via lax.map: the
     math is per-layer independent (scales reduce over the in axis only),
     and the full-leaf f32 temp OOM'd the 3B in-process companion build
-    (round-4/5 bench: bf16 tree + int8 copy + a 2.8 GB f32 temp)."""
-    if w.ndim == 3 and w.shape[0] > 1:
+    (round-4/5 bench: bf16 tree + int8 copy + a 2.8 GB f32 temp).  4-D
+    MoE expert stacks (L, E, in, out) recurse one stack axis at a time —
+    the (16, 8, 2048, 4096) f32 temp of a mixtral-shape leaf OOM'd the
+    round-5 MoE chip companion."""
+    if w.ndim >= 3 and w.shape[0] > 1:
         return jax.lax.map(lambda wl: quantize_tensor(wl, native), w)
     wf = w.astype(jnp.float32)
     s = jnp.max(jnp.abs(wf), axis=-2, keepdims=True) / 127.0
@@ -107,8 +110,9 @@ def quantize_tensor_int4(w: jax.Array, group_size: int | None = None) -> dict:
     partial dots weighted by s4g (the accuracy-oracle formulation).
 
     Stacked leaves chunk layer-by-layer like quantize_tensor (exact; the
-    f32 temp of a whole 3B stacked leaf OOMs the in-process companion)."""
-    if w.ndim == 3 and w.shape[0] > 1:
+    f32 temp of a whole 3B stacked leaf OOMs the in-process companion);
+    4-D MoE expert stacks recurse one stack axis at a time."""
+    if w.ndim >= 3 and w.shape[0] > 1:
         return jax.lax.map(
             lambda wl: quantize_tensor_int4(wl, group_size), w
         )

@@ -343,3 +343,34 @@ def test_mixtral_quantized_decode_runs_token_sane():
             cfg, qp, embeds, 3, 0, prefill_params=params
         ))
         assert t_q.shape == t_bf.shape
+
+
+def test_stacked_leaf_chunking_bit_identical():
+    """lax.map chunking of stacked leaves (3-D layer stacks AND 4-D MoE
+    expert stacks) must reproduce the unchunked base math — the chunking
+    exists purely to bound the f32 temp (a full mixtral-shape (L, E, H, I)
+    leaf OOM'd the round-5 MoE chip companion).  int8 values pin exactly;
+    scales allow 1 ulp (XLA schedules the /127 division differently inside
+    the nested map)."""
+    from dmi_tpu.models.quant import quantize_tensor_int4
+
+    rng = np.random.default_rng(7)
+
+    def base_int8(w, native):
+        wf = w.astype(jnp.float32)
+        s = jnp.maximum(jnp.max(jnp.abs(wf), axis=-2, keepdims=True) / 127.0,
+                        1e-12)
+        q = jnp.clip(jnp.round(wf / s), -127, 127).astype(jnp.int8)
+        return {("q8" if native else "q"): q, "s": s}
+
+    for shape in ((3, 16, 8), (3, 2, 16, 8)):
+        w = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        got = quantize_tensor(w, native=True)
+        want = base_int8(w, True)
+        np.testing.assert_array_equal(np.asarray(got["q8"]),
+                                      np.asarray(want["q8"]))
+        np.testing.assert_allclose(np.asarray(got["s"]),
+                                   np.asarray(want["s"]), rtol=3e-7)
+        g4 = quantize_tensor_int4(w)
+        assert g4["qp"].shape == (*shape[:-2], shape[-2] // 2, shape[-1])
+        assert g4["s"].shape == (*shape[:-2], 1, shape[-1])
