@@ -2,11 +2,17 @@
 option's actual use case — a body whose bf16 weights (~16 GB) do NOT fit
 the chip, decoded from int4-packed loop weights (~4 GB + scales).
 
-The tree is built layer-by-layer ON HOST (numpy RNG -> CPU-jax quantize)
-and device_put piecewise, so no bf16 8B copy ever exists on the chip;
-prefill runs the SAME packed weights (quality is irrelevant for a
-throughput row; the W4A8 XLA-twin/pallas matmuls handle prefill shapes).
-The embed stays int8 per-vocab-row like quantize_llama(bits=4).
+The tree is synthesized ON DEVICE by default (jitted normal -> int4
+quantize per stacked leaf, f32 temp is one layer at a time), so no bf16
+8B copy ever exists anywhere and — critically on the axon relay — no
+multi-GB host->device transfer either: the 2026-08-19 host-build run
+measured 105–205 s PER DECODE ITER (~0.5 captions/s), consistent with
+the relay re-streaming host-mirrored device_put buffers at the ~40 MB/s
+host link on every dispatch; the on-device build pins the packed tree
+chip-resident.  --host-build keeps the old path for A/B'ing that relay
+behavior.  Prefill runs the SAME packed weights (quality is irrelevant
+for a throughput row; the W4A8 XLA-twin/pallas matmuls handle prefill
+shapes).  The embed stays int8 per-vocab-row like quantize_llama(bits=4).
 
 --spec adds the speculative leg for the regime BASELINE.md's round-5
 write-off points at (big target + genuinely small draft): the 8B W4A8
@@ -43,6 +49,10 @@ def main():
                     help="tiny-config CPU smoke (code-path check only)")
     ap.add_argument("--spec", action="store_true",
                     help="add the 8B-target/1B-draft speculative leg")
+    ap.add_argument("--host-build", action="store_true",
+                    help="build the tree on host + device_put (the relay "
+                         "re-streams these buffers per dispatch; see module "
+                         "docstring)")
     ap.add_argument("--k", type=int, default=4)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -67,6 +77,66 @@ def main():
 
     cpu = jax.devices("cpu")[0]
     rng = np.random.default_rng(0)
+
+    def build_w4_tree_ondevice(c, seed):
+        """Synthesize the packed W4A8 tree directly on the default device:
+        per stacked leaf, one jitted lax.map draws a layer's f32 normal
+        (transient, ~235 MB at 8B MLP shape) and int4-quantizes it, so
+        only the packed bytes + scales persist and nothing crosses the
+        host link."""
+        from jax import random as jrand
+
+        L, H = c.num_hidden_layers, c.hidden_size
+        nh, nkv, hd = (c.num_attention_heads, c.num_key_value_heads,
+                       c.head_dim)
+        I, V = c.intermediate_size, c.vocab_size
+        root = jrand.PRNGKey(seed)
+        counter = [0]
+
+        def next_key():
+            counter[0] += 1
+            return jrand.fold_in(root, counter[0])
+
+        def dev_w4(shape):
+            per_layer = shape[1:] if len(shape) == 3 else shape
+
+            def one(k):
+                w = jrand.normal(k, per_layer, jnp.float32) * 0.02
+                return quantize_tensor_int4(w)
+
+            if len(shape) == 3:
+                fn = jax.jit(lambda ks: jax.lax.map(one, ks))
+                return fn(jrand.split(next_key(), shape[0]))
+            return jax.jit(one)(next_key())
+
+        def dev_embed():
+            def gen(k):
+                q = jrand.randint(k, (V, H), -127, 128, jnp.int8)
+                s = jnp.full((V, 1), 2e-4, jnp.float32)
+                return {"q8": q, "s": s}
+
+            return jax.jit(gen)(next_key())
+
+        def dev_norm(shape):
+            return jnp.ones(shape, c.dtype)
+
+        layers = {
+            "wq": dev_w4((L, H, nh * hd)),
+            "wk": dev_w4((L, H, nkv * hd)),
+            "wv": dev_w4((L, H, nkv * hd)),
+            "wo": dev_w4((L, nh * hd, H)),
+            "w_gate": dev_w4((L, H, I)),
+            "w_up": dev_w4((L, H, I)),
+            "w_down": dev_w4((L, I, H)),
+            "ln_attn": dev_norm((L, H)),
+            "ln_mlp": dev_norm((L, H)),
+        }
+        p = {"layers": layers, "embed": dev_embed(),
+             "final_norm": dev_norm((H,))}
+        if not c.tie_word_embeddings:
+            p["lm_head"] = dev_w4((H, V))
+        jax.block_until_ready(p)
+        return p
 
     def build_w4_tree(c):
         """Random W4A8 packed tree for config c, quantized on the host
@@ -108,8 +178,10 @@ def main():
             p["lm_head"] = dev_w4((H, V))
         return p
 
+    build = build_w4_tree if args.host_build else (
+        lambda c: build_w4_tree_ondevice(c, seed=0))
     t0 = time.time()
-    params = build_w4_tree(cfg)
+    params = build(cfg)
     n_bytes = sum(
         x.nbytes for x in jax.tree.leaves(params)
     )
@@ -136,6 +208,8 @@ def main():
         times.append((time.perf_counter() - t0) * 1e3)
     times.sort()
     med = times[len(times) // 2]
+    print(f"decode median {med:.1f} ms -> {B / (med / 1e3):.1f} captions/s",
+          flush=True)
     out = {
         "metric": "decode_captions_per_sec_per_chip_8b_w4a8",
         "batch": B, "new": NEW, "prefix": T,
@@ -192,7 +266,7 @@ def main():
         else:
             dcfg = llama.llama32_1b()
         t0 = time.time()
-        dparams = build_w4_tree(dcfg)
+        dparams = build(dcfg)
         d_bytes = sum(x.nbytes for x in jax.tree.leaves(dparams))
         print(f"draft tree built+transferred {time.time()-t0:.1f}s, "
               f"{d_bytes/1e9:.2f} GB on device", flush=True)
