@@ -152,6 +152,27 @@ class Captioner:
                 llm_params = quantize_llama(llm_params, bits=4)
             else:
                 llm_params = quantize_llama(llm_params, native=(int8 == "w8a8"))
+        if jax.default_backend() == "tpu" and self.mesh is None:
+            # Relay residency guard (BASELINE.md round-5 8B pathology):
+            # host-origin buffers moved via device_put are re-streamed at
+            # ~40 MB/s on EVERY dispatch; one jitted identity copy makes
+            # the trees device-native (bit-identical, one fused copy —
+            # utils/platform.pin_to_device).  Skipped under a mesh:
+            # shard_llm_params' sharded device_put already re-lays-out
+            # through the runtime, and pinning would have to respect the
+            # shardings.  DMI_PIN_WEIGHTS=0 opts out.
+            import os as _os
+
+            from dmi_tpu.utils.platform import pin_to_device
+
+            if _os.environ.get("DMI_PIN_WEIGHTS", "1") != "0":
+                (llm_params, self.llm_params_prefill, self.draft_params,
+                 draft_prefill, proj_params) = pin_to_device(
+                    (llm_params, self.llm_params_prefill, self.draft_params,
+                     getattr(self, "draft_prefill_params", None), proj_params)
+                )
+                if self.draft_params is not None:
+                    self.draft_prefill_params = draft_prefill
         self.llm_cfg = llm_cfg
         self.llm_params = llm_params
         self.proj_spec = proj_spec

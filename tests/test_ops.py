@@ -81,3 +81,31 @@ def test_sinusoidal_positions_matches_torch_formula():
     pe_t[:, 1::2] = torch.cos(position * div_term)
     ours = np.asarray(sinusoidal_positions(d_model, max_len))
     np.testing.assert_allclose(ours, pe_t.numpy(), atol=1e-6)
+
+
+def test_pin_to_device_identity_and_passthrough():
+    # pin_to_device (relay residency guard, BASELINE.md round-5 8B
+    # pathology) must be a bit-exact identity on array leaves of any
+    # dtype and leave non-array leaves (and their positions) untouched.
+    from dmi_tpu.utils.platform import pin_to_device
+
+    tree = {
+        "w": jnp.arange(12, dtype=jnp.bfloat16).reshape(3, 4),
+        "q": jnp.array([1, -2, 3], dtype=jnp.int8),
+        "mask": jnp.array([True, False]),
+        "nested": {"scale": jnp.float32(0.5), "k": 7, "name": "adapter"},
+        "none": None,
+    }
+    out = pin_to_device(tree)
+    assert out["nested"]["k"] == 7
+    assert out["nested"]["name"] == "adapter"
+    assert out["none"] is None
+    for path in ("w", "q", "mask"):
+        assert out[path].dtype == tree[path].dtype
+        np.testing.assert_array_equal(np.asarray(out[path]), np.asarray(tree[path]))
+    np.testing.assert_array_equal(
+        np.asarray(out["nested"]["scale"]), np.asarray(tree["nested"]["scale"])
+    )
+    # the array leaves must be NEW buffers (a fresh device program output),
+    # not aliases of the inputs — that is the entire point of the guard
+    assert out["w"] is not tree["w"]
