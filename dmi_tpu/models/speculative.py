@@ -760,6 +760,184 @@ def speculative_generate_oracle_bl(
 
 
 # ---------------------------------------------------------------------------
+# Controlled-acceptance measurement harness (full pipeline cost, cascade-
+# free).  The chip economics problem (BASELINE.md round-5): the oracle
+# measures verify cost with ZERO draft cost, the real random-init draft
+# measures full cost at ZERO acceptance, and trained-checkpoint acceptance
+# is unmeasurable offline — so every ">1x" cell so far is ARITHMETIC from
+# component costs, not a wall-clock.  This harness closes that gap: both
+# models run their genuine forwards every round (target verify + k+1 draft
+# steps — byte-identical streams, identical shapes/ops to the production
+# loop), but the target's greedy argmax is margin-forced onto a
+# deterministic token chain and the draft's proposals are overridden with
+# that same chain, corrupted every `wrong_period`-th output position.
+# Acceptance is then exact and cascade-free (a rejection re-derives the
+# chain from the accepted token, so bf16 near-tie noise cannot poison
+# later rounds), and the measured speedup at each wrong_period is the TRUE
+# full-pipeline wall-clock at that acceptance — what a trained draft with
+# that agreement rate would deliver.
+
+
+def _excl_shift(c, excl):
+    """Map c in [0, V-len(excl)) injectively into [0, V) \\ excl (sorted
+    static exclusion list): c + #{i: excl_i - i <= c}, thresholds applied
+    to the ORIGINAL value (sequential updates overshoot into excluded ids
+    when exclusions are close together)."""
+    shift = jnp.zeros((), jnp.int32)
+    for i, e in enumerate(sorted(excl)):
+        shift = shift + (c >= (e - i)).astype(jnp.int32)
+    return c + shift
+
+
+def _chain_next(tok, V, eos_ids, wrong=False):
+    """Deterministic successor token: an affine (LCG) step in the eos-free
+    sub-vocab, shifted past the static eos ids so forced rows never
+    terminate early.  wrong=True yields a token GUARANTEED != the clean
+    successor (distinct in the reduced domain; the shift is injective)."""
+    Vr = V - len(eos_ids)
+    # multiplier kept small: 262k vocab * 7919 stays inside int32
+    c = (tok * 7919 + 104729) % Vr
+    if wrong:
+        c = (c + 1) % Vr
+    return _excl_shift(c, eos_ids)
+
+
+def _verify_round_forced(cfg, params, core, props, rnd, k, T, budget,
+                         pad_token_id, eos, sliding_on, margin):
+    """_verify_round with the target's argmax margin-forced onto the
+    chain: a_ids = argmax(v_logits + margin * onehot(chain(in_token))).
+    The verify forward runs unchanged (same cost) and the argmax still
+    consumes every logit (the bias is one finite add, not a bypass — XLA
+    cannot DCE the head matmul)."""
+    rt = T + rnd * (k + 1)
+    core, v_logits = _verify_target(cfg, params, core, props, k, T,
+                                    sliding_on, rt)
+    V = v_logits.shape[0]
+    in_tokens = jnp.concatenate([core.last[None, :], props], axis=0)  # [P,B]
+    tgt = _chain_next(in_tokens, V, cfg.eos_token_ids)  # [P, B]
+    bias = jnp.where(
+        jnp.arange(V)[:, None, None] == tgt[None, :, :], margin, 0.0
+    ).astype(v_logits.dtype)
+    a_ids = jnp.argmax(v_logits + bias, axis=0).astype(jnp.int32)
+    core, n_acc = _advance(
+        cfg, core, props, a_ids, k, T, budget, pad_token_id, eos
+    )
+    core = core._replace(valid=_retract_rows(core.valid, rt, k, n_acc))
+    return core, n_acc
+
+
+@partial(jax.jit, static_argnames=(
+    "cfg", "draft_cfg", "max_new_tokens", "pad_token_id", "k", "margin"))
+def speculative_generate_forced_bl(
+    cfg: LlamaConfig,
+    params: dict,
+    draft_cfg: LlamaConfig,
+    draft_params: dict,
+    inputs_embeds: jax.Array,
+    draft_inputs_embeds: jax.Array,
+    max_new_tokens: int,
+    pad_token_id: int,
+    wrong_period: jax.Array,
+    k: int = 4,
+    margin: float = 1e4,
+    prefill_params: Optional[dict] = None,
+    draft_prefill_params: Optional[dict] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Full-cost speculative decode at a CONTROLLED acceptance rate (a
+    measurement harness, not a serving path — see the block comment
+    above).
+
+    Identical round structure and compute to speculative_generate_bl
+    (real target verify + real k+1-step draft forwards, same retraction
+    bookkeeping), except: the target's per-slot argmax is margin-forced
+    onto the deterministic chain tok -> _chain_next(tok), and the draft's
+    proposals are overridden with that chain, corrupted (guaranteed
+    mismatch) at every output position that is a multiple of
+    `wrong_period` (a DYNAMIC scalar — one compile serves the whole
+    acceptance sweep; 0 = never corrupt = full acceptance).  The draft's
+    real argmaxes are consumed by the override select so XLA cannot
+    dead-code the draft forwards; the wrong_period=1 (all-reject) cell
+    must reproduce the random-draft cost floor, which pins that.
+
+    Emitted tokens are the pure chain from token0 regardless of
+    wrong_period (corrections land back on the chain) — the CPU tests pin
+    both the stream and the closed-form round counts.
+
+    Returns (tokens [B, max_new_tokens], rounds [])."""
+    B, T_, _ = inputs_embeds.shape
+    if max_new_tokens == 0:
+        return jnp.zeros((B, 0), jnp.int32), jnp.zeros((), jnp.int32)
+    budget = max_new_tokens
+    core, eos, T, max_rounds = _spec_setup(
+        cfg, params, prefill_params, inputs_embeds, max_new_tokens,
+        pad_token_id, k,
+    )
+    # token0 comes from the prefill argmax; force it onto the chain too so
+    # rows can't go done at round 0 (eos-free domain).
+    V = cfg.vocab_size
+    tok0 = _chain_next(core.last, V, cfg.eos_token_ids)
+    core = core._replace(
+        last=tok0, tokens=core.tokens.at[:, 0].set(tok0),
+        done=jnp.zeros_like(core.done) | (max_new_tokens <= 1),
+    )
+    if max_rounds == 0:
+        return core.tokens, jnp.zeros((), jnp.int32)
+    sliding_on = llama.sliding_effective(cfg, T + budget)
+    wp = jnp.asarray(wrong_period, jnp.int32)
+
+    kv_d, valid_d, rp_d, Td = _draft_setup(
+        draft_cfg, draft_params, draft_prefill_params, draft_inputs_embeds,
+        k, max_rounds,
+    )
+    d_sliding = llama.sliding_effective(draft_cfg, Td + budget)
+
+    def forced_props(core):
+        # clean chain continuation p_1..p_k from `last`, then pointwise
+        # corruption at absolute output positions divisible by wp
+        # (mirrors the oracle's wrong_period accounting).
+        def one(p, _):
+            nxt = _chain_next(p, V, cfg.eos_token_ids)
+            return nxt, nxt
+
+        _, chain = jax.lax.scan(one, core.last, None, length=k)  # [k, B]
+        idx = core.out_pos[None, :] + jnp.arange(k)[:, None]  # [k, B]
+        corrupt = ((idx % jnp.maximum(wp, 1)) == 0) & (wp > 0)
+        wrongs = _chain_next(
+            jnp.concatenate([core.last[None, :], chain[:-1]], axis=0)
+            if k > 1 else core.last[None, :],
+            V, cfg.eos_token_ids, wrong=True,
+        )
+        return jnp.where(corrupt, wrongs, chain)
+
+    def cond(state):
+        rnd, core, _, _, _ = state
+        return (rnd < max_rounds) & ~jnp.all(core.done)
+
+    def body(state):
+        rnd, core, kv_d, valid_d, rp_d = state
+        rd = Td + rnd * (k + 1)
+        props_real, kv_d, valid_d, rp_d = _draft_steps_greedy(
+            draft_cfg, draft_params, core.last, core.done, core.out_pos,
+            kv_d, valid_d, rp_d, rd, Td, k, d_sliding,
+        )
+        # override with the forced chain; the select consumes props_real
+        # (argmax outputs never equal -1) so the draft forwards survive.
+        props = jnp.where(props_real == jnp.int32(-1), props_real,
+                          forced_props(core))
+        core, n_acc = _verify_round_forced(
+            cfg, params, core, props, rnd, k, T, budget, pad_token_id, eos,
+            sliding_on, margin,
+        )
+        valid_d = _retract_rows(valid_d, rd, k, n_acc)
+        return rnd + 1, core, kv_d, valid_d, rp_d
+
+    rnd, core, _, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.zeros((), jnp.int32), core, kv_d, valid_d, rp_d)
+    )
+    return core.tokens, rnd
+
+
+# ---------------------------------------------------------------------------
 # Stochastic speculative sampling (draft-verify for the temperature/top-k/
 # top-p serving path).
 #

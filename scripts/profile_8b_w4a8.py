@@ -49,6 +49,16 @@ def main():
                     help="tiny-config CPU smoke (code-path check only)")
     ap.add_argument("--spec", action="store_true",
                     help="add the 8B-target/1B-draft speculative leg")
+    ap.add_argument("--forced", action="store_true",
+                    help="add the controlled-acceptance full-cost sweep "
+                         "(speculative_generate_forced_bl): both models run "
+                         "their real forwards; wrong_period sets acceptance "
+                         "exactly, cascade-free — the measured speedup IS "
+                         "the full-pipeline wall-clock at that acceptance")
+    ap.add_argument("--wps", default="0,7,3,2,1",
+                    help="wrong_period cells for --forced (0 = full "
+                         "acceptance; at budget 22/k 4 the cells give "
+                         "t/r = 4.2, 3.5, 3.0, 1.9, 1.0)")
     ap.add_argument("--host-build", action="store_true",
                     help="build the tree on host + device_put (the relay "
                          "re-streams these buffers per dispatch; see module "
@@ -290,6 +300,62 @@ def main():
             (t_ms / max(rounds, 1)) / (med / (NEW - 1)), 2
         )
         out["draft_packed_gb"] = round(d_bytes / 1e9, 2)
+
+    if args.forced:
+        from dmi_tpu.models.speculative import speculative_generate_forced_bl
+
+        k = args.k
+        out["k"] = k
+        if args.tiny:
+            dcfg = llama.tiny_config(hidden_size=64, n_layers=1, n_heads=2,
+                                     n_kv=1, intermediate=128,
+                                     vocab_size=512, dtype=jnp.float32)
+        else:
+            dcfg = llama.llama32_1b()
+        if "draft_packed_gb" not in out:
+            t0 = time.time()
+            dparams = build(dcfg)
+            d_bytes = sum(x.nbytes for x in jax.tree.leaves(dparams))
+            print(f"draft tree built+transferred {time.time()-t0:.1f}s, "
+                  f"{d_bytes/1e9:.2f} GB on device", flush=True)
+            out["draft_packed_gb"] = round(d_bytes / 1e9, 2)
+            dembs = jnp.asarray(
+                rng.standard_normal((B, T, dcfg.hidden_size),
+                                    dtype=np.float32) * 0.1
+            )
+
+        def measure_forced(wp):
+            def call():
+                return speculative_generate_forced_bl(
+                    cfg, params, dcfg, dparams, embs, dembs, NEW, 0,
+                    jnp.int32(wp), k=k,
+                )
+            toks, rounds = jax.tree.map(np.asarray, call())  # warm
+            ts = []
+            for _ in range(args.iters):
+                t0 = time.perf_counter()
+                toks, rounds = jax.tree.map(np.asarray, call())
+                ts.append((time.perf_counter() - t0) * 1e3)
+            ts.sort()
+            return ts[len(ts) // 2], int(rounds)
+
+        cells = []
+        t0 = time.time()
+        for wp in (int(x) for x in args.wps.split(",")):
+            t_ms, rounds = measure_forced(wp)
+            tpr = round((NEW - 1) / max(rounds, 1), 2)
+            cell = {
+                "wp": wp,
+                "tok_per_round": tpr,
+                "rounds": rounds,
+                "median_ms": round(t_ms, 1),
+                "speedup": round(med / t_ms, 3),
+            }
+            cells.append(cell)
+            print(f"forced wp={wp}: t/r {tpr} rounds {rounds} "
+                  f"{t_ms:.1f} ms -> {cell['speedup']}x "
+                  f"({time.time()-t0:.0f}s elapsed)", flush=True)
+        out["forced_cells"] = cells
 
     print(json.dumps(out), flush=True)
 

@@ -107,6 +107,83 @@ def test_oracle_garbage_stream():
     np.testing.assert_array_equal(np.asarray(got), want)
 
 
+def _sim_forced_rounds(budget, k, wp):
+    """Closed-form round count for the forced harness: proposals at
+    absolute output index idx are corrupted iff wp > 0 and idx % wp == 0;
+    a round emits (leading-clean count + 1) tokens."""
+    out_pos, rounds = 1, 0
+    while out_pos < budget:
+        n_acc = 0
+        for i in range(k):
+            if wp > 0 and (out_pos + i) % wp == 0:
+                break
+            n_acc += 1
+        out_pos = min(out_pos + n_acc + 1, budget)
+        rounds += 1
+    return rounds
+
+
+@pytest.mark.parametrize("k,budget,wp", [
+    (4, 9, 0),   # full acceptance: ceil(8/5) = 2 rounds
+    (4, 9, 1),   # all-reject: 8 rounds
+    (3, 10, 3),  # mixed
+    (2, 8, 5),
+])
+def test_forced_harness_rounds_and_chain(k, budget, wp):
+    """The controlled-acceptance harness runs BOTH real forwards but
+    emits the deterministic chain with exactly the closed-form round
+    count — acceptance is set by wrong_period, cascade-free."""
+    from dmi_tpu.models.speculative import (
+        _chain_next,
+        speculative_generate_forced_bl,
+    )
+
+    eos = (5, 7)
+    cfg, params = make_model(seed=11, eos=eos)
+    dcfg, dparams = make_model(seed=12, eos=eos, hidden=16, layers=1,
+                               heads=2, kv=1, inter=32)
+    B, T = 3, 4
+    embeds = prompt_embeds(cfg, B, T, seed=13)
+    dembeds = prompt_embeds(dcfg, B, T, seed=14)
+
+    got, rounds = speculative_generate_forced_bl(
+        cfg, params, dcfg, dparams, embeds, dembeds, budget, PAD,
+        jnp.int32(wp), k=k,
+    )
+    got = np.asarray(got)
+    # emitted stream is the pure chain from token0, never an EOS id
+    assert not np.isin(got, eos).any()
+    want_next = np.asarray(_chain_next(jnp.asarray(got[:, :-1]),
+                                       cfg.vocab_size, eos))
+    np.testing.assert_array_equal(got[:, 1:], want_next)
+    assert int(rounds) == _sim_forced_rounds(budget, k, wp)
+
+
+def test_forced_harness_one_compile_serves_all_wp():
+    """wrong_period is a dynamic scalar: sweeping acceptance re-uses ONE
+    compiled program (the chip sweep depends on this)."""
+    from dmi_tpu.models.speculative import speculative_generate_forced_bl
+
+    cfg, params = make_model(seed=15, eos=())
+    dcfg, dparams = make_model(seed=16, eos=(), hidden=16, layers=1,
+                               heads=2, kv=1, inter=32)
+    embeds = prompt_embeds(cfg, 2, 3, seed=17)
+    dembeds = prompt_embeds(dcfg, 2, 3, seed=18)
+    budget, k = 7, 3
+
+    rs = {}
+    for wp in (0, 1, 2):
+        _, rounds = speculative_generate_forced_bl(
+            cfg, params, dcfg, dparams, embeds, dembeds, budget, PAD,
+            jnp.int32(wp), k=k,
+        )
+        rs[wp] = int(rounds)
+    assert rs[0] == _sim_forced_rounds(budget, k, 0)
+    assert rs[1] == budget - 1
+    assert rs[2] == _sim_forced_rounds(budget, k, 2)
+    assert rs[0] < rs[2] < rs[1]
+
+
 def test_eos_staggering():
     """Small vocab => EOS fires at staggered ages across the batch; pad
     fill after EOS must match the greedy path exactly (HF semantics: the
